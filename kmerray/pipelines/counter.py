@@ -1,0 +1,63 @@
+"""`ctr` — global canonical k-mer counting (G1, the wide pipeline).
+
+The reference's two-level external aggregation (time-chunking + key
+partitioning via ``min_mer % n_parts`` spill files,
+/root/reference/counter/src/lib.rs:69-234) becomes the canonical Ray
+two-phase aggregate: a stateless ``map_batches`` partial count
+(``np.unique`` per batch — the combiner) followed by one
+``groupby("kmer").sum`` hash shuffle.  Ray's shuffle replaces the
+reference's temp-file matrix; its disk-spill behavior is the object
+store's.  Skew note (SURVEY §4): canonical k-mer keys are Zipf-ish
+(poly-A), but the partial-count stage collapses each batch's
+duplicates first, so a hot key contributes at most one row per batch
+to the shuffle — the shuffle sees near-uniform load without explicit
+salting.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray.data
+from ray.data.aggregate import Sum
+
+from ..core.encoding import canonical_flat_kmers, flat_kmers, numeric_to_kmer
+from .arrow_util import list_column_to_numpy
+
+
+def make_partial_counts_fn(k: int, canonical: bool = True):
+    def partial(batch: pa.Table) -> pa.Table:
+        values, offsets = list_column_to_numpy(batch.column("tokens"))
+        if canonical:
+            kmers, _ = canonical_flat_kmers(values, offsets, k)
+        else:
+            kmers, _, _ = flat_kmers(values, offsets, k)
+        uniq, counts = np.unique(kmers, return_counts=True)
+        return pa.table({"kmer": pa.array(uniq, pa.uint64()),
+                         "cnt": pa.array(counts, pa.int64())})
+    return partial
+
+
+def count_kmers(ds: "ray.data.Dataset", k: int, canonical: bool = True,
+                batch_size: int = 4096) -> "ray.data.Dataset":
+    """Global counts dataset ``(kmer: uint64, cnt: int64)``."""
+    partial = ds.map_batches(make_partial_counts_fn(k, canonical),
+                             batch_format="pyarrow", zero_copy_batch=True,
+                             batch_size=batch_size)
+    return partial.groupby("kmer").aggregate(Sum("cnt", alias_name="cnt"))
+
+
+def add_acgt_column(counts_ds: "ray.data.Dataset", k: int
+                    ) -> "ray.data.Dataset":
+    """Optional ACGT rendering of the key (the reference's --acgt,
+    /root/reference/counter/src/lib.rs:220-230)."""
+    def render(batch: pa.Table) -> pa.Table:
+        acgt = [numeric_to_kmer(int(v), k)
+                for v in batch.column("kmer").to_numpy()]
+        return batch.append_column("acgt", pa.array(acgt, pa.string()))
+    return counts_ds.map_batches(render, batch_format="pyarrow")
+
+
+def write_counts(counts_ds: "ray.data.Dataset", out_dir: str) -> None:
+    counts_ds.write_parquet(out_dir)

@@ -1,0 +1,86 @@
+"""`min` pipelines — minimizer decomposition (s2m) and minimizer
+binning / inverted index (m2s, G3).
+
+s2m (/root/reference/misc/src/minimisers.rs:87-160) is a stateless
+per-row map.  m2s (/root/reference/misc/src/minimisers.rs:11-85) is
+the explode -> groupby(minimiser) inverted index; the shuffle key is
+the canonical m-mer (Zipf-skewed: poly-A minimizers are hot — hot
+groups still fit one task because entries are (doc_id, start, end)
+triples, and Ray hash-partitions keys, not ranges).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray.data
+
+from ..core.minimiser import minimisers_batch
+from .arrow_util import list_column_to_numpy
+
+
+def make_s2m_fn(w: int, m: int):
+    """Per row: ordered minimizer decomposition as
+    ``minimisers: list<struct<mmer:uint64, start:int32, end:int32>>``."""
+    def s2m(batch: pa.Table) -> pa.Table:
+        values, offsets = list_column_to_numpy(batch.column("tokens"))
+        rows, mmers, starts, ends = minimisers_batch(values, offsets, w, m)
+        nrows = len(offsets) - 1
+        # emissions are already in row-major order
+        counts = np.bincount(rows, minlength=nrows)
+        out_off = np.zeros(nrows + 1, dtype=np.int32)
+        np.cumsum(counts, out=out_off[1:])
+        entries = pa.StructArray.from_arrays(
+            [pa.array(mmers, pa.uint64()),
+             pa.array(starts.astype(np.int32), pa.int32()),
+             pa.array(ends.astype(np.int32), pa.int32())],
+            names=["mmer", "start", "end"])
+        lst = pa.ListArray.from_arrays(pa.array(out_off, pa.int32()), entries)
+        return batch.append_column("minimisers", lst)
+    return s2m
+
+
+def s2m_pipeline(ds: "ray.data.Dataset", w: int, m: int,
+                 batch_size: int = 1024) -> "ray.data.Dataset":
+    return ds.map_batches(make_s2m_fn(w, m), batch_format="pyarrow",
+                          zero_copy_batch=True, batch_size=batch_size)
+
+
+def make_explode_fn(w: int, m: int):
+    """Per batch: exploded ``(mmer, doc_id, start, end)`` rows."""
+    def explode(batch: pa.Table) -> pa.Table:
+        values, offsets = list_column_to_numpy(batch.column("tokens"))
+        rows, mmers, starts, ends = minimisers_batch(values, offsets, w, m)
+        doc_ids = batch.column("doc_id").take(pa.array(rows, pa.int64()))
+        return pa.table({"mmer": pa.array(mmers, pa.uint64()),
+                         "doc_id": doc_ids,
+                         "start": pa.array(starts.astype(np.int32)),
+                         "end": pa.array(ends.astype(np.int32))})
+    return explode
+
+
+def minimisers_exploded(ds: "ray.data.Dataset", w: int, m: int,
+                        batch_size: int = 1024) -> "ray.data.Dataset":
+    return ds.map_batches(make_explode_fn(w, m), batch_format="pyarrow",
+                          zero_copy_batch=True, batch_size=batch_size)
+
+
+def m2s_pipeline(ds: "ray.data.Dataset", w: int, m: int,
+                 batch_size: int = 1024) -> "ray.data.Dataset":
+    """Inverted index ``(mmer, entries: list<struct<doc_id,start,end>>)``
+    — entries sorted by (doc_id, start) for deterministic output (the
+    reference's map-iteration order is nondeterministic; its own tests
+    sort before comparing, /root/reference/ktio/src/fops.rs:15-25)."""
+    import pandas as pd
+
+    exploded = minimisers_exploded(ds, w, m, batch_size)
+
+    def collect(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["doc_id", "start"])
+        return pd.DataFrame({
+            "mmer": [g["mmer"].iloc[0]],
+            "entries": [list(zip(g["doc_id"], g["start"], g["end"]))],
+        })
+    return exploded.groupby("mmer").map_groups(collect,
+                                               batch_format="pandas")

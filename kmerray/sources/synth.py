@@ -1,0 +1,144 @@
+"""Deterministic synthetic `sequences` corpus (the BASELINE.json
+input_hint table).
+
+Schema: ``(doc_id: string, tokens: list<int32>, n_tok: int32,
+source: string, ts: timestamp[us])`` — pre-tokenized sequences in the
+reference's SEQ_NT4 code space (0..3 bases, 4 = ambiguous N), plus the
+ingest timestamp used only by the as-of / windowed graft.
+
+Generated once per scale from a fixed seed (42) and cached as a
+directory of Parquet shards under /tmp so the Ray pipelines and the
+DuckDB oracle SQL read the *same bytes*.  Scale is keyed off the
+sf-dir name (sf0.001 -> 1k docs, sf0.01 -> 10k, sf0.1 -> 100k), per
+FIXTURES.md tiering.  Includes the adversarial rows FIXTURES.md
+requires: all-ambiguous rows (zero CFV), rows shorter than k, poly-A
+runs (skewed minimizer/k-mer keys), and timestamps exactly on daily
+snapshot boundaries.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+SEED = 42
+VERSION = 3
+SOURCES = ["src-a", "src-b", "src-c"]
+SOURCE_WEIGHTS = [0.5, 0.3, 0.2]
+TS_BASE_US = np.datetime64("2024-01-01T00:00:00", "us").astype(np.int64)
+TS_HORIZON_US = 30 * 86_400_000_000  # 30 days
+DAY_US = 86_400_000_000
+CACHE_ROOT = os.environ.get("KMERRAY_CACHE", "/tmp/kmerray_data")
+
+
+def scale_of(sf_dir: str) -> float:
+    m = re.search(r"sf([0-9.]+)", os.path.basename(os.path.normpath(sf_dir)))
+    return float(m.group(1)) if m else 0.001
+
+
+def n_docs_of(sf_dir: str) -> int:
+    return max(1000, int(round(1_000_000 * scale_of(sf_dir))))
+
+
+def generate_sequences(n_docs: int, seed: int = SEED,
+                       mean_len: int = 160) -> pa.Table:
+    """Pure in-memory generation — fully vectorized, deterministic."""
+    rng = np.random.default_rng([seed, n_docs, mean_len])
+
+    src_idx = rng.choice(len(SOURCES), size=n_docs, p=SOURCE_WEIGHTS)
+    lo, hi = 20, 2 * mean_len - 20
+    lengths = rng.integers(lo, hi + 1, size=n_docs)
+    # skew: ~1% extra-long rows (dominant-row stress, SURVEY §4)
+    long_rows = rng.random(n_docs) < 0.01
+    lengths[long_rows] = lengths[long_rows] * 5
+    # adversarial: every 101st row shorter than any k we use
+    lengths[::101] = 3
+
+    offsets = np.zeros(n_docs + 1, dtype=np.int64)
+    np.cumsum(lengths, out=offsets[1:])
+    total = int(offsets[-1])
+
+    values = rng.integers(0, 4, size=total, dtype=np.int32)
+    # ~1.5% ambiguous tokens
+    values[rng.random(total) < 0.015] = 4
+    # every 97th row: all-ambiguous
+    for r in range(0, n_docs, 97):
+        values[offsets[r]:offsets[r + 1]] = 4
+    # every 89th row: poly-A first half (hot canonical keys / minimizers)
+    for r in range(0, n_docs, 89):
+        if r % 97 == 0:
+            continue
+        s, e = offsets[r], offsets[r + 1]
+        values[s:s + (e - s) // 2] = 0
+
+    # timestamps: monotone-ish per source with jitter
+    ts = np.zeros(n_docs, dtype=np.int64)
+    for s in range(len(SOURCES)):
+        mask = src_idx == s
+        cnt = int(mask.sum())
+        if cnt == 0:
+            continue
+        gap = TS_HORIZON_US / (cnt + 1)
+        base = TS_BASE_US + (np.arange(cnt) + 0.5) * gap
+        jit = rng.uniform(-0.45 * gap, 0.45 * gap, size=cnt)
+        ts[mask] = (base + jit).astype(np.int64)
+    # every 50th row: ts exactly on a daily snapshot boundary
+    # (leakage-probe rows, FIXTURES.md §4)
+    bidx = np.arange(0, n_docs, 50)
+    ts[bidx] = ((ts[bidx] - TS_BASE_US) // DAY_US) * DAY_US + TS_BASE_US
+
+    doc_id = np.array([f"{SOURCES[s]}/{i:07d}"
+                       for i, s in enumerate(src_idx)], dtype=object)
+
+    tokens = pa.ListArray.from_arrays(pa.array(offsets, pa.int32()),
+                                      pa.array(values, pa.int32()))
+    return pa.table({
+        "doc_id": pa.array(doc_id, pa.string()),
+        "tokens": tokens,
+        "n_tok": pa.array(lengths.astype(np.int32), pa.int32()),
+        "source": pa.array([SOURCES[s] for s in src_idx], pa.string()),
+        "ts": pa.array(ts, pa.timestamp("us")),
+    })
+
+
+def ensure_sequences(sf_dir: str, n_docs: int | None = None,
+                     mean_len: int = 160, tag: str | None = None) -> str:
+    """Generate-or-reuse the cached corpus for a scale; returns the
+    directory of Parquet shards (glob ``<dir>/*.parquet``)."""
+    if n_docs is None:
+        n_docs = n_docs_of(sf_dir)
+    if tag is None:
+        tag = os.path.basename(os.path.normpath(sf_dir))
+    out_dir = os.path.join(CACHE_ROOT,
+                           f"{tag}-n{n_docs}-l{mean_len}-v{VERSION}",
+                           "sequences")
+    marker = os.path.join(out_dir, "_SUCCESS")
+    if os.path.exists(marker):
+        return out_dir
+    tmp_dir = out_dir + f".tmp.{os.getpid()}"
+    os.makedirs(tmp_dir, exist_ok=True)
+    table = generate_sequences(n_docs, mean_len=mean_len)
+    # shard so Ray's read parallelizes across files
+    n_files = max(1, min(32, n_docs // 12_500))
+    step = (table.num_rows + n_files - 1) // n_files
+    for i in range(n_files):
+        part = table.slice(i * step, step)
+        if part.num_rows:
+            pq.write_table(part, os.path.join(tmp_dir, f"part-{i:04d}.parquet"),
+                           row_group_size=8192)
+    with open(os.path.join(tmp_dir, "_SUCCESS"), "w") as fh:
+        json.dump({"n_docs": n_docs, "seed": SEED, "version": VERSION,
+                   "mean_len": mean_len}, fh)
+    try:
+        os.rename(tmp_dir, out_dir)        # atomic publish
+    except OSError:
+        if not os.path.exists(marker):     # genuine failure, not a race
+            raise
+        import shutil
+        shutil.rmtree(tmp_dir, ignore_errors=True)
+    return out_dir
