@@ -1,0 +1,264 @@
+"""Point-in-time / as-of feature engine (J2 — the graft; not in the
+reference, which has exactly one global, timeless dictionary,
+/root/reference/coverage/src/lib.rs:82-91).
+
+Generalizes `cov`'s broadcast dictionary to **per-source, time-versioned
+snapshots** with zero temporal leakage:
+
+* Snapshot build: canonical k-mer counts per ``(source, daily window)``
+  -> cumulative per-source dictionaries.  Snapshot ``d`` closes at
+  ``snapshot_ts = base + (d+1)·day`` and contains exactly the rows with
+  ``ts < snapshot_ts`` (a row on the boundary belongs to the *next*
+  window, so no row ever sees its own k-mers).
+* As-of lookup: a row with timestamp ``ts`` scores against the newest
+  snapshot with ``snapshot_ts <= ts``, i.e. effective snapshot day
+  ``eff_day = floor((ts - base)/day) - 1``; rows before the first
+  close get the empty dictionary (missing -> 0, the reference's
+  /root/reference/coverage/src/lib.rs:171 semantics).
+* Backfill safety: scoring is a pure function of (row, snapshot table),
+  so re-running rows against late-built snapshots is idempotent.
+
+Shuffle plan: one hash-bucketed groupby builds the snapshot table
+(bucket = kmer % B — key-space partitioning like the reference's
+``min_mer % n_parts``, /root/reference/counter/src/lib.rs:127, but as a
+Ray shuffle key); the lookup side is an actor pool holding the
+snapshot index (per-source sorted ``(kmer << 8 | day)`` key arrays, one
+binary search per k-mer occurrence — no per-batch reshipping).
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+import ray
+
+from ..core.encoding import canonical_flat_kmers
+from ..sources.synth import DAY_US, TS_BASE_US
+from .arrow_util import list_column_to_numpy, matrix_to_fixed_list
+
+_DAY_BITS = 8  # day index < 256 fits; requires k <= 28 (2k+8 <= 64)
+
+
+def _ts_us(batch: pa.Table) -> np.ndarray:
+    return batch.column("ts").cast(pa.int64()).to_numpy()
+
+
+def day_of(ts_us: np.ndarray, window_us: int = DAY_US,
+           base_us: int = TS_BASE_US) -> np.ndarray:
+    return (ts_us - base_us) // window_us
+
+
+def eff_day_of(ts_us: np.ndarray, window_us: int = DAY_US,
+               base_us: int = TS_BASE_US) -> np.ndarray:
+    """Newest snapshot day whose close <= ts (-1 => no snapshot)."""
+    return (ts_us - base_us) // window_us - 1
+
+
+def make_snapshot_partial_fn(k: int, window_us: int = DAY_US,
+                             n_buckets: int = 64):
+    """Per batch: partial ``(bucket, source, day, kmer, cnt)`` counts."""
+    def partial(batch: pa.Table) -> pa.Table:
+        values, offsets = list_column_to_numpy(batch.column("tokens"))
+        canon, row = canonical_flat_kmers(values, offsets, k)
+        day = day_of(_ts_us(batch), window_us)[row]
+        src = batch.column("source").to_pandas()
+        src_codes, src_uniques = pd.factorize(src)
+        code_per_kmer = src_codes[row]
+        # composite key (src, kmer, day) -> counts within the batch
+        key = (canon.astype(np.uint64) << np.uint64(_DAY_BITS + 2)) \
+            | (day.astype(np.uint64) << np.uint64(2)) \
+            | code_per_kmer.astype(np.uint64)
+        uk, cnt = np.unique(key, return_counts=True)
+        out_kmer = uk >> np.uint64(_DAY_BITS + 2)
+        out_day = (uk >> np.uint64(2)) & np.uint64((1 << _DAY_BITS) - 1)
+        out_src = (uk & np.uint64(3)).astype(np.int64)
+        return pa.table({
+            "bucket": pa.array((out_kmer % np.uint64(n_buckets)
+                                ).astype(np.int64)),
+            "source": pa.array(src_uniques[out_src].astype(str)),
+            "day": pa.array(out_day.astype(np.int64)),
+            "kmer": pa.array(out_kmer, pa.uint64()),
+            "cnt": pa.array(cnt.astype(np.int64)),
+        })
+    return partial
+
+
+def _cumulate(g: pd.DataFrame) -> pd.DataFrame:
+    agg = (g.groupby(["source", "kmer", "day"], as_index=False)["cnt"].sum()
+            .sort_values(["source", "kmer", "day"]))
+    agg["cum_cnt"] = agg.groupby(["source", "kmer"])["cnt"].cumsum()
+    return agg.drop(columns=["cnt"])
+
+
+def snapshot_counts(seq_ds: "ray.data.Dataset", k: int,
+                    window_us: int = DAY_US, n_buckets: int = 64,
+                    batch_size: int = 1024) -> "ray.data.Dataset":
+    """Cumulative snapshot table
+    ``(source: string, day: int64, kmer: uint64, cum_cnt: int64)`` —
+    one row per (source, kmer, update-day); the dictionary value at
+    snapshot d is the newest ``cum_cnt`` with ``day <= d``."""
+    if not (1 <= k <= 28):
+        raise ValueError("as-of snapshots support k <= 28")
+    partial = seq_ds.map_batches(
+        make_snapshot_partial_fn(k, window_us, n_buckets),
+        batch_format="pyarrow", zero_copy_batch=True, batch_size=batch_size)
+    return (partial.groupby("bucket")
+            .map_groups(_cumulate, batch_format="pandas"))
+
+
+def load_snapshot_index(path_or_table) -> dict:
+    """Build the per-source as-of index from a snapshot table/dir:
+    ``{source: (sorted (kmer<<8|day) keys, cum counts)}``."""
+    if isinstance(path_or_table, str):
+        files = sorted(glob.glob(os.path.join(path_or_table, "**",
+                                              "*.parquet"), recursive=True))
+        t = pa.concat_tables(pq.read_table(f) for f in files)
+    else:
+        t = path_or_table
+    src = np.asarray(t.column("source").to_pandas())
+    kmer = t.column("kmer").to_numpy().astype(np.uint64)
+    day = t.column("day").to_numpy().astype(np.uint64)
+    cum = t.column("cum_cnt").to_numpy().astype(np.int64)
+    keys = (kmer << np.uint64(_DAY_BITS)) | day
+    index = {}
+    for s in np.unique(src):
+        m = src == s
+        sk = keys[m]
+        order = np.argsort(sk)
+        index[str(s)] = (sk[order], cum[m][order])
+    return index
+
+
+def asof_lookup_counts(index: dict, source_of_row: np.ndarray,
+                       eff_day: np.ndarray, canon: np.ndarray,
+                       row: np.ndarray) -> np.ndarray:
+    """Per k-mer occurrence: dictionary count in the row's effective
+    snapshot (vectorized double binary search; missing/never-seen -> 0)."""
+    out = np.zeros(len(canon), dtype=np.int64)
+    eff_per_kmer = eff_day[row]
+    src_per_kmer = source_of_row[row]
+    usable = eff_per_kmer >= 0
+    for s in np.unique(src_per_kmer):
+        if s not in index:
+            continue
+        keys, cum = index[s]
+        m = usable & (src_per_kmer == s)
+        if not m.any():
+            continue
+        q = (canon[m] << np.uint64(_DAY_BITS)) \
+            | eff_per_kmer[m].astype(np.uint64)
+        idx = np.searchsorted(keys, q, side="right") - 1
+        ok = idx >= 0
+        idxc = np.maximum(idx, 0)
+        # hit only if the found key belongs to the same kmer
+        ok &= (keys[idxc] >> np.uint64(_DAY_BITS)) == canon[m]
+        vals = np.where(ok, cum[idxc], 0)
+        out[np.flatnonzero(m)] = vals
+    return out
+
+
+class AsofCovScorer:
+    """Actor-pool stage: per-source snapshot index loaded once, rows
+    scored against their point-in-time dictionary."""
+
+    def __init__(self, snap_source, k: int, bin_size: int, bin_count: int,
+                 norm: bool = False, window_us: int = DAY_US,
+                 out_col: str = "asof_coverage"):
+        if isinstance(snap_source, ray.ObjectRef):
+            snap_source = ray.get(snap_source)
+        self.index = (snap_source if isinstance(snap_source, dict)
+                      else load_snapshot_index(snap_source))
+        self.k = k
+        self.bin_size = bin_size
+        self.bin_count = bin_count
+        self.norm = norm
+        self.window_us = window_us
+        self.out_col = out_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        values, offsets = list_column_to_numpy(batch.column("tokens"))
+        nrows = batch.num_rows
+        canon, row = canonical_flat_kmers(values, offsets, self.k)
+        eff = eff_day_of(_ts_us(batch), self.window_us)
+        src = np.asarray(batch.column("source").to_pandas())
+        cnt = asof_lookup_counts(self.index, src, eff, canon, row)
+        bins = np.minimum(cnt // self.bin_size, self.bin_count - 1)
+        mat = np.bincount(row * self.bin_count + bins,
+                          minlength=nrows * self.bin_count
+                          ).astype(np.float64).reshape(nrows, self.bin_count)
+        if self.norm:
+            mat /= np.maximum(1.0, mat.sum(axis=1, keepdims=True))
+        batch = batch.append_column(self.out_col, matrix_to_fixed_list(mat))
+        return batch.append_column("asof_day", pa.array(eff, pa.int64()))
+
+
+def asof_coverage_pipeline(seq_ds: "ray.data.Dataset", snap_source,
+                           k: int, bin_size: int, bin_count: int,
+                           norm: bool = False, window_us: int = DAY_US,
+                           concurrency: int | tuple = 4,
+                           batch_size: int = 1024) -> "ray.data.Dataset":
+    return seq_ds.map_batches(
+        AsofCovScorer,
+        fn_constructor_args=(snap_source, k, bin_size, bin_count, norm,
+                             window_us),
+        batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=batch_size, concurrency=concurrency)
+
+
+# ---------------------------------------------------------------------------
+# Event-time window features over (source, ts): lag/lead + sessionize.
+# Partitioning assumption: one source's rows fit one task (at 10^12-row
+# scale, sub-partition by (source, ts-range) with one boundary row of
+# halo exchange; the group function below is already pure given a
+# ts-sorted frame, so only the halo plumbing would change).
+# ---------------------------------------------------------------------------
+
+def _lag_lead_group(g: pd.DataFrame) -> pd.DataFrame:
+    g = g.sort_values(["ts", "doc_id"])
+    out = pd.DataFrame({
+        "doc_id": g["doc_id"],
+        "source": g["source"],
+        "ts": g["ts"],
+        "n_tok": g["n_tok"],
+        "prev_n_tok": g["n_tok"].shift(1),
+        "next_n_tok": g["n_tok"].shift(-1),
+        "gap_us": (g["ts"] - g["ts"].shift(1)).dt.total_seconds() * 1e6,
+    })
+    return out
+
+
+def lag_lead_pipeline(seq_ds: "ray.data.Dataset") -> "ray.data.Dataset":
+    """Per-source lag/lead features ordered by (ts, doc_id)."""
+    ds = seq_ds.select_columns(["doc_id", "source", "ts", "n_tok"])
+    return ds.groupby("source").map_groups(_lag_lead_group,
+                                           batch_format="pandas")
+
+
+def make_sessionize_group(gap_us: int):
+    def sessionize(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "doc_id"])
+        gaps = (g["ts"] - g["ts"].shift(1)).dt.total_seconds() * 1e6
+        new_session = (gaps > gap_us) | gaps.isna()
+        return pd.DataFrame({
+            "doc_id": g["doc_id"],
+            "source": g["source"],
+            "ts": g["ts"],
+            "session_seq": new_session.cumsum().astype("int64"),
+        })
+    return sessionize
+
+
+def sessionize_pipeline(seq_ds: "ray.data.Dataset",
+                        gap_us: int = 30 * 60 * 1_000_000
+                        ) -> "ray.data.Dataset":
+    """Session ids per source: a session breaks when the gap to the
+    previous row exceeds ``gap_us`` (gaps-and-islands)."""
+    ds = seq_ds.select_columns(["doc_id", "source", "ts"])
+    return ds.groupby("source").map_groups(make_sessionize_group(gap_us),
+                                           batch_format="pandas")

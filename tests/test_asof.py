@@ -1,0 +1,162 @@
+"""As-of engine tests: snapshot build, point-in-time lookup with zero
+temporal leakage (boundary probes per FIXTURES.md §4), lag/lead and
+sessionize vs pandas oracles."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+import ray
+
+from kmerray.core.encoding import canonical_flat_kmers
+from kmerray.pipelines.asof import (AsofCovScorer, asof_coverage_pipeline,
+                                    day_of, eff_day_of, lag_lead_pipeline,
+                                    load_snapshot_index,
+                                    make_sessionize_group, sessionize_pipeline,
+                                    snapshot_counts)
+from kmerray.sources.synth import DAY_US, TS_BASE_US, generate_sequences
+
+K = 6
+BIN_SIZE = 2
+BIN_COUNT = 4
+
+
+@pytest.fixture(scope="module")
+def corpus():
+    return generate_sequences(400)
+
+
+def brute_force_asof(table: pa.Table, k: int, bin_size: int, bin_count: int):
+    """Reference oracle: per row, dictionary = canonical k-mer counts of
+    all same-source rows in windows closed at or before the row's ts."""
+    tok = table.column("tokens").combine_chunks()
+    off = tok.offsets.to_numpy().astype(np.int64)
+    values = tok.values.to_numpy()[off[0]:off[-1]]
+    off = off - off[0]
+    ts = table.column("ts").cast(pa.int64()).to_numpy()
+    src = np.asarray(table.column("source").to_pandas())
+    canon, row = canonical_flat_kmers(values, off, k)
+    day = day_of(ts)
+    eff = eff_day_of(ts)
+    n = table.num_rows
+    out = np.zeros((n, bin_count))
+    for i in range(n):
+        mine = canon[row == i]
+        if len(mine) == 0:
+            continue
+        contrib = np.flatnonzero((src == src[i]) & (day <= eff[i]))
+        dict_kmers = canon[np.isin(row, contrib)] if len(contrib) else \
+            np.empty(0, np.uint64)
+        uk, uc = np.unique(dict_kmers, return_counts=True)
+        idx = np.searchsorted(uk, mine)
+        idxc = np.minimum(idx, max(len(uk) - 1, 0))
+        found = (len(uk) > 0) and None
+        if len(uk):
+            hit = uk[idxc] == mine
+            cnt = np.where(hit, uc[idxc], 0)
+        else:
+            cnt = np.zeros(len(mine), dtype=np.int64)
+        bins = np.minimum(cnt // bin_size, bin_count - 1)
+        out[i] = np.bincount(bins, minlength=bin_count)
+    return out
+
+
+def test_snapshot_and_asof_match_brute_force(ray_session, corpus):
+    ds = ray.data.from_arrow(corpus)
+    snap = snapshot_counts(ds, K, n_buckets=8)
+    snap_table = pa.Table.from_pandas(snap.to_pandas())
+    index = load_snapshot_index(snap_table)
+    scored = asof_coverage_pipeline(ds, index, K, BIN_SIZE, BIN_COUNT,
+                                    concurrency=2).take_all()
+    got = {r["doc_id"]: np.asarray(r["asof_coverage"]) for r in scored}
+    expect = brute_force_asof(corpus, K, BIN_SIZE, BIN_COUNT)
+    ids = corpus.column("doc_id").to_pylist()
+    for i, d in enumerate(ids):
+        assert np.array_equal(got[d], expect[i]), d
+
+
+def test_leakage_probes(ray_session):
+    """Rows before the first close see an empty dict; a row exactly on a
+    close sees that snapshot but not its own window's data."""
+    day = DAY_US
+    base = TS_BASE_US
+    tok = [0, 1, 2, 3, 0, 1, 2, 3]  # ACGTACGT: canonical 4-mers
+
+    def mk(ts_us, i):
+        return {"doc_id": f"d{i}", "tokens": tok, "n_tok": len(tok),
+                "source": "s", "ts": ts_us}
+
+    rows = [
+        mk(base + 1000, 0),            # day 0, eff -1: empty dict
+        mk(base + day - 1, 1),         # day 0 end, eff -1: empty dict
+        mk(base + day, 2),             # exactly on close of day 0: eff 0
+        mk(base + day + 5, 3),         # just after: still eff 0
+        mk(base + 3 * day + 5, 4),     # eff 2: days 0..2 cumulative
+    ]
+    t = pa.table({
+        "doc_id": pa.array([r["doc_id"] for r in rows]),
+        "tokens": pa.array([r["tokens"] for r in rows],
+                           pa.list_(pa.int32())),
+        "n_tok": pa.array([r["n_tok"] for r in rows], pa.int32()),
+        "source": pa.array([r["source"] for r in rows]),
+        "ts": pa.array([r["ts"] for r in rows], pa.int64()).cast(
+            pa.timestamp("us")),
+    })
+    ds = ray.data.from_arrow(t)
+    snap_table = pa.Table.from_pandas(
+        snapshot_counts(ds, 4, n_buckets=2).to_pandas())
+    index = load_snapshot_index(snap_table)
+    scorer = AsofCovScorer(index, 4, 1, 3)
+    out = scorer(t)
+    cov = {d: list(v) for d, v in
+           zip(out.column("doc_id").to_pylist(),
+               out.column("asof_coverage").to_pylist())}
+    days = {d: v for d, v in zip(out.column("doc_id").to_pylist(),
+                                 out.column("asof_day").to_pylist())}
+    # each row has 5 4-mer windows
+    assert days["d0"] == -1 and days["d1"] == -1
+    assert cov["d0"] == [5.0, 0, 0]            # all counts 0 -> bin 0
+    assert cov["d1"] == [5.0, 0, 0]
+    assert days["d2"] == 0 and days["d3"] == 0
+    # snapshot day 0 contains rows d0, d1 (2 copies of each kmer):
+    # counts==2 -> bin 2 for all 5 kmers
+    assert cov["d2"] == [0, 0, 5.0]
+    assert cov["d3"] == [0, 0, 5.0]
+    # eff 2: days 0,1,2 contain d0,d1 (day0) + d2,d3 (day1) -> count 4
+    assert days["d4"] == 2
+    assert cov["d4"] == [0, 0, 5.0]
+
+
+def test_lag_lead_vs_pandas(ray_session, corpus):
+    ds = ray.data.from_arrow(corpus)
+    got = lag_lead_pipeline(ds).to_pandas().sort_values("doc_id")
+    pdf = corpus.to_pandas()
+    exp = (pdf.groupby("source", group_keys=False)
+           .apply(lambda g: g.sort_values(["ts", "doc_id"]).assign(
+               prev_n_tok=lambda x: x["n_tok"].shift(1),
+               next_n_tok=lambda x: x["n_tok"].shift(-1)))
+           .sort_values("doc_id"))
+    assert np.array_equal(got["doc_id"].values, exp["doc_id"].values)
+    assert np.allclose(got["prev_n_tok"].values.astype(float),
+                       exp["prev_n_tok"].values.astype(float),
+                       equal_nan=True)
+    assert np.allclose(got["next_n_tok"].values.astype(float),
+                       exp["next_n_tok"].values.astype(float),
+                       equal_nan=True)
+
+
+def test_sessionize(ray_session, corpus):
+    gap = 40 * 60 * 1_000_000
+    ds = ray.data.from_arrow(corpus)
+    got = sessionize_pipeline(ds, gap_us=gap).to_pandas()
+    pdf = corpus.to_pandas()
+    for s, g in pdf.groupby("source"):
+        exp = make_sessionize_group(gap)(g)
+        sub = got[got["source"] == s].set_index("doc_id")["session_seq"]
+        for d, v in exp.set_index("doc_id")["session_seq"].items():
+            assert sub[d] == v
+    # sessions increase with ts within a source
+    for s in got["source"].unique():
+        sub = got[got["source"] == s].sort_values("ts")
+        assert (np.diff(sub["session_seq"].values) >= 0).all()
