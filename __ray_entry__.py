@@ -3,42 +3,48 @@
 The driver's verify calls ``entry()`` as a smoke check (Ray is already
 initialised, local mode), runs each ``queries()[name](sf_dir)`` at
 sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+DuckDB (row-count + schema + order-insensitive value-hash ->
+CORRECTNESS_r{N}.json).
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported: no
+``ray.init()`` / ``ray.shutdown()`` here or in the library code.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 from typing import Any
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline on /root/testdata/sf0.001: CFV extraction (comp
+    oligo, k=4 canonical normalized) + point-in-time as-of coverage —
+    returns a Dataset with (doc_id, tokens, n_tok, source, ts, cfv,
+    asof_coverage, asof_day)."""
+    import pyarrow as pa
+    import ray
+
+    from kmerray.pipelines.asof import (asof_coverage_pipeline,
+                                        load_snapshot_index, snapshot_counts)
+    from kmerray.pipelines.comp import cfv_pipeline, read_sequences
+
+    sf_dir = "/root/testdata/sf0.001"
+    ds = read_sequences(sf_dir)
+    snap_df = snapshot_counts(ds, 8).to_pandas()
+    index_ref = ray.put(load_snapshot_index(pa.Table.from_pandas(snap_df)))
+    out = cfv_pipeline(ds, k=4)
+    return asof_coverage_pipeline(out, index_ref, 8, 2, 4, concurrency=2)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
-
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    from kmerray.queries import registry
+    return registry()
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from kmerray.queries import oracle_registry
+    return oracle_registry()

@@ -1,0 +1,208 @@
+"""DuckDB oracle-SQL builders for the driver's correctness gate.
+
+Each builder returns ANSI-ish SQL (DuckDB dialect) computing the same
+result as the matching Ray pipeline in ``kmerray.queries``, over the
+same synthesized sequences Parquet (read via ``read_parquet``) and the
+driver's pre-registered views (documents, embeddings, ...).  Column
+names match the Ray outputs exactly (driver hashes after sorting
+columns by name)."""
+
+from __future__ import annotations
+
+from .sources.synth import DAY_US, TS_BASE_US
+
+
+def _seq(path: str) -> str:
+    return f"read_parquet('{path}/*.parquet')"
+
+
+def _kmer_terms(k: int):
+    f = " + ".join(f"tokens[i+{j}]*{4 ** (k - 1 - j)}" for j in range(k))
+    r = " + ".join(f"(3-tokens[i+{j}])*{4 ** j}" for j in range(k))
+    valid = " AND ".join(f"tokens[i+{j}]<4" for j in range(k))
+    return f, r, valid
+
+
+def km_cte(path: str, k: int, extra_cols: str = "") -> str:
+    """CTE `km`: one row per valid canonical k-mer occurrence."""
+    f, r, valid = _kmer_terms(k)
+    return f"""km AS (
+  SELECT doc_id{extra_cols}, CAST(least({f}, {r}) AS BIGINT) AS kmer
+  FROM {_seq(path)},
+       LATERAL (SELECT unnest(generate_series(1, len(tokens) - {k - 1})) AS i) g
+  WHERE {valid}
+)"""
+
+
+def kmer_counts_per_doc_sql(path: str, k: int) -> str:
+    return f"""WITH {km_cte(path, k)}
+SELECT doc_id, kmer, count(*) AS cnt FROM km GROUP BY doc_id, kmer"""
+
+
+def global_counts_sql(path: str, k: int) -> str:
+    return f"""WITH {km_cte(path, k)}
+SELECT kmer, count(*) AS cnt FROM km GROUP BY kmer"""
+
+
+def cfv_norm_sql(path: str, k: int) -> str:
+    """Nonzero normalized CFV entries (doc_id, col, freq): `col` is the
+    canonical column index (rank of the canonical k-mer among all 4^k
+    canonicalized values, /root/reference/kmer/src/kmer.rs:54-73)."""
+    # rc of a packed kmer value v (not a window):
+    rc = " + ".join(f"(3 - ((v // {4 ** j}) % 4)) * {4 ** (k - 1 - j)}"
+                    for j in range(k))
+    return f"""WITH {km_cte(path, k)},
+allk AS (
+  SELECT CAST(least(v, {rc}) AS BIGINT) AS canon
+  FROM (SELECT unnest(generate_series(0, {4 ** k - 1})) AS v)
+),
+colmap AS (
+  SELECT canon, CAST(row_number() OVER (ORDER BY canon) - 1 AS BIGINT) AS col
+  FROM (SELECT DISTINCT canon FROM allk)
+),
+per AS (
+  SELECT doc_id, kmer, count(*) AS cnt FROM km GROUP BY doc_id, kmer
+),
+tot AS (SELECT doc_id, sum(cnt) AS total FROM per GROUP BY doc_id)
+SELECT p.doc_id, c.col,
+       CAST(p.cnt AS DOUBLE) / CAST(t.total AS DOUBLE) AS freq
+FROM per p JOIN colmap c ON c.canon = p.kmer
+JOIN tot t ON t.doc_id = p.doc_id"""
+
+
+def minimisers_sql(path: str, w: int, m: int) -> str:
+    """(doc_id, mmer, start, end) minimizer runs — value-RLE over
+    per-window minima with the reference's end-of-row drop quirk."""
+    f, r, valid = _kmer_terms(m)
+    W = w - m + 1
+    return f"""WITH mm AS (
+  SELECT doc_id, n_tok, i,
+    CASE WHEN {valid} THEN CAST(least({f}, {r}) AS BIGINT) ELSE NULL END AS canon
+  FROM {_seq(path)},
+       LATERAL (SELECT unnest(generate_series(1, len(tokens) - {m - 1})) AS i) g
+),
+win AS (
+  SELECT doc_id, n_tok, i AS j,
+    min(canon) OVER w AS wmin,
+    count(canon) OVER w AS nvalid,
+    count(*) OVER w AS ntotal
+  FROM mm
+  WINDOW w AS (PARTITION BY doc_id ORDER BY i
+               ROWS BETWEEN CURRENT ROW AND {W - 1} FOLLOWING)
+),
+valid AS (
+  SELECT doc_id, n_tok, j, wmin FROM win
+  WHERE ntotal = {W} AND nvalid = {W}
+),
+runs AS (
+  SELECT doc_id, n_tok, j, wmin,
+    CASE WHEN lag(j) OVER (PARTITION BY doc_id ORDER BY j) = j - 1
+          AND lag(wmin) OVER (PARTITION BY doc_id ORDER BY j) = wmin
+         THEN 0 ELSE 1 END AS brk
+  FROM valid
+),
+grp AS (
+  SELECT *, sum(brk) OVER (PARTITION BY doc_id ORDER BY j) AS g FROM runs
+),
+agg AS (
+  SELECT doc_id, any_value(n_tok) AS n_tok, g, any_value(wmin) AS wmin,
+         min(j) AS j1, max(j) AS j2, count(*) AS cnt
+  FROM grp GROUP BY doc_id, g
+)
+SELECT a.doc_id, a.wmin AS mmer,
+       CAST(a.j1 - 1 AS BIGINT) AS start_pos,
+       CAST(a.j2 - 1 + {w} AS BIGINT) AS end_pos
+FROM agg a
+LEFT JOIN valid p ON p.doc_id = a.doc_id AND p.j = a.j1 - 1
+WHERE NOT (a.cnt = 1 AND a.j2 = a.n_tok - {w} + 1 AND p.j IS NOT NULL)"""
+
+
+def m2s_index_counts_sql(path: str, w: int, m: int) -> str:
+    return f"""WITH runs AS ({minimisers_sql(path, w, m)})
+SELECT mmer, count(*) AS n_entries, count(DISTINCT doc_id) AS n_docs
+FROM runs GROUP BY mmer"""
+
+
+def whole_seq_minimiser_sql(path: str, m: int) -> str:
+    return f"""WITH {km_cte(path, m)}
+SELECT doc_id, CAST(min(kmer) AS BIGINT) AS mmer FROM km GROUP BY doc_id"""
+
+
+def cov_hist_sql(path: str, k: int, bin_size: int, bin_count: int) -> str:
+    """Unnormalized coverage histogram (nonzero bins) against the
+    global dictionary built from the same corpus."""
+    return f"""WITH {km_cte(path, k)},
+dict AS (SELECT kmer, count(*) AS cnt FROM km GROUP BY kmer)
+SELECT km.doc_id,
+       least(d.cnt // {bin_size}, {bin_count - 1}) AS bin,
+       count(*) AS val
+FROM km JOIN dict d ON d.kmer = km.kmer
+GROUP BY km.doc_id, bin"""
+
+
+def asof_snapshots_sql(path: str, k: int) -> str:
+    return f"""WITH {km_cte(path, k, ", source, ts")},
+daily AS (
+  SELECT source, kmer, (epoch_us(ts) - {TS_BASE_US}) // {DAY_US} AS day,
+         count(*) AS cnt
+  FROM km GROUP BY 1, 2, 3
+)
+SELECT source, kmer, day,
+       CAST(sum(cnt) OVER (PARTITION BY source, kmer ORDER BY day) AS BIGINT)
+         AS cum_cnt
+FROM daily"""
+
+
+def asof_cov_hist_sql(path: str, k: int, bin_size: int,
+                      bin_count: int) -> str:
+    """Point-in-time coverage histogram: every k-mer occurrence looks up
+    the newest per-source snapshot with close <= row ts (ASOF join);
+    missing/never-seen -> 0."""
+    return f"""WITH {km_cte(path, k, ", source, ts")},
+daily AS (
+  SELECT source, kmer, (epoch_us(ts) - {TS_BASE_US}) // {DAY_US} AS day,
+         count(*) AS cnt
+  FROM km GROUP BY 1, 2, 3
+),
+snap AS (
+  SELECT source, kmer, day,
+         CAST(sum(cnt) OVER (PARTITION BY source, kmer ORDER BY day)
+              AS BIGINT) AS cum_cnt
+  FROM daily
+),
+occ AS (
+  SELECT doc_id, source, kmer,
+         (epoch_us(ts) - {TS_BASE_US}) // {DAY_US} - 1 AS eff
+  FROM km
+),
+lookup AS (
+  SELECT o.doc_id, coalesce(s.cum_cnt, 0) AS cnt
+  FROM occ o ASOF LEFT JOIN snap s
+    ON o.source = s.source AND o.kmer = s.kmer AND s.day <= o.eff
+)
+SELECT doc_id, least(cnt // {bin_size}, {bin_count - 1}) AS bin,
+       count(*) AS val
+FROM lookup GROUP BY doc_id, bin"""
+
+
+def lag_lead_sql(path: str) -> str:
+    return f"""SELECT doc_id,
+  CAST(coalesce(lag(n_tok)  OVER w, -1) AS BIGINT) AS prev_n_tok,
+  CAST(coalesce(lead(n_tok) OVER w, -1) AS BIGINT) AS next_n_tok
+FROM {_seq(path)}
+WINDOW w AS (PARTITION BY source ORDER BY ts, doc_id)"""
+
+
+def sessionize_sql(path: str, gap_us: int) -> str:
+    return f"""WITH g AS (
+  SELECT doc_id, source, ts,
+    CASE WHEN lag(ts) OVER w IS NULL
+           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > {gap_us}
+         THEN 1 ELSE 0 END AS brk
+  FROM {_seq(path)}
+  WINDOW w AS (PARTITION BY source ORDER BY ts, doc_id)
+)
+SELECT doc_id,
+       CAST(sum(brk) OVER (PARTITION BY source ORDER BY ts, doc_id) AS BIGINT)
+         AS session_seq
+FROM g"""

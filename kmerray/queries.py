@@ -1,0 +1,238 @@
+"""Driver-facing query registry: one callable per implemented pipeline
+(SURVEY.md §2), each returning a Dataset whose schema matches the
+DuckDB oracle in ``kmerray.oracle`` column-for-column.
+
+No ``ray.init`` here — the driver owns the session."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+
+from .core.encoding import canonical_flat_kmers
+from .core.oligo import cfv_batch
+from .pipelines.arrow_util import list_column_to_numpy
+from .pipelines.asof import (asof_coverage_pipeline, lag_lead_pipeline,
+                             load_snapshot_index, sessionize_pipeline,
+                             snapshot_counts)
+from .pipelines.comp import read_sequences
+from .pipelines.counter import count_kmers
+from .pipelines.cov import coverage_pipeline
+from .pipelines.minpipe import minimisers_exploded
+
+# fixed parameters shared by queries() and oracle_sql()
+K_PER_DOC = 4
+K_GLOBAL = 8
+K_COV = 8
+COV_BINS = (4, 6)          # bin_size, bin_count
+K_ASOF = 8
+ASOF_BINS = (2, 4)
+MIN_W, MIN_M = 8, 5
+WHOLE_M = 10
+SESSION_GAP_US = 30 * 60 * 1_000_000
+
+
+def _seq(sf_dir: str, columns=None):
+    return read_sequences(sf_dir, columns=columns)
+
+
+def q_kmer_counts_per_doc(sf_dir: str, k: int = K_PER_DOC):
+    ds = _seq(sf_dir, ["doc_id", "tokens"])
+
+    def per_doc(batch: pa.Table) -> pa.Table:
+        values, offsets = list_column_to_numpy(batch.column("tokens"))
+        canon, row = canonical_flat_kmers(values, offsets, k)
+        key = (row.astype(np.uint64) << np.uint64(32)) | canon
+        uk, cnt = np.unique(key, return_counts=True)
+        urow = (uk >> np.uint64(32)).astype(np.int64)
+        ukmer = (uk & np.uint64(0xFFFFFFFF)).astype(np.int64)
+        return pa.table({
+            "doc_id": batch.column("doc_id").take(pa.array(urow)),
+            "kmer": pa.array(ukmer),
+            "cnt": pa.array(cnt.astype(np.int64)),
+        })
+    return ds.map_batches(per_doc, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
+def q_global_counts(sf_dir: str, k: int = K_GLOBAL):
+    ds = _seq(sf_dir, ["doc_id", "tokens"])
+    counts = count_kmers(ds, k)
+
+    def cast(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "kmer": batch.column("kmer").cast(pa.int64()),
+            "cnt": batch.column("cnt").cast(pa.int64()),
+        })
+    return counts.map_batches(cast, batch_format="pyarrow")
+
+
+def q_cfv_norm(sf_dir: str, k: int = K_PER_DOC):
+    ds = _seq(sf_dir, ["doc_id", "tokens"])
+
+    def nonzero(batch: pa.Table) -> pa.Table:
+        values, offsets = list_column_to_numpy(batch.column("tokens"))
+        mat = cfv_batch(values, offsets, k, canonical=True, norm=True)
+        rows, cols = np.nonzero(mat)
+        return pa.table({
+            "doc_id": batch.column("doc_id").take(pa.array(rows)),
+            "col": pa.array(cols.astype(np.int64)),
+            "freq": pa.array(mat[rows, cols]),
+        })
+    return ds.map_batches(nonzero, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
+def _exploded_minimisers(sf_dir: str, w: int, m: int):
+    ds = _seq(sf_dir, ["doc_id", "tokens", "n_tok"])
+    ex = minimisers_exploded(ds, w, m)
+
+    def cast(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "mmer": batch.column("mmer").cast(pa.int64()),
+            "start_pos": batch.column("start").cast(pa.int64()),
+            "end_pos": batch.column("end").cast(pa.int64()),
+        })
+    return ex.map_batches(cast, batch_format="pyarrow")
+
+
+def q_minimisers(sf_dir: str, w: int = MIN_W, m: int = MIN_M):
+    return _exploded_minimisers(sf_dir, w, m)
+
+
+def q_m2s_index_counts(sf_dir: str, w: int = MIN_W, m: int = MIN_M):
+    ex = _exploded_minimisers(sf_dir, w, m)
+
+    def agg(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"mmer": [g["mmer"].iloc[0]],
+                             "n_entries": [np.int64(len(g))],
+                             "n_docs": [np.int64(g["doc_id"].nunique())]})
+    return ex.groupby("mmer").map_groups(agg, batch_format="pandas")
+
+
+def q_whole_seq_minimiser(sf_dir: str, m: int = WHOLE_M):
+    ds = _seq(sf_dir, ["doc_id", "tokens"])
+    ex = minimisers_exploded(ds, 0, m)
+
+    def cast(batch: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": batch.column("doc_id"),
+                         "mmer": batch.column("mmer").cast(pa.int64())})
+    return ex.map_batches(cast, batch_format="pyarrow")
+
+
+def _explode_nonzero_fixedlist(col: str):
+    def explode(batch: pa.Table) -> pa.Table:
+        arr = batch.column(col).combine_chunks()
+        width = arr.type.list_size
+        mat = arr.flatten().to_numpy().reshape(batch.num_rows, width)
+        rows, bins = np.nonzero(mat)
+        return pa.table({
+            "doc_id": batch.column("doc_id").take(pa.array(rows)),
+            "bin": pa.array(bins.astype(np.int64)),
+            "val": pa.array(mat[rows, bins].astype(np.int64)),
+        })
+    return explode
+
+
+def q_cov_hist(sf_dir: str, k: int = K_COV, bins=COV_BINS):
+    bin_size, bin_count = bins
+    ds = _seq(sf_dir, ["doc_id", "tokens"])
+    # build the dictionary once, broadcast via ray.put
+    ct = count_kmers(ds, k).to_pandas()
+    kmers = ct["kmer"].to_numpy().astype(np.uint64)
+    cnts = ct["cnt"].to_numpy().astype(np.int64)
+    order = np.argsort(kmers)
+    ref = ray.put((kmers[order], cnts[order]))
+    scored = coverage_pipeline(ds, ref, k, bin_size, bin_count, norm=False,
+                               concurrency=2)
+    return scored.map_batches(_explode_nonzero_fixedlist("coverage"),
+                              batch_format="pyarrow")
+
+
+def q_asof_snapshots(sf_dir: str, k: int = K_ASOF):
+    ds = _seq(sf_dir, ["doc_id", "tokens", "source", "ts"])
+    snap = snapshot_counts(ds, k)
+
+    def cast(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "source": batch.column("source"),
+            "kmer": batch.column("kmer").cast(pa.int64()),
+            "day": batch.column("day").cast(pa.int64()),
+            "cum_cnt": batch.column("cum_cnt").cast(pa.int64()),
+        })
+    return snap.map_batches(cast, batch_format="pyarrow")
+
+
+def q_asof_cov_hist(sf_dir: str, k: int = K_ASOF, bins=ASOF_BINS):
+    bin_size, bin_count = bins
+    ds = _seq(sf_dir, ["doc_id", "tokens", "source", "ts"])
+    snap_df = snapshot_counts(ds, k).to_pandas()
+    index = load_snapshot_index(pa.Table.from_pandas(snap_df))
+    ref = ray.put(index)
+    scored = asof_coverage_pipeline(ds, ref, k, bin_size, bin_count,
+                                    norm=False, concurrency=2)
+    return scored.map_batches(_explode_nonzero_fixedlist("asof_coverage"),
+                              batch_format="pyarrow")
+
+
+def q_lag_lead(sf_dir: str):
+    ds = _seq(sf_dir, ["doc_id", "source", "ts", "n_tok"])
+    out = lag_lead_pipeline(ds)
+
+    def cast(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "doc_id": batch["doc_id"],
+            "prev_n_tok": batch["prev_n_tok"].fillna(-1).astype(np.int64),
+            "next_n_tok": batch["next_n_tok"].fillna(-1).astype(np.int64),
+        })
+    return out.map_batches(cast, batch_format="pandas")
+
+
+def q_sessionize(sf_dir: str, gap_us: int = SESSION_GAP_US):
+    ds = _seq(sf_dir, ["doc_id", "source", "ts"])
+    out = sessionize_pipeline(ds, gap_us=gap_us)
+
+    def cast(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"doc_id": batch["doc_id"],
+                             "session_seq": batch["session_seq"]
+                             .astype(np.int64)})
+    return out.map_batches(cast, batch_format="pandas")
+
+
+def registry() -> dict:
+    return {
+        "kmer_counts_per_doc": q_kmer_counts_per_doc,
+        "ctr_global_counts": q_global_counts,
+        "cfv_norm": q_cfv_norm,
+        "minimisers_s2m": q_minimisers,
+        "m2s_index_counts": q_m2s_index_counts,
+        "whole_seq_minimiser": q_whole_seq_minimiser,
+        "cov_hist": q_cov_hist,
+        "asof_snapshots": q_asof_snapshots,
+        "asof_cov_hist": q_asof_cov_hist,
+        "lag_lead": q_lag_lead,
+        "sessionize": q_sessionize,
+    }
+
+
+def oracle_registry(sf_dir: str = "/root/testdata/sf0.01") -> dict:
+    from . import oracle
+    from .sources.synth import ensure_sequences
+    path = ensure_sequences(sf_dir)
+    return {
+        "kmer_counts_per_doc": oracle.kmer_counts_per_doc_sql(path, K_PER_DOC),
+        "ctr_global_counts": oracle.global_counts_sql(path, K_GLOBAL),
+        "cfv_norm": oracle.cfv_norm_sql(path, K_PER_DOC),
+        "minimisers_s2m": oracle.minimisers_sql(path, MIN_W, MIN_M),
+        "m2s_index_counts": oracle.m2s_index_counts_sql(path, MIN_W, MIN_M),
+        "whole_seq_minimiser": oracle.whole_seq_minimiser_sql(path, WHOLE_M),
+        "cov_hist": oracle.cov_hist_sql(path, K_COV, *COV_BINS),
+        "asof_snapshots": oracle.asof_snapshots_sql(path, K_ASOF),
+        "asof_cov_hist": oracle.asof_cov_hist_sql(path, K_ASOF, *ASOF_BINS),
+        "lag_lead": oracle.lag_lead_sql(path),
+        "sessionize": oracle.sessionize_sql(path, SESSION_GAP_US),
+    }
