@@ -1,0 +1,150 @@
+"""Benchmark harness: headline CFV-extraction throughput plus the other
+pipelines, over a bench-scale synthesized sequences corpus derived from
+$GRAFT_SF_DIR (default /root/testdata/sf0.1).
+
+Prints ONE JSON line:
+  {"metric": "cfv_extraction_sec", "value": <sec>, "unit": "sec",
+   "queries": {...}, "sf": ..., "num_cpus": N, ...}
+
+``--scaling``: runs the headline pipeline in two fresh processes
+(num_cpus=8 and 32) on the same input and reports throughput at both
+plus efficiency = T32/(4*T8)  (two-cluster-size rule evidence).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+# bench corpus: big enough that compute dominates scheduling overhead
+BENCH_DOCS = int(os.environ.get("KMERRAY_BENCH_DOCS", "200000"))
+BENCH_LEN = int(os.environ.get("KMERRAY_BENCH_LEN", "1024"))
+
+
+def bench_input():
+    from kmerray.sources.synth import ensure_sequences, scale_of
+    sf = scale_of(SF_DIR)
+    n_docs = max(20_000, int(BENCH_DOCS * sf / 0.1))
+    return ensure_sequences(SF_DIR, n_docs=n_docs, mean_len=BENCH_LEN,
+                            tag=f"bench-{os.path.basename(SF_DIR)}"), n_docs, sf
+
+
+def run_bench() -> dict:
+    import ray
+    from ray.data import DataContext
+
+    path, n_docs, sf = bench_input()
+
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    from kmerray.pipelines.asof import (asof_coverage_pipeline,
+                                        load_snapshot_index, snapshot_counts)
+    from kmerray.pipelines.comp import cfv_pipeline, read_sequences
+    from kmerray.pipelines.counter import count_kmers
+    from kmerray.pipelines.cov import coverage_pipeline
+    from kmerray.pipelines.minpipe import minimisers_exploded
+
+    import numpy as np
+    import pyarrow as pa
+
+    # warm the page cache (untimed)
+    total_tokens = read_sequences(path).sum("n_tok")
+
+    queries = {}
+
+    def timed(name, fn):
+        t0 = time.time()
+        out = fn()
+        dt = time.time() - t0
+        queries[name] = round(dt, 3)
+        return out, dt
+
+    # headline: CFV extraction k=4 canonical normalized
+    _, cfv_sec = timed("cfv", lambda: cfv_pipeline(
+        read_sequences(path), k=4).count())
+
+    # global k-mer counting (the wide shuffle)
+    timed("ctr_k15", lambda: count_kmers(read_sequences(path), 15)
+          .count())
+
+    # minimizers (31, 7) exploded
+    timed("min_31_7", lambda: minimisers_exploded(
+        read_sequences(path), 31, 7).count())
+
+    # coverage: dict build + actor-pool scoring
+    def cov_run():
+        ds = read_sequences(path)
+        ct = count_kmers(ds, 15).to_pandas()
+        kmers = ct["kmer"].to_numpy().astype(np.uint64)
+        cnts = ct["cnt"].to_numpy().astype(np.int64)
+        order = np.argsort(kmers)
+        ref = ray.put((kmers[order], cnts[order]))
+        return coverage_pipeline(ds, ref, 15, 4, 8, norm=True,
+                                 concurrency=max(2, NUM_CPUS // 2)).count()
+    timed("cov_k15", cov_run)
+
+    # as-of: snapshot build + point-in-time scoring
+    def asof_run():
+        ds = read_sequences(path)
+        snap = snapshot_counts(ds, 8).to_pandas()
+        ref = ray.put(load_snapshot_index(pa.Table.from_pandas(snap)))
+        return asof_coverage_pipeline(ds, ref, 8, 2, 4,
+                                      concurrency=max(2, NUM_CPUS // 2)
+                                      ).count()
+    timed("asof_k8", asof_run)
+
+    ray.shutdown()
+
+    return {
+        "metric": "cfv_extraction_sec",
+        "value": round(cfv_sec, 3),
+        "unit": "sec",
+        "queries": queries,
+        "sf": sf,
+        "num_cpus": NUM_CPUS,
+        "n_docs": n_docs,
+        "total_tokens": int(total_tokens),
+        "seqs_per_sec": round(n_docs / cfv_sec, 1),
+        "tokens_per_sec": round(total_tokens / cfv_sec, 1),
+    }
+
+
+def run_scaling():
+    def child(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                             env=env, capture_output=True, text=True,
+                             check=True).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = 8, 32
+    r_lo, r_hi = child(lo), child(hi)
+    t_lo, t_hi = r_lo["value"], r_hi["value"]
+    eff = (t_lo / t_hi) / (hi / lo)
+    print(json.dumps({
+        "metric": "scaling_efficiency",
+        "value": round(eff, 3),
+        "unit": "ratio",
+        "sec_8": t_lo, "sec_32": t_hi,
+        "tokens_per_sec_8": r_lo["tokens_per_sec"],
+        "tokens_per_sec_32": r_hi["tokens_per_sec"],
+        "queries_8": r_lo["queries"], "queries_32": r_hi["queries"],
+        "sf": r_lo["sf"],
+    }))
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        run_scaling()
+    else:
+        print(json.dumps(run_bench()))

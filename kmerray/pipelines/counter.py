@@ -20,13 +20,14 @@ import numpy as np
 import pyarrow as pa
 
 import ray.data
-from ray.data.aggregate import Sum
+import pandas as pd
 
 from ..core.encoding import canonical_flat_kmers, flat_kmers, numeric_to_kmer
 from .arrow_util import list_column_to_numpy
 
 
-def make_partial_counts_fn(k: int, canonical: bool = True):
+def make_partial_counts_fn(k: int, canonical: bool = True,
+                           n_buckets: int = 64):
     def partial(batch: pa.Table) -> pa.Table:
         values, offsets = list_column_to_numpy(batch.column("tokens"))
         if canonical:
@@ -34,18 +35,34 @@ def make_partial_counts_fn(k: int, canonical: bool = True):
         else:
             kmers, _, _ = flat_kmers(values, offsets, k)
         uniq, counts = np.unique(kmers, return_counts=True)
-        return pa.table({"kmer": pa.array(uniq, pa.uint64()),
+        return pa.table({"bucket": pa.array((uniq % np.uint64(n_buckets))
+                                            .astype(np.int64)),
+                         "kmer": pa.array(uniq, pa.uint64()),
                          "cnt": pa.array(counts, pa.int64())})
     return partial
 
 
+def _merge_bucket(g: pd.DataFrame) -> pd.DataFrame:
+    out = g.groupby("kmer", as_index=False, sort=False)["cnt"].sum()
+    return out
+
+
 def count_kmers(ds: "ray.data.Dataset", k: int, canonical: bool = True,
-                batch_size: int = 4096) -> "ray.data.Dataset":
-    """Global counts dataset ``(kmer: uint64, cnt: int64)``."""
-    partial = ds.map_batches(make_partial_counts_fn(k, canonical),
+                batch_size: int = 4096,
+                n_buckets: int = 64) -> "ray.data.Dataset":
+    """Global counts dataset ``(kmer: uint64, cnt: int64)``.
+
+    Final merge is hash-bucketed: shuffling by the raw key would create
+    one Ray group per distinct k-mer (per-group overhead dominates at
+    ~4^k groups); instead we shuffle by ``kmer % n_buckets`` — the
+    reference's key-space partitioning
+    (/root/reference/counter/src/lib.rs:127) as a shuffle key — and
+    merge each bucket with one vectorized pandas groupby-sum."""
+    partial = ds.map_batches(make_partial_counts_fn(k, canonical, n_buckets),
                              batch_format="pyarrow", zero_copy_batch=True,
                              batch_size=batch_size)
-    return partial.groupby("kmer").aggregate(Sum("cnt", alias_name="cnt"))
+    return partial.groupby("bucket").map_groups(_merge_bucket,
+                                                batch_format="pandas")
 
 
 def add_acgt_column(counts_ds: "ray.data.Dataset", k: int

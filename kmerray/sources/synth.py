@@ -107,7 +107,8 @@ def generate_sequences(n_docs: int, seed: int = SEED,
 
 
 def ensure_sequences(sf_dir: str, n_docs: int | None = None,
-                     mean_len: int = 160, tag: str | None = None) -> str:
+                     mean_len: int = 160, tag: str | None = None,
+                     n_files: int | None = None) -> str:
     """Generate-or-reuse the cached corpus for a scale; returns the
     directory of Parquet shards (glob ``<dir>/*.parquet``)."""
     if n_docs is None:
@@ -124,7 +125,8 @@ def ensure_sequences(sf_dir: str, n_docs: int | None = None,
     os.makedirs(tmp_dir, exist_ok=True)
     table = generate_sequences(n_docs, mean_len=mean_len)
     # shard so Ray's read parallelizes across files
-    n_files = max(1, min(32, n_docs // 12_500))
+    if n_files is None:
+        n_files = max(1, min(32, n_docs // 12_500))
     step = (table.num_rows + n_files - 1) // n_files
     for i in range(n_files):
         part = table.slice(i * step, step)

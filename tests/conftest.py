@@ -25,4 +25,4 @@ def tiny_corpus_dir(tmp_path_factory):
     from kmerray.sources.synth import ensure_sequences
     root = str(tmp_path_factory.mktemp("seqdata"))
     os.environ.setdefault("KMERRAY_TEST_CACHE", root)
-    return ensure_sequences("sf-test", n_docs=1000, tag="pytest-tiny")
+    return ensure_sequences("sf-test", n_docs=1000, tag="pytest-tiny2", n_files=4)
