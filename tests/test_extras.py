@@ -1,0 +1,197 @@
+"""Training-data-pipeline extras: dedup (exact / minhash-LSH / simhash
+/ n-gram Jaccard), similarity search (brute force + LSH recall),
+text analysis, multimodal plumbing."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+import ray
+
+from kmerray.extras.dedup import (exact_dedup_survivors,
+                                  minhash_lsh_candidates,
+                                  ngram_jaccard_pairs,
+                                  simhash_near_dup_pairs)
+from kmerray.extras.multimodal import (DecodeStage, media_features_pipeline,
+                                       synth_media_table)
+from kmerray.extras.similarity import (brute_force_topk, cosine_near_dup_pairs,
+                                       lsh_topk, _normalize)
+from kmerray.extras.text import (doc_stats_pipeline, fingerprint_pipeline,
+                                 lang_id_pipeline, quality_pipeline)
+
+VOCAB = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+         "lambda mu nu xi omicron pi rho sigma tau upsilon").split()
+
+
+@pytest.fixture(scope="module")
+def docs_with_dups():
+    rng = np.random.default_rng(5)
+    texts, ids = [], []
+    for i in range(60):
+        words = rng.choice(VOCAB, size=rng.integers(20, 40)).tolist()
+        texts.append(" ".join(words))
+        ids.append(i * 10)
+    # planted exact duplicates
+    texts.append(texts[0])
+    ids.append(601)
+    texts.append(texts[1])
+    ids.append(602)
+    # planted near-duplicate: one word changed
+    w = texts[2].split(" ")
+    w[5] = "CHANGED"
+    texts.append(" ".join(w))
+    ids.append(603)
+    return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                     "text": pa.array(texts)})
+
+
+def test_exact_dedup(ray_session, docs_with_dups):
+    ds = ray.data.from_arrow(docs_with_dups)
+    out = exact_dedup_survivors(ds).to_pandas()
+    kept = set(out["doc_id"])
+    assert len(kept) == 61             # 63 rows, 2 exact dups removed
+    assert 0 in kept and 10 in kept    # originals survive (min doc_id)
+    assert 601 not in kept and 602 not in kept
+    assert 603 in kept                 # near-dup is NOT an exact dup
+
+
+def test_minhash_lsh_finds_planted_dups(ray_session, docs_with_dups):
+    ds = ray.data.from_arrow(docs_with_dups)
+    pairs = minhash_lsh_candidates(ds, n=3, num_perm=64,
+                                   bands=16).to_pandas()
+    got = {tuple(sorted((a, b))) for a, b in zip(pairs["a"], pairs["b"])}
+    assert (0, 601) in got
+    assert (10, 602) in got
+    assert (20, 603) in got            # near-dup shares most shingles
+    # candidates are a small fraction of all ~2k pairs
+    assert len(got) < 200
+
+
+def test_simhash_near_dups(ray_session, docs_with_dups):
+    ds = ray.data.from_arrow(docs_with_dups)
+    pairs = simhash_near_dup_pairs(ds, max_hamming=3).to_pandas()
+    got = {tuple(sorted((a, b))) for a, b in zip(pairs["a"], pairs["b"])}
+    assert (0, 601) in got and (10, 602) in got
+    for a, b in got:
+        assert a != b
+
+
+def test_ngram_jaccard_pairs(ray_session, docs_with_dups):
+    ds = ray.data.from_arrow(docs_with_dups)
+    pairs = ngram_jaccard_pairs(ds, n=3, threshold=0.5).to_pandas()
+    got = {tuple(sorted((a, b))): j for a, b, j in
+           zip(pairs["a"], pairs["b"], pairs["jaccard"])}
+    assert got[(0, 601)] == 1.0
+    assert got[(10, 602)] == 1.0
+    assert 0.5 <= got[(20, 603)] < 1.0
+
+
+@pytest.fixture(scope="module")
+def emb_table():
+    rng = np.random.default_rng(11)
+    n, dim = 300, 32
+    m = rng.standard_normal((n, dim)).astype(np.float32)
+    # plant a near-duplicate of vector 0
+    m[7] = m[0] + 0.01 * rng.standard_normal(dim).astype(np.float32)
+    return pa.table({
+        "vec_id": pa.array(np.arange(n), pa.int64()),
+        "embedding": pa.FixedSizeListArray.from_arrays(
+            pa.array(m.ravel(), pa.float32()), dim).cast(
+                pa.list_(pa.float32())),
+    })
+
+
+def brute_oracle(emb_table, qids, k=10):
+    col = emb_table.column("embedding").combine_chunks()
+    m = np.asarray(col.to_pylist(), dtype=np.float64)
+    mn = _normalize(m)
+    out = {}
+    for q in qids:
+        s = mn @ mn[q]
+        order = np.lexsort((np.arange(len(s)), -s))
+        out[q] = list(order[:k])
+    return out
+
+
+def test_brute_force_topk(ray_session, emb_table):
+    ds = ray.data.from_arrow(emb_table)
+    qids = np.array([0, 1, 2])
+    qmat = np.asarray(
+        emb_table.column("embedding").combine_chunks().to_pylist()
+    )[:3].astype(np.float64)
+    got = brute_force_topk(ds, qids, qmat, k=10).to_pandas()
+    oracle = brute_oracle(emb_table, [0, 1, 2])
+    for q in [0, 1, 2]:
+        mine = got[got["qid"] == q]["vec_id"].tolist()
+        assert set(mine) == set(oracle[q])
+    # the planted near-dup must rank in vector 0's top-k
+    assert 7 in got[got["qid"] == 0]["vec_id"].tolist()
+
+
+def test_lsh_topk_recall(ray_session, emb_table):
+    ds = ray.data.from_arrow(emb_table)
+    qids = np.arange(10)
+    qmat = np.asarray(
+        emb_table.column("embedding").combine_chunks().to_pylist()
+    )[:10].astype(np.float64)
+    approx = lsh_topk(ds, qids, qmat, k=10, n_bits=6,
+                      probe_hamming=2).to_pandas()
+    oracle = brute_oracle(emb_table, list(range(10)))
+    recalls = []
+    for q in range(10):
+        mine = set(approx[approx["qid"] == q]["vec_id"].tolist())
+        recalls.append(len(mine & set(oracle[q])) / 10)
+    assert np.mean(recalls) >= 0.5    # pruned search keeps decent recall
+    # the self-match must always be found (same bucket by definition)
+    for q in range(10):
+        assert q in set(approx[approx["qid"] == q]["vec_id"].tolist())
+
+
+def test_cosine_near_dup(ray_session, emb_table, tmp_path):
+    import pyarrow.parquet as pq
+    path = str(tmp_path / "emb.parquet")
+    pq.write_table(emb_table, path)
+    ds = ray.data.read_parquet(path)
+    pairs = cosine_near_dup_pairs(ds, path, threshold=0.95).to_pandas()
+    got = {tuple(sorted((a, b))) for a, b in zip(pairs["a"], pairs["b"])}
+    assert (0, 7) in got
+
+
+def test_text_stages(ray_session, docs_with_dups):
+    ds = ray.data.from_arrow(docs_with_dups)
+    stats = doc_stats_pipeline(ds).to_pandas().set_index("doc_id")
+    texts = {d: t for d, t in zip(docs_with_dups["doc_id"].to_pylist(),
+                                  docs_with_dups["text"].to_pylist())}
+    for d, t in list(texts.items())[:10]:
+        assert stats.loc[d, "n_words"] == len(t.split(" "))
+        assert stats.loc[d, "n_chars"] == len(t)
+    q = quality_pipeline(ds).to_pandas()
+    assert ((q["quality"] >= 0) & (q["quality"] <= 1)).all()
+    lang = lang_id_pipeline(ds).to_pandas()
+    assert set(lang.columns) == {"doc_id", "lang_guess"}
+    fp = fingerprint_pipeline(ds).to_pandas().set_index("doc_id")
+    assert fp.loc[0, "fingerprint"] == fp.loc[601, "fingerprint"]
+    assert fp.loc[0, "fingerprint"] != fp.loc[10, "fingerprint"]
+
+
+def test_multimodal_plumbing(ray_session):
+    t = synth_media_table(100)
+    ds = ray.data.from_arrow(t)
+    out = media_features_pipeline(ds, concurrency=2,
+                                  batch_size=16).take_all()
+    assert len(out) == 100
+    for r in out[:5]:
+        f = np.asarray(r["features"])
+        assert len(f) == 18
+        assert abs(f[:16].sum() - 1.0) < 1e-9      # histogram sums to 1
+        assert f[16] >= 0                           # entropy
+    # determinism
+    out2 = media_features_pipeline(ray.data.from_arrow(t), concurrency=1,
+                                   batch_size=32).take_all()
+    a = {r["item_id"]: tuple(r["features"]) for r in out}
+    b = {r["item_id"]: tuple(r["features"]) for r in out2}
+    assert a == b
+    # real decode is gated behind a clearly-marked stub
+    with pytest.raises(NotImplementedError):
+        DecodeStage(fake=False)
