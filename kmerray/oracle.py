@@ -206,3 +206,72 @@ SELECT doc_id,
        CAST(sum(brk) OVER (PARTITION BY source ORDER BY ts, doc_id) AS BIGINT)
          AS session_seq
 FROM g"""
+
+
+# ---------------------------------------------------------------------------
+# training-data extras over the driver's documents / embeddings views
+# ---------------------------------------------------------------------------
+
+STOPLIST_SQL = "('the','and','of','a','to','in','is','it')"
+
+
+def doc_stats_sql() -> str:
+    return f"""SELECT doc_id,
+  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+  CAST(length(text) AS BIGINT) AS n_chars,
+  CAST(len(list_filter(string_split(text, ' '),
+       w -> w IN {STOPLIST_SQL})) AS BIGINT) AS stop_cnt
+FROM documents"""
+
+
+def dedup_exact_sql() -> str:
+    return "SELECT min(doc_id) AS doc_id FROM documents GROUP BY text"
+
+
+def ngram_dupes_sql(n: int = 3, threshold: float = 0.08) -> str:
+    gram = " || ' ' || ".join(f"w[i+{j}]" for j in range(n))
+    return f"""WITH words AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+),
+grams AS (
+  SELECT DISTINCT doc_id, {gram} AS gram
+  FROM words,
+       LATERAL (SELECT unnest(generate_series(1, len(w) - {n - 1})) AS i) g
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS i
+  FROM grams a JOIN grams b ON a.gram = b.gram AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT i.a, i.b FROM inter i
+JOIN sizes sa ON sa.doc_id = i.a
+JOIN sizes sb ON sb.doc_id = i.b
+WHERE CAST(i.i AS DOUBLE) / (sa.n + sb.n - i.i) >= {threshold}"""
+
+
+def ann_topk_sql(n_queries: int = 5, k: int = 10) -> str:
+    return f"""WITH q AS (
+  SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe
+  FROM embeddings WHERE vec_id < {n_queries}
+),
+s AS (
+  SELECT q.qid, e.vec_id,
+         list_cosine_similarity(q.qe, CAST(e.embedding AS DOUBLE[])) AS sc
+  FROM q, embeddings e
+),
+r AS (
+  SELECT qid, vec_id,
+         row_number() OVER (PARTITION BY qid ORDER BY sc DESC, vec_id) AS rn
+  FROM s
+)
+SELECT qid, vec_id FROM r WHERE rn <= {k}"""
+
+
+def emb_near_dup_sql(threshold: float = 0.4) -> str:
+    return f"""WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+)
+SELECT a.vec_id AS a, b.vec_id AS b
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.v, b.v) >= {threshold}"""

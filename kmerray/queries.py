@@ -216,6 +216,7 @@ def registry() -> dict:
         "asof_cov_hist": q_asof_cov_hist,
         "lag_lead": q_lag_lead,
         "sessionize": q_sessionize,
+        **extras_registry(),
     }
 
 
@@ -235,4 +236,99 @@ def oracle_registry(sf_dir: str = "/root/testdata/sf0.01") -> dict:
         "asof_cov_hist": oracle.asof_cov_hist_sql(path, K_ASOF, *ASOF_BINS),
         "lag_lead": oracle.lag_lead_sql(path),
         "sessionize": oracle.sessionize_sql(path, SESSION_GAP_US),
+        "doc_stats": oracle.doc_stats_sql(),
+        "dedup_exact": oracle.dedup_exact_sql(),
+        "ngram_dupes": oracle.ngram_dupes_sql(NGRAM_N, NGRAM_THRESHOLD),
+        "ann_topk": oracle.ann_topk_sql(ANN_QUERIES, ANN_K),
+        "emb_near_dup": oracle.emb_near_dup_sql(EMB_DUP_THRESHOLD),
+    }
+
+
+# ---------------------------------------------------------------------------
+# training-data extras (documents / embeddings tables)
+# ---------------------------------------------------------------------------
+
+NGRAM_N = 3
+NGRAM_THRESHOLD = 0.08
+ANN_QUERIES = 5
+ANN_K = 10
+EMB_DUP_THRESHOLD = 0.4
+
+
+def _docs(sf_dir: str):
+    return ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "text"])
+
+
+def q_doc_stats(sf_dir: str):
+    from .extras.text import doc_stats_pipeline
+
+    out = doc_stats_pipeline(_docs(sf_dir))
+
+    def cast(batch: pa.Table) -> pa.Table:
+        return batch.select(["doc_id", "n_words", "n_chars", "stop_cnt"])
+    return out.map_batches(cast, batch_format="pyarrow")
+
+
+def q_dedup_exact(sf_dir: str):
+    from .extras.dedup import exact_dedup_survivors
+    return exact_dedup_survivors(_docs(sf_dir))
+
+
+def q_ngram_dupes(sf_dir: str):
+    from .extras.dedup import ngram_jaccard_pairs
+    out = ngram_jaccard_pairs(_docs(sf_dir), n=NGRAM_N,
+                              threshold=NGRAM_THRESHOLD)
+
+    def cast(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"a": batch["a"].astype(np.int64),
+                             "b": batch["b"].astype(np.int64)})
+    return out.map_batches(cast, batch_format="pandas")
+
+
+def q_ann_topk(sf_dir: str):
+    from .extras.similarity import brute_force_topk, load_queries
+    path = f"{sf_dir}/embeddings.parquet"
+    qids, qmat = load_queries(path, ANN_QUERIES)
+    ds = ray.data.read_parquet(path)
+    return brute_force_topk(ds, qids, qmat, k=ANN_K)
+
+
+def q_emb_near_dup(sf_dir: str):
+    from .extras.similarity import cosine_near_dup_pairs
+    path = f"{sf_dir}/embeddings.parquet"
+    ds = ray.data.read_parquet(path)
+    return cosine_near_dup_pairs(ds, path, threshold=EMB_DUP_THRESHOLD)
+
+
+def q_minhash_candidates(sf_dir: str):
+    """Rows-only check (LSH banding is not SQL-expressible)."""
+    from .extras.dedup import minhash_lsh_candidates
+    return minhash_lsh_candidates(_docs(sf_dir), n=NGRAM_N)
+
+
+def q_simhash_pairs(sf_dir: str):
+    """Rows-only check."""
+    from .extras.dedup import simhash_near_dup_pairs
+    return simhash_near_dup_pairs(_docs(sf_dir), max_hamming=3)
+
+
+def q_media_features(sf_dir: str):
+    """Rows-only check: multimodal actor-pool plumbing over a
+    deterministic fake-binary corpus (decode libs absent — stubbed)."""
+    from .extras.multimodal import media_features_pipeline, synth_media_table
+    t = synth_media_table(500)
+    return media_features_pipeline(ray.data.from_arrow(t))
+
+
+def extras_registry() -> dict:
+    return {
+        "doc_stats": q_doc_stats,
+        "dedup_exact": q_dedup_exact,
+        "ngram_dupes": q_ngram_dupes,
+        "ann_topk": q_ann_topk,
+        "emb_near_dup": q_emb_near_dup,
+        "minhash_candidates": q_minhash_candidates,
+        "simhash_pairs": q_simhash_pairs,
+        "media_features": q_media_features,
     }
