@@ -1,0 +1,79 @@
+"""pykmertools-surface API + CLI smoke tests (reference conformance
+cases from /root/reference/tests/*.py)."""
+
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from kmerray.api import (CgrComputer, KmerGenerator, MinimiserGenerator,
+                         OligoCgrComputer, OligoComputer, to_acgt, to_numeric)
+
+
+def test_oligo_computer():
+    com = OligoComputer(4)
+    vec = com.vectorise_one("AAAANGAGA")
+    assert vec[0] == 0.5
+    hdr = com.get_header()
+    assert len(hdr) == 136 and hdr[0] == "AAAA"
+    raw = OligoComputer(4, canonical=False, norm=False)
+    assert len(raw.vectorise_one("AAAANGAGA")) == 256
+    batch = com.vectorise_batch(["ACGT", [0, 1, 2, 3]])
+    assert np.array_equal(batch[0], batch[1])   # str and tokens agree
+
+
+def test_cgr_computer():
+    cgr = CgrComputer(1)
+    pts = cgr.vectorise_one("atgatgaaatagagagactttat")
+    assert pts[0] == (0.25, 0.25)
+    assert len(pts) == 23
+
+
+def test_oligo_cgr_computer():
+    oc = OligoCgrComputer(4, 16)
+    res = oc.vectorise_one("aaaatgatgaaatagagagactttattaa")
+    assert res[0][0] == (0.5, 0.5)
+    assert res[0][1] == 1.0 / 26
+
+
+def test_kmer_generator():
+    assert list(KmerGenerator("ACGT", 2)) == [(1, 11), (6, 6), (11, 1)]
+    assert list(KmerGenerator([0, 1, 4, 2, 3, 3], 2)) == \
+        [(1, 11), (11, 1), (15, 0)]
+
+
+def test_minimiser_generator():
+    ms = list(MinimiserGenerator("ATGCGATATCGNTAGGCGTCGATGGA", 8, 5))
+    assert [(to_acgt(k, 5), s, e) for k, s, e in ms][0] == ("ATCGC", 0, 8)
+
+
+def test_utils():
+    assert to_acgt(111, 5) == "ACGTT"
+    assert to_numeric("ACGTT")[0] == 111
+
+
+def test_cli_comp_and_ctr(ray_session, tiny_corpus_dir, tmp_path):
+    import pyarrow.parquet as pq
+    import glob
+    out = str(tmp_path / "cli_cfv")
+    # run inside this session's Ray (module main guards ray.init)
+    from kmerray.__main__ import main
+    assert main(["comp", "-i", tiny_corpus_dir, "-o", out, "-k", "4"]) == 0
+    files = glob.glob(out + "/*.parquet")
+    assert files
+    t = pq.read_table(files)
+    assert t.num_rows == 1000
+    assert "cfv" in t.schema.names
+
+    out2 = str(tmp_path / "cli_ctr")
+    assert main(["ctr", "-i", tiny_corpus_dir, "-o", out2, "-k", "8",
+                 "--acgt"]) == 0
+    t2 = pq.read_table(glob.glob(out2 + "/*.parquet"))
+    assert set(t2.schema.names) >= {"kmer", "cnt", "acgt"}
+
+    out3 = str(tmp_path / "cli_resume")
+    assert main(["comp", "-i", tiny_corpus_dir, "-o", out3, "-k", "4",
+                 "--resume", "--partitions", "2"]) == 0
+    assert main(["comp", "-i", tiny_corpus_dir, "-o", out3, "-k", "4",
+                 "--resume", "--partitions", "2"]) == 0  # all skipped
