@@ -133,3 +133,28 @@ def to_acgt(kmer: int, ksize: int) -> str:
 def to_numeric(kmer: str) -> tuple[int, int]:
     """pykmertools.utils.to_numeric (/root/reference/pybindings/src/kmer.rs:58-65)."""
     return kmer_to_numeric(kmer)
+
+
+class KmerMinimiserGenerator:
+    """Iterator of (minimiser, start, end, canonical w-mers of the
+    run's windows) — the reference's vestigial M11
+    (/root/reference/kmer/src/kmer_minimisers.rs:42-206; the author
+    marks it 'TODO I cannot remember why I made this').  Provided for
+    surface completeness: per minimizer run, the canonical w-length
+    k-mers of each window in the span."""
+
+    def __init__(self, seq, wsize: int, msize: int):
+        t = _tok(seq)
+        off = np.array([0, len(t)], dtype=np.int64)
+        _, self._m, self._s, self._e = minimisers_batch(t, off, wsize, msize)
+        f, r, _, pos = flat_kmers(t, off, wsize, return_pos=True)
+        self._wmers = dict(zip(pos.tolist(),
+                               np.minimum(f, r).tolist()))
+        self._w = wsize
+
+    def __iter__(self):
+        for m, s, e in zip(self._m.tolist(), self._s.tolist(),
+                           self._e.tolist()):
+            kmers = [self._wmers[p] for p in range(s, e - self._w + 1)
+                     if p in self._wmers]
+            yield m, s, e, kmers

@@ -121,3 +121,13 @@ def oligo_cgr_pipeline(ds: "ray.data.Dataset", k: int = 4,
     return ds.map_batches(make_oligo_cgr_fn(k, vecsize, norm),
                           batch_format="pyarrow", zero_copy_batch=True,
                           batch_size=batch_size)
+
+
+def seq_stats(ds: "ray.data.Dataset") -> dict:
+    """S4 pre-pass stats (/root/reference/ktio/src/seq.rs:69-95) — the
+    reference needs a full extra pass to pre-size its mmap output; here
+    it is one metadata-cheap aggregate, and no pipeline requires it."""
+    import pyarrow.compute  # noqa: F401
+    n = ds.count()
+    total = ds.sum("n_tok") if n else 0
+    return {"seq_count": n, "total_length": int(total)}
