@@ -29,11 +29,16 @@ BENCH_LEN = int(os.environ.get("KMERRAY_BENCH_LEN", "1024"))
 
 
 def bench_input():
-    from kmerray.sources.synth import ensure_sequences, scale_of
+    """Realistic read corpus (per-source genomes -> k-mer duplication
+    with coverage, the `ctr`/`cov` workload shape) scaled by sf."""
+    from kmerray.sources.synth import ensure_read_corpus, scale_of
     sf = scale_of(SF_DIR)
     n_docs = max(20_000, int(BENCH_DOCS * sf / 0.1))
-    return ensure_sequences(SF_DIR, n_docs=n_docs, mean_len=BENCH_LEN,
-                            tag=f"bench-{os.path.basename(SF_DIR)}"), n_docs, sf
+    genome = max(200_000, int(6_000_000 * sf / 0.1))
+    path = ensure_read_corpus(f"bench-{os.path.basename(SF_DIR)}",
+                              n_docs=n_docs, mean_len=BENCH_LEN,
+                              genome_tokens=genome)
+    return path, n_docs, sf
 
 
 def run_bench() -> dict:
@@ -57,8 +62,12 @@ def run_bench() -> dict:
     import numpy as np
     import pyarrow as pa
 
-    # warm the page cache (untimed)
+    # warm the page cache AND worker processes (untimed): a tiny run of
+    # the pipeline imports the kernel modules in every Ray worker so the
+    # timed runs measure compute, not Python import
     total_tokens = read_sequences(path).sum("n_tok")
+    cfv_pipeline(read_sequences(path).limit(4096), k=4).count()
+    count_kmers(read_sequences(path).limit(4096), 15).count()
 
     queries = {}
 

@@ -107,7 +107,7 @@ def row_ids(offsets: np.ndarray) -> np.ndarray:
 
 
 def flat_kmers(values: np.ndarray, offsets: np.ndarray, k: int,
-               return_pos: bool = False):
+               return_pos: bool = False, with_rc: bool = True):
     """All valid k-mers of every row in one vectorized pass.
 
     ``values`` is the flattened token buffer of a list column,
@@ -116,7 +116,10 @@ def flat_kmers(values: np.ndarray, offsets: np.ndarray, k: int,
     k-mer window, in row-major left-to-right order, exactly the windows
     the reference's iterator emits (ambiguity resets, max k enforced by
     caller).  With ``return_pos=True`` also returns the 0-based start
-    position of each window within its row.
+    position of each window within its row.  ``with_rc=False`` skips
+    the reverse-complement pass (the second array is then an alias of
+    ``fwd`` and must be ignored) — for callers that canonicalize via
+    the pos_map table instead.
     """
     if not (1 <= k <= 32):
         raise ValueError(f"k must be in 1..32, got {k}")
@@ -134,7 +137,7 @@ def flat_kmers(values: np.ndarray, offsets: np.ndarray, k: int,
     f = np.zeros(nwin, dtype=np.uint64)
     for j in range(k):
         f = (f << np.uint64(2)) | vv[j:j + nwin]
-    rc = rev_comp(f, k)
+    rc = rev_comp(f, k) if with_rc else f
 
     # window invalid if it contains an ambiguous token
     c = np.zeros(n + 1, dtype=np.int64)

