@@ -160,3 +160,42 @@ def test_sessionize(ray_session, corpus):
     for s in got["source"].unique():
         sub = got[got["source"] == s].sort_values("ts")
         assert (np.diff(sub["session_seq"].values) >= 0).all()
+
+
+def test_partitioned_lag_lead_matches_simple(ray_session, corpus):
+    from kmerray.pipelines.windowed import partitioned_lag_lead
+    ds = ray.data.from_arrow(corpus)
+    simple = lag_lead_pipeline(ds).to_pandas().sort_values(
+        "doc_id").reset_index(drop=True)
+    part = partitioned_lag_lead(ds).to_pandas().sort_values(
+        "doc_id").reset_index(drop=True)
+    assert np.array_equal(simple["doc_id"], part["doc_id"])
+    for c in ("prev_n_tok", "next_n_tok"):
+        assert np.allclose(simple[c].astype(float), part[c].astype(float),
+                           equal_nan=True), c
+
+
+def test_partitioned_sessionize_matches_simple(ray_session, corpus):
+    from kmerray.pipelines.windowed import partitioned_sessionize
+    gap = 40 * 60 * 1_000_000
+    ds = ray.data.from_arrow(corpus)
+    simple = sessionize_pipeline(ds, gap_us=gap).to_pandas().set_index(
+        "doc_id")["session_seq"]
+    part = partitioned_sessionize(ds, gap_us=gap).to_pandas().set_index(
+        "doc_id")["session_seq"]
+    assert simple.sort_index().equals(part.sort_index())
+
+
+def test_partitioned_sessionize_small_buckets(ray_session, corpus):
+    """Buckets much smaller than sessions force heavy boundary
+    chaining — ids must still match the single-task result."""
+    from kmerray.pipelines.windowed import partitioned_sessionize
+    gap = 40 * 60 * 1_000_000
+    ds = ray.data.from_arrow(corpus)
+    simple = sessionize_pipeline(ds, gap_us=gap).to_pandas().set_index(
+        "doc_id")["session_seq"]
+    part = partitioned_sessionize(ds, gap_us=gap,
+                                  bucket_us=6 * 3_600_000_000
+                                  ).to_pandas().set_index(
+        "doc_id")["session_seq"]
+    assert simple.sort_index().equals(part.sort_index())
