@@ -1,11 +1,10 @@
 """pykmertools-surface API + CLI smoke tests (reference conformance
 cases from /root/reference/tests/*.py)."""
 
-import subprocess
-import sys
+
+
 
 import numpy as np
-import pytest
 
 from kmerray.api import (CgrComputer, KmerGenerator, MinimiserGenerator,
                          OligoCgrComputer, OligoComputer, to_acgt, to_numeric)

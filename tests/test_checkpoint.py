@@ -5,7 +5,6 @@ import glob
 import json
 import os
 
-import pytest
 
 from kmerray.pipelines.comp import cfv_pipeline
 from kmerray.runtime.checkpoint import plan_partitions, run_partitioned

@@ -11,7 +11,7 @@ from kmerray.core.oligo import cfv_batch
 from kmerray.pipelines.comp import (cfv_pipeline, cgr_pipeline,
                                     oligo_cgr_pipeline, read_sequences)
 from kmerray.pipelines.counter import add_acgt_column, count_kmers
-from kmerray.pipelines.cov import CovScorer, coverage_pipeline
+from kmerray.pipelines.cov import coverage_pipeline
 from kmerray.pipelines.minpipe import (m2s_pipeline, minimisers_exploded,
                                        s2m_pipeline)
 from kmerray.sources.synth import generate_sequences
