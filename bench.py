@@ -24,7 +24,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 # bench corpus: big enough that compute dominates scheduling overhead
-BENCH_DOCS = int(os.environ.get("KMERRAY_BENCH_DOCS", "200000"))
+BENCH_DOCS = int(os.environ.get("KMERRAY_BENCH_DOCS", "400000"))
 BENCH_LEN = int(os.environ.get("KMERRAY_BENCH_LEN", "1024"))
 
 
@@ -59,8 +59,26 @@ def run_bench() -> dict:
     from kmerray.pipelines.cov import coverage_pipeline
     from kmerray.pipelines.minpipe import minimisers_exploded
 
+    import glob
+
     import numpy as np
     import pyarrow as pa
+
+    def consume(ds):
+        """Full-pipeline consumption with tiny output blocks: a per-batch
+        row-count reducer keeps streaming backpressure but avoids
+        re-materializing the whole passthrough output in the object
+        store (a real deployment streams those blocks straight into
+        write_parquet)."""
+        return ds.map_batches(
+            lambda t: pa.table({"n": [t.num_rows]}),
+            batch_format="pyarrow", zero_copy_batch=True).sum("n")
+
+    # the wide/stateful pipelines run on a deterministic subset of the
+    # corpus shards so one bench round stays bounded; the headline CFV
+    # runs on everything
+    all_files = sorted(glob.glob(os.path.join(path, "*.parquet")))
+    heavy_files = all_files[:max(1, len(all_files) // 4)]
 
     # warm the page cache AND worker processes (untimed): a tiny run of
     # the pipeline imports the kernel modules in every Ray worker so the
@@ -79,37 +97,36 @@ def run_bench() -> dict:
         return out, dt
 
     # headline: CFV extraction k=4 canonical normalized
-    _, cfv_sec = timed("cfv", lambda: cfv_pipeline(
-        read_sequences(path), k=4).count())
+    _, cfv_sec = timed("cfv", lambda: consume(cfv_pipeline(
+        read_sequences(path), k=4)))
 
     # global k-mer counting (the wide shuffle)
-    timed("ctr_k15", lambda: count_kmers(read_sequences(path), 15)
-          .count())
+    timed("ctr_k15", lambda: count_kmers(
+        ray.data.read_parquet(heavy_files), 15).count())
 
     # minimizers (31, 7) exploded
-    timed("min_31_7", lambda: minimisers_exploded(
-        read_sequences(path), 31, 7).count())
+    timed("min_31_7", lambda: consume(minimisers_exploded(
+        read_sequences(path), 31, 7)))
 
     # coverage: dict build + actor-pool scoring
     def cov_run():
-        ds = read_sequences(path)
+        ds = ray.data.read_parquet(heavy_files)
         ct = count_kmers(ds, 15).to_pandas()
         kmers = ct["kmer"].to_numpy().astype(np.uint64)
         cnts = ct["cnt"].to_numpy().astype(np.int64)
         order = np.argsort(kmers)
         ref = ray.put((kmers[order], cnts[order]))
-        return coverage_pipeline(ds, ref, 15, 4, 8, norm=True,
-                                 concurrency=max(2, NUM_CPUS // 2)).count()
+        return consume(coverage_pipeline(ds, ref, 15, 4, 8, norm=True,
+                                         concurrency=max(2, NUM_CPUS // 2)))
     timed("cov_k15", cov_run)
 
     # as-of: snapshot build + point-in-time scoring
     def asof_run():
-        ds = read_sequences(path)
+        ds = ray.data.read_parquet(heavy_files)
         snap = snapshot_counts(ds, 8).to_pandas()
         ref = ray.put(load_snapshot_index(pa.Table.from_pandas(snap)))
-        return asof_coverage_pipeline(ds, ref, 8, 2, 4,
-                                      concurrency=max(2, NUM_CPUS // 2)
-                                      ).count()
+        return consume(asof_coverage_pipeline(
+            ds, ref, 8, 2, 4, concurrency=max(2, NUM_CPUS // 2)))
     timed("asof_k8", asof_run)
 
     ray.shutdown()
@@ -123,6 +140,7 @@ def run_bench() -> dict:
         "num_cpus": NUM_CPUS,
         "n_docs": n_docs,
         "total_tokens": int(total_tokens),
+        "heavy_files_frac": round(len(heavy_files) / len(all_files), 3),
         "seqs_per_sec": round(n_docs / cfv_sec, 1),
         "tokens_per_sec": round(total_tokens / cfv_sec, 1),
     }
