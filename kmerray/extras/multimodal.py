@@ -102,4 +102,4 @@ def media_features_pipeline(ds: "ray.data.Dataset", concurrency: int = 2,
     concurrency bounds worker heap."""
     return ds.map_batches(DecodeStage, fn_constructor_kwargs={"fake": True},
                           batch_format="pyarrow", batch_size=batch_size,
-                          concurrency=concurrency)
+                          concurrency=concurrency, num_cpus=0.5)

@@ -202,13 +202,16 @@ def asof_coverage_pipeline(seq_ds: "ray.data.Dataset", snap_source,
                            k: int, bin_size: int, bin_count: int,
                            norm: bool = False, window_us: int = DAY_US,
                            concurrency: int | tuple = 4,
-                           batch_size: int = 1024) -> "ray.data.Dataset":
+                           batch_size: int = 1024,
+                           num_cpus: float = 0.5) -> "ray.data.Dataset":
+    # fractional CPUs per actor: see cov.coverage_pipeline (pool must
+    # not book every whole CPU slot or the read stage starves)
     return seq_ds.map_batches(
         AsofCovScorer,
         fn_constructor_args=(snap_source, k, bin_size, bin_count, norm,
                              window_us),
         batch_format="pyarrow", zero_copy_batch=True,
-        batch_size=batch_size, concurrency=concurrency)
+        batch_size=batch_size, concurrency=concurrency, num_cpus=num_cpus)
 
 
 # ---------------------------------------------------------------------------

@@ -68,13 +68,18 @@ class CovScorer:
 def coverage_pipeline(seq_ds: "ray.data.Dataset", counts_source,
                       k: int, bin_size: int, bin_count: int,
                       norm: bool = True, concurrency: int | tuple = 4,
-                      batch_size: int = 1024) -> "ray.data.Dataset":
-    """Append a FixedSizeList<double>[bin_count] ``coverage`` column."""
+                      batch_size: int = 1024,
+                      num_cpus: float = 0.5) -> "ray.data.Dataset":
+    """Append a FixedSizeList<double>[bin_count] ``coverage`` column.
+
+    Scorer actors reserve fractional CPUs: a pool that books every
+    whole CPU slot starves the upstream read and deadlocks the
+    streaming executor on small clusters (observed on num_cpus=4)."""
     return seq_ds.map_batches(
         CovScorer, fn_constructor_args=(counts_source, k, bin_size,
                                         bin_count, norm),
         batch_format="pyarrow", zero_copy_batch=True,
-        batch_size=batch_size, concurrency=concurrency)
+        batch_size=batch_size, concurrency=concurrency, num_cpus=num_cpus)
 
 
 def cov_end_to_end(seq_ds: "ray.data.Dataset", k: int, bin_size: int,

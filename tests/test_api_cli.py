@@ -76,3 +76,28 @@ def test_cli_comp_and_ctr(ray_session, tiny_corpus_dir, tmp_path):
                  "--resume", "--partitions", "2"]) == 0
     assert main(["comp", "-i", tiny_corpus_dir, "-o", out3, "-k", "4",
                  "--resume", "--partitions", "2"]) == 0  # all skipped
+
+
+def test_cli_min_cov_asof(ray_session, tiny_corpus_dir, tmp_path):
+    import glob
+    import pyarrow.parquet as pq
+    from kmerray.__main__ import main
+
+    out_min = str(tmp_path / "cli_min")
+    assert main(["min", "-i", tiny_corpus_dir, "-o", out_min,
+                 "-m", "5", "-w", "8", "--preset", "s2m"]) == 0
+    t = pq.read_table(glob.glob(out_min + "/*.parquet"))
+    assert "minimisers" in t.schema.names
+
+    out_cov = str(tmp_path / "cli_cov")
+    assert main(["cov", "-i", tiny_corpus_dir, "-o", out_cov,
+                 "-k", "8", "--bin-size", "4", "--bin-count", "6"]) == 0
+    v = pq.read_table(glob.glob(out_cov + "/vectors/*.parquet"))
+    assert "coverage" in v.schema.names
+    assert v.num_rows == 1000
+
+    out_asof = str(tmp_path / "cli_asof")
+    assert main(["asof", "-i", tiny_corpus_dir, "-o", out_asof,
+                 "-k", "8"]) == 0
+    a = pq.read_table(glob.glob(out_asof + "/vectors/*.parquet"))
+    assert {"asof_coverage", "asof_day"} <= set(a.schema.names)
