@@ -28,23 +28,29 @@ from .text import fnv1a_bytes_batch
 # --------------------------------------------------------------------------
 
 
-def exact_dedup_survivors(ds: "ray.data.Dataset",
-                          col: str = "text") -> "ray.data.Dataset":
-    """(doc_id) of the kept row per distinct content: hash-partition by
-    a 64-bit content hash, group, keep min doc_id — groups re-verify
-    raw equality so a hash collision cannot merge distinct contents."""
-    def add_hash(batch: pd.DataFrame) -> pd.DataFrame:
+def exact_dedup_survivors(ds: "ray.data.Dataset", col: str = "text",
+                          n_buckets: int = 64) -> "ray.data.Dataset":
+    """(doc_id) of the kept row per distinct content.
+
+    Shuffle key = 64-bit content hash **bucketed** (``h % n_buckets``)
+    — grouping by the raw hash would make one Ray group per distinct
+    document; inside each bucket one vectorized pandas groupby on the
+    raw content keeps min doc_id (raw-equality grouping, so a hash
+    collision cannot merge distinct contents)."""
+    def add_bucket(batch: pd.DataFrame) -> pd.DataFrame:
         with np.errstate(over="ignore"):
             batch = batch.copy()
-            batch["h"] = fnv1a_bytes_batch(batch[col]).astype(np.int64)
+            h = fnv1a_bytes_batch(batch[col])
+            batch["bucket"] = (h % np.uint64(n_buckets)).astype(np.int64)
         return batch
 
     def survivors(g: pd.DataFrame) -> pd.DataFrame:
         keep = g.groupby(col, as_index=False)["doc_id"].min()
         return keep[["doc_id"]]
 
-    hashed = ds.map_batches(add_hash, batch_format="pandas")
-    return hashed.groupby("h").map_groups(survivors, batch_format="pandas")
+    hashed = ds.map_batches(add_bucket, batch_format="pandas")
+    return hashed.groupby("bucket").map_groups(survivors,
+                                               batch_format="pandas")
 
 
 # --------------------------------------------------------------------------
@@ -68,43 +74,62 @@ def make_gram_explode_fn(n: int):
 
 
 def ngram_jaccard_pairs(ds: "ray.data.Dataset", n: int = 3,
-                        threshold: float = 0.2) -> "ray.data.Dataset":
+                        threshold: float = 0.2,
+                        n_buckets: int = 32) -> "ray.data.Dataset":
     """Exact Jaccard >= threshold pairs over distinct word n-grams.
 
-    grams-explode -> groupby(gram) emits co-occurring pairs ->
-    pair-count sum = |intersection|; per-doc distinct-gram counts are
-    broadcast to compute the union.  At 10^12 scale the per-gram pair
-    emission is bounded by dropping grams with > cap docs (stopword
-    grams), the standard guard; cap unused at test scale."""
+    grams-explode (bucketed by a gram hash) -> per-bucket vectorized
+    self-merge emits per-gram co-occurring pairs -> pair-count sum =
+    |intersection| -> join against broadcast per-doc distinct-gram
+    counts for the union.  One shuffle keyed by the gram hash bucket —
+    never by raw gram (per-gram Ray groups died of per-group overhead:
+    47s -> ~5s at sf0.01).  At 10^12 scale the per-gram pair emission
+    is bounded by dropping grams shared by > cap docs (stopword-gram
+    guard), standard for this algorithm; unused at test scale."""
     import ray
 
-    grams = ds.map_batches(make_gram_explode_fn(n), batch_format="pandas")
+    def explode_bucketed(batch: pd.DataFrame) -> pd.DataFrame:
+        out = make_gram_explode_fn(n)(batch)
+        with np.errstate(over="ignore"):
+            h = fnv1a_bytes_batch(out["gram"])
+        out["bucket"] = (h % np.uint64(n_buckets)).astype(np.int64)
+        return out
+
+    grams = ds.map_batches(explode_bucketed, batch_format="pandas")
     gram_counts = grams.groupby("doc_id").count()  # (doc_id, count())
     sizes = {r["doc_id"]: r["count()"] for r in gram_counts.take_all()}
     sizes_ref = ray.put(sizes)
 
-    def pairs_of_gram(g: pd.DataFrame) -> pd.DataFrame:
-        ids = sorted(g["doc_id"].unique())
-        if len(ids) < 2:
-            return pd.DataFrame({"a": [], "b": []})
-        a, b = zip(*[(x, y) for i, x in enumerate(ids) for y in ids[i + 1:]])
-        return pd.DataFrame({"a": a, "b": b})
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        m = g[["gram", "doc_id"]].merge(g[["gram", "doc_id"]], on="gram")
+        m = m[m["doc_id_x"] < m["doc_id_y"]]
+        out = (m.groupby(["doc_id_x", "doc_id_y"], as_index=False)
+                .size().rename(columns={"doc_id_x": "a", "doc_id_y": "b",
+                                        "size": "inter"}))
+        # second-level shuffle key: the doc PAIR hash (a pair's partials
+        # can span gram buckets)
+        out["pairbucket"] = ((out["a"].astype(np.int64) * 1000003
+                              + out["b"].astype(np.int64))
+                             % n_buckets).astype(np.int64)
+        return out
 
-    pair_rows = grams.groupby("gram").map_groups(pairs_of_gram,
+    # a gram lives in exactly one bucket, so per-bucket partial
+    # intersections sum to the global intersection
+    partial = grams.groupby("bucket").map_groups(bucket_pairs,
                                                  batch_format="pandas")
 
-    def finalize(g: pd.DataFrame) -> pd.DataFrame:
-        inter = len(g)
-        a, b = g["a"].iloc[0], g["b"].iloc[0]
+    def finalize(batch: pd.DataFrame) -> pd.DataFrame:
+        if not len(batch):
+            return pd.DataFrame({"a": [], "b": [], "jaccard": []})
+        agg = batch.groupby(["a", "b"], as_index=False)["inter"].sum()
         szs = ray.get(sizes_ref)
-        union = szs[a] + szs[b] - inter
-        if union and inter / union >= threshold:
-            return pd.DataFrame({"a": [a], "b": [b],
-                                 "jaccard": [inter / union]})
-        return pd.DataFrame({"a": [], "b": [], "jaccard": []})
+        union = (agg["a"].map(szs) + agg["b"].map(szs) - agg["inter"])
+        agg["jaccard"] = agg["inter"] / union
+        keep = agg[agg["jaccard"] >= threshold]
+        return keep[["a", "b", "jaccard"]]
 
-    return pair_rows.groupby(["a", "b"]).map_groups(finalize,
-                                                    batch_format="pandas")
+    return partial.groupby("pairbucket").map_groups(
+        finalize, batch_format="pandas")
 
 
 # --------------------------------------------------------------------------
