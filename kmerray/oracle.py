@@ -275,3 +275,21 @@ def emb_near_dup_sql(threshold: float = 0.4) -> str:
 SELECT a.vec_id AS a, b.vec_id AS b
 FROM e a JOIN e b ON a.vec_id < b.vec_id
 WHERE list_cosine_similarity(a.v, b.v) >= {threshold}"""
+
+
+def cgr_final_sql(path: str) -> str:
+    """Final CGR walk point per clean row (vecsize=1): the x/y
+    recurrences are separable, so two left-folds with the exact
+    (corner + marker)/2 operation order reproduce the engine's floats
+    bit-for-bit."""
+    return f"""SELECT doc_id,
+  list_reduce(list_prepend(CAST(0.5 AS DOUBLE),
+    list_transform(tokens,
+      t -> CAST(CASE WHEN t >= 2 THEN 1.0 ELSE 0.0 END AS DOUBLE))),
+    (acc, v) -> (v + acc) / 2) AS x,
+  list_reduce(list_prepend(CAST(0.5 AS DOUBLE),
+    list_transform(tokens,
+      t -> CAST(CASE WHEN t = 1 OR t = 2 THEN 1.0 ELSE 0.0 END AS DOUBLE))),
+    (acc, v) -> (v + acc) / 2) AS y
+FROM {_seq(path)}
+WHERE len(tokens) > 0 AND list_max(tokens) <= 3"""

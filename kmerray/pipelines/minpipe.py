@@ -67,20 +67,33 @@ def minimisers_exploded(ds: "ray.data.Dataset", w: int, m: int,
 
 
 def m2s_pipeline(ds: "ray.data.Dataset", w: int, m: int,
-                 batch_size: int = 1024) -> "ray.data.Dataset":
+                 batch_size: int = 1024,
+                 n_buckets: int = 64) -> "ray.data.Dataset":
     """Inverted index ``(mmer, entries: list<struct<doc_id,start,end>>)``
     — entries sorted by (doc_id, start) for deterministic output (the
     reference's map-iteration order is nondeterministic; its own tests
-    sort before comparing, /root/reference/ktio/src/fops.rs:15-25)."""
+    sort before comparing, /root/reference/ktio/src/fops.rs:15-25).
+
+    Shuffle key = ``mmer % n_buckets`` (one Ray group per distinct
+    minimizer would hit per-group overhead at 4^m/2 keys); each bucket
+    builds its slice of the index with one vectorized pandas groupby."""
     import pandas as pd
 
     exploded = minimisers_exploded(ds, w, m, batch_size)
 
+    def add_bucket(batch):
+        import pyarrow as pa_
+        b = (batch.column("mmer").to_numpy() % np.uint64(n_buckets))
+        return batch.append_column("bucket", pa_.array(b.astype(np.int64)))
+    bucketed = exploded.map_batches(add_bucket, batch_format="pyarrow",
+                                    zero_copy_batch=True)
+
     def collect(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.sort_values(["doc_id", "start"])
-        return pd.DataFrame({
-            "mmer": [g["mmer"].iloc[0]],
-            "entries": [list(zip(g["doc_id"], g["start"], g["end"]))],
-        })
-    return exploded.groupby("mmer").map_groups(collect,
-                                               batch_format="pandas")
+        g = group.sort_values(["mmer", "doc_id", "start"])
+        agg = g.groupby("mmer", sort=False).apply(
+            lambda x: list(zip(x["doc_id"], x["start"], x["end"])),
+            include_groups=False)
+        return pd.DataFrame({"mmer": agg.index.to_numpy(),
+                             "entries": agg.to_numpy()})
+    return bucketed.groupby("bucket").map_groups(collect,
+                                                 batch_format="pandas")

@@ -104,14 +104,24 @@ def q_minimisers(sf_dir: str, w: int = MIN_W, m: int = MIN_M):
     return _exploded_minimisers(sf_dir, w, m)
 
 
-def q_m2s_index_counts(sf_dir: str, w: int = MIN_W, m: int = MIN_M):
+def q_m2s_index_counts(sf_dir: str, w: int = MIN_W, m: int = MIN_M,
+                       n_buckets: int = 32):
     ex = _exploded_minimisers(sf_dir, w, m)
 
+    def add_bucket(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.copy()
+        batch["bucket"] = (batch["mmer"] % n_buckets).astype(np.int64)
+        return batch
+
     def agg(g: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({"mmer": [g["mmer"].iloc[0]],
-                             "n_entries": [np.int64(len(g))],
-                             "n_docs": [np.int64(g["doc_id"].nunique())]})
-    return ex.groupby("mmer").map_groups(agg, batch_format="pandas")
+        out = (g.groupby("mmer", as_index=False)
+                .agg(n_entries=("doc_id", "size"),
+                     n_docs=("doc_id", "nunique")))
+        out["n_entries"] = out["n_entries"].astype(np.int64)
+        out["n_docs"] = out["n_docs"].astype(np.int64)
+        return out
+    return (ex.map_batches(add_bucket, batch_format="pandas")
+              .groupby("bucket").map_groups(agg, batch_format="pandas"))
 
 
 def q_whole_seq_minimiser(sf_dir: str, m: int = WHOLE_M):
@@ -151,6 +161,32 @@ def q_cov_hist(sf_dir: str, k: int = K_COV, bins=COV_BINS):
                                concurrency=2)
     return scored.map_batches(_explode_nonzero_fixedlist("coverage"),
                               batch_format="pyarrow")
+
+
+def q_cgr_final(sf_dir: str):
+    """Final CGR point per clean row — exercises the M8 walk through an
+    exact SQL oracle (full walks are pytest-golden-tested)."""
+    from .pipelines.comp import cgr_pipeline
+    ds = _seq(sf_dir, ["doc_id", "tokens"])
+    out = cgr_pipeline(ds, vecsize=1.0, strict=False)
+
+    def final_point(batch: pa.Table) -> pa.Table:
+        lst = batch.column("cgr").combine_chunks()
+        offs = lst.offsets.to_numpy().astype(np.int64)
+        offs = offs - offs[0]
+        pts = lst.flatten()
+        xs = pts.field("x").to_numpy()
+        ys = pts.field("y").to_numpy()
+        valid = batch.column("cgr_valid").to_numpy(zero_copy_only=False)
+        lengths = np.diff(offs)
+        keep = valid & (lengths > 0)
+        fin = offs[1:] - 1
+        return pa.table({
+            "doc_id": batch.column("doc_id").filter(pa.array(keep)),
+            "x": pa.array(xs[fin[keep]]),
+            "y": pa.array(ys[fin[keep]]),
+        })
+    return out.map_batches(final_point, batch_format="pyarrow")
 
 
 def q_asof_snapshots(sf_dir: str, k: int = K_ASOF):
@@ -211,6 +247,7 @@ def registry() -> dict:
         "minimisers_s2m": q_minimisers,
         "m2s_index_counts": q_m2s_index_counts,
         "whole_seq_minimiser": q_whole_seq_minimiser,
+        "cgr_final": q_cgr_final,
         "cov_hist": q_cov_hist,
         "asof_snapshots": q_asof_snapshots,
         "asof_cov_hist": q_asof_cov_hist,
@@ -231,6 +268,7 @@ def oracle_registry(sf_dir: str = "/root/testdata/sf0.01") -> dict:
         "minimisers_s2m": oracle.minimisers_sql(path, MIN_W, MIN_M),
         "m2s_index_counts": oracle.m2s_index_counts_sql(path, MIN_W, MIN_M),
         "whole_seq_minimiser": oracle.whole_seq_minimiser_sql(path, WHOLE_M),
+        "cgr_final": oracle.cgr_final_sql(path),
         "cov_hist": oracle.cov_hist_sql(path, K_COV, *COV_BINS),
         "asof_snapshots": oracle.asof_snapshots_sql(path, K_ASOF),
         "asof_cov_hist": oracle.asof_cov_hist_sql(path, K_ASOF, *ASOF_BINS),
