@@ -265,3 +265,31 @@ def sessionize_pipeline(seq_ds: "ray.data.Dataset",
     ds = seq_ds.select_columns(["doc_id", "source", "ts"])
     return ds.groupby("source").map_groups(make_sessionize_group(gap_us),
                                            batch_format="pandas")
+
+
+def backfill_rescore(seq_ds: "ray.data.Dataset", snap_source, k: int,
+                     bin_size: int, bin_count: int,
+                     before_day: int | None = None,
+                     **kwargs) -> "ray.data.Dataset":
+    """Backfill: re-score (a subset of) rows against a possibly UPDATED
+    snapshot table.
+
+    Scoring is a pure function of (row, snapshot table): a row's
+    effective snapshot day is fixed by its own ``ts``, so re-running
+    after late data lands only changes rows whose effective snapshot
+    actually gained data — earlier rows reproduce their original
+    features exactly (asserted in tests).  ``before_day`` optionally
+    restricts the re-scored set (rows with eff_day < before_day), the
+    typical "re-materialize history after a late partition" shape.
+    """
+    ds = seq_ds
+    if before_day is not None:
+        import pyarrow.compute as pc_
+
+        def flt(batch: pa.Table) -> pa.Table:
+            eff = eff_day_of(_ts_us(batch))
+            return batch.filter(pa.array(eff < before_day))
+        ds = ds.map_batches(flt, batch_format="pyarrow",
+                            zero_copy_batch=True)
+    return asof_coverage_pipeline(ds, snap_source, k, bin_size, bin_count,
+                                  **kwargs)

@@ -199,3 +199,46 @@ def test_partitioned_sessionize_small_buckets(ray_session, corpus):
                                   ).to_pandas().set_index(
         "doc_id")["session_seq"]
     assert simple.sort_index().equals(part.sort_index())
+
+
+def test_backfill_idempotent_and_leak_free(ray_session, corpus):
+    """Late-arriving data extends the snapshot table; re-scoring
+    (backfill) must leave rows whose effective snapshot predates the
+    late data bit-identical, and is idempotent."""
+    from kmerray.pipelines.asof import backfill_rescore
+
+    pdf_ts = corpus.column("ts").cast(pa.int64()).to_numpy()
+    cutoff_day = int(np.median((pdf_ts - TS_BASE_US) // DAY_US))
+    early_mask = ((pdf_ts - TS_BASE_US) // DAY_US) < cutoff_day
+    early = corpus.filter(pa.array(early_mask))
+
+    # original run: snapshots built from early data only
+    ds_early = ray.data.from_arrow(early)
+    snap1 = load_snapshot_index(pa.Table.from_pandas(
+        snapshot_counts(ds_early, K, n_buckets=4).to_pandas()))
+    orig = {r["doc_id"]: tuple(r["asof_coverage"]) for r in
+            asof_coverage_pipeline(ds_early, snap1, K, BIN_SIZE, BIN_COUNT,
+                                   concurrency=2).take_all()}
+
+    # late data lands -> snapshots rebuilt from everything
+    ds_all = ray.data.from_arrow(corpus)
+    snap2 = load_snapshot_index(pa.Table.from_pandas(
+        snapshot_counts(ds_all, K, n_buckets=4).to_pandas()))
+
+    # backfill early rows against the extended snapshot table
+    redone = {r["doc_id"]: tuple(r["asof_coverage"]) for r in
+              backfill_rescore(ds_early, snap2, K, BIN_SIZE, BIN_COUNT,
+                               concurrency=2).take_all()}
+    # rows whose effective snapshot is before the cutoff are identical:
+    # later windows' data cannot leak backward
+    eff = (pdf_ts - TS_BASE_US) // DAY_US - 1
+    ids = corpus.column("doc_id").to_pylist()
+    for i, d in enumerate(ids):
+        if early_mask[i] and eff[i] < cutoff_day - 1:
+            assert redone[d] == orig[d], d
+
+    # idempotence: running backfill twice gives the same result
+    again = {r["doc_id"]: tuple(r["asof_coverage"]) for r in
+             backfill_rescore(ds_early, snap2, K, BIN_SIZE, BIN_COUNT,
+                              concurrency=2).take_all()}
+    assert again == redone
