@@ -153,7 +153,16 @@ def asof_lookup_counts(index: dict, source_of_row: np.ndarray,
             continue
         q = (canon[m] << np.uint64(_DAY_BITS)) \
             | eff_per_kmer[m].astype(np.uint64)
-        idx = np.searchsorted(keys, q, side="right") - 1
+        if len(keys) > 100_000 and len(q) > 100_000:
+            # sorted queries -> cache-local binary searches (see
+            # core.coverage.lookup_counts)
+            order = np.argsort(q, kind="stable")
+            idx_sorted = np.searchsorted(keys, q[order],
+                                         side="right") - 1
+            idx = np.empty_like(idx_sorted)
+            idx[order] = idx_sorted
+        else:
+            idx = np.searchsorted(keys, q, side="right") - 1
         ok = idx >= 0
         idxc = np.maximum(idx, 0)
         # hit only if the found key belongs to the same kmer
