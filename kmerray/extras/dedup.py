@@ -270,3 +270,98 @@ def simhash_near_dup_pairs(ds: "ray.data.Dataset", max_hamming: int = 3,
     def dedup(g: pd.DataFrame) -> pd.DataFrame:
         return g.head(1)
     return cand.groupby(["a", "b"]).map_groups(dedup, batch_format="pandas")
+
+
+# --------------------------------------------------------------------------
+# end-to-end near-dup dedup: candidates -> verify -> components -> survivors
+# --------------------------------------------------------------------------
+
+
+def verify_candidate_pairs(ds: "ray.data.Dataset",
+                           candidates: "ray.data.Dataset", n: int = 3,
+                           threshold: float = 0.8) -> "ray.data.Dataset":
+    """Exact Jaccard check of LSH candidate pairs.
+
+    The per-doc distinct gram-hash sets of *candidate docs only* are
+    broadcast (`ray.put`) — candidates are a vanishing fraction of the
+    corpus, which is the whole point of LSH; at larger candidate
+    volumes this becomes a bucketed self-join like
+    ``ngram_jaccard_pairs``."""
+    import ray
+
+    cand = candidates.to_pandas()
+    if not len(cand):
+        return candidates
+    involved = set(cand["a"]) | set(cand["b"])
+
+    def gram_sets(batch: pd.DataFrame) -> pd.DataFrame:
+        rows = batch[batch["doc_id"].isin(involved)]
+        recs = {"doc_id": [], "grams": []}
+        for d, t in zip(rows["doc_id"], rows["text"]):
+            gr = list(_grams_of(t.split(" "), n))
+            with np.errstate(over="ignore"):
+                gh = fnv1a_bytes_batch(pd.Series(gr)) if gr else \
+                    np.empty(0, np.uint64)
+            recs["doc_id"].append(d)
+            recs["grams"].append(np.unique(gh))
+        return pd.DataFrame(recs)
+
+    sets = {}
+    for r in ds.map_batches(gram_sets, batch_format="pandas").take_all():
+        sets[r["doc_id"]] = np.asarray(r["grams"], dtype=np.uint64)
+    sets_ref = ray.put(sets)
+
+    def verify(batch: pd.DataFrame) -> pd.DataFrame:
+        s = ray.get(sets_ref)
+        keep = {"a": [], "b": [], "jaccard": []}
+        for a, b in zip(batch["a"], batch["b"]):
+            ga, gb = s.get(a), s.get(b)
+            if ga is None or gb is None or (len(ga) == 0 and len(gb) == 0):
+                continue
+            inter = len(np.intersect1d(ga, gb, assume_unique=True))
+            union = len(ga) + len(gb) - inter
+            j = inter / union if union else 0.0
+            if j >= threshold:
+                keep["a"].append(a)
+                keep["b"].append(b)
+                keep["jaccard"].append(j)
+        return pd.DataFrame(keep)
+    return candidates.map_batches(verify, batch_format="pandas")
+
+
+def near_dup_survivors(ds: "ray.data.Dataset", n: int = 3,
+                       num_perm: int = 64, bands: int = 16,
+                       threshold: float = 0.8) -> "ray.data.Dataset":
+    """Full near-dup dedup: MinHash-LSH candidates -> exact Jaccard
+    verify -> connected components -> keep min doc_id per component.
+
+    Components are resolved with union-find over the *verified edge
+    set* on the driver — edges above a high Jaccard threshold are tiny
+    relative to the corpus (the standard assumption; for adversarial
+    edge volumes switch to iterated min-label propagation with the
+    same survivor semantics)."""
+    cands = minhash_lsh_candidates(ds, n=n, num_perm=num_perm, bands=bands)
+    edges = verify_candidate_pairs(ds, cands, n=n,
+                                   threshold=threshold).to_pandas()
+
+    parent: dict = {}
+
+    def find(x):
+        while parent.get(x, x) != x:
+            parent[x] = parent.get(parent[x], parent[x])
+            x = parent[x]
+        return x
+
+    for a, b in zip(edges.get("a", []), edges.get("b", [])):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    drop = {x for x in parent if find(x) != x}
+
+    import ray
+    drop_ref = ray.put(drop)
+
+    def survivors(batch: pd.DataFrame) -> pd.DataFrame:
+        d = ray.get(drop_ref)
+        return batch.loc[~batch["doc_id"].isin(d), ["doc_id"]]
+    return ds.map_batches(survivors, batch_format="pandas")

@@ -195,3 +195,15 @@ def test_multimodal_plumbing(ray_session):
     # real decode is gated behind a clearly-marked stub
     with pytest.raises(NotImplementedError):
         DecodeStage(fake=False)
+
+
+def test_near_dup_survivors(ray_session, docs_with_dups):
+    from kmerray.extras.dedup import near_dup_survivors
+    ds = ray.data.from_arrow(docs_with_dups)
+    kept = set(near_dup_survivors(ds, threshold=0.7).to_pandas()["doc_id"])
+    # exact dup pairs (0,601), (10,602) and near-dup (20,603): min wins
+    assert 0 in kept and 601 not in kept
+    assert 10 in kept and 602 not in kept
+    assert 20 in kept and 603 not in kept
+    # everything else survives
+    assert len(kept) == 60
