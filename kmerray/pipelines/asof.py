@@ -89,11 +89,17 @@ def make_snapshot_partial_fn(k: int, window_us: int = DAY_US,
     return partial
 
 
-def _cumulate(g: pd.DataFrame) -> pd.DataFrame:
+def _cumulate(g: pd.DataFrame) -> pa.Table:
     agg = (g.groupby(["source", "kmer", "day"], as_index=False)["cnt"].sum()
             .sort_values(["source", "kmer", "day"]))
     agg["cum_cnt"] = agg.groupby(["source", "kmer"])["cnt"].cumsum()
-    return agg.drop(columns=["cnt"])
+    # Arrow block out (pandas blocks cripple row-based consumption)
+    return pa.table({
+        "source": pa.array(agg["source"].astype(str)),
+        "kmer": pa.array(agg["kmer"].to_numpy(np.uint64), pa.uint64()),
+        "day": pa.array(agg["day"].to_numpy(np.int64)),
+        "cum_cnt": pa.array(agg["cum_cnt"].to_numpy(np.int64)),
+    })
 
 
 def snapshot_counts(seq_ds: "ray.data.Dataset", k: int,

@@ -27,26 +27,66 @@ from .arrow_util import list_column_to_numpy
 
 
 def make_partial_counts_fn(k: int, canonical: bool = True,
-                           n_buckets: int | None = 64):
+                           n_buckets: int | None = 64,
+                           bucket_by: str = "kmer", msize: int = 7):
+    """Per-batch partial counts with a choice of shuffle key:
+
+    * ``bucket_by="kmer"`` — ``kmer % n_buckets`` (the reference's
+      ``min_mer % n_parts``, /root/reference/counter/src/lib.rs:127).
+    * ``bucket_by="minimiser"`` — each k-mer keyed by its canonical
+      m-mer minimizer (KMC-style super-k-mer partitioning): adjacent
+      k-mers share a minimizer, so one read's k-mers land in few
+      partitions — the skew-aware, locality-preserving exchange the
+      north_star names.  Partial aggregation then keys on
+      (minimizer-bucket, kmer); identical final counts.
+    """
     def partial(batch: pa.Table) -> pa.Table:
         values, offsets = list_column_to_numpy(batch.column("tokens"))
         if canonical:
             kmers, _ = canonical_flat_kmers(values, offsets, k)
         else:
             kmers, _, _ = flat_kmers(values, offsets, k)
+        if n_buckets is None:
+            uniq, counts = np.unique(kmers, return_counts=True)
+            return pa.table({"kmer": pa.array(uniq, pa.uint64()),
+                             "cnt": pa.array(counts, pa.int64())})
+        if bucket_by == "minimiser":
+            from ..core.minimiser import _aligned_canonical, sliding_min
+            # minimizer of each k-mer window = min canonical m-mer over
+            # its W = k-m+1 m-mer positions (orientation-invariant, so
+            # every occurrence of a canonical k-mer maps to ONE bucket)
+            canon_m, _ = _aligned_canonical(values, offsets, msize)
+            winmin_all = sliding_min(canon_m, k - msize + 1)
+            _, _, rows2, pos2 = flat_kmers(values, offsets, k,
+                                           return_pos=True, with_rc=False)
+            rowoff = np.asarray(offsets, dtype=np.int64)
+            mins = winmin_all[rowoff[rows2] + pos2]
+            bucket_per_kmer = (mins % np.uint64(n_buckets)).astype(np.int64)
+            df = pd.DataFrame({"bucket": bucket_per_kmer, "kmer": kmers})
+            agg = (df.groupby(["bucket", "kmer"], as_index=False)
+                     .size().rename(columns={"size": "cnt"}))
+            return pa.table({
+                "bucket": pa.array(agg["bucket"].to_numpy()),
+                "kmer": pa.array(agg["kmer"].to_numpy(), pa.uint64()),
+                "cnt": pa.array(agg["cnt"].to_numpy().astype(np.int64)),
+            })
         uniq, counts = np.unique(kmers, return_counts=True)
-        cols = {"kmer": pa.array(uniq, pa.uint64()),
-                "cnt": pa.array(counts, pa.int64())}
-        if n_buckets is not None:
-            cols = {"bucket": pa.array((uniq % np.uint64(n_buckets))
-                                       .astype(np.int64)), **cols}
-        return pa.table(cols)
+        return pa.table({
+            "bucket": pa.array((uniq % np.uint64(n_buckets))
+                               .astype(np.int64)),
+            "kmer": pa.array(uniq, pa.uint64()),
+            "cnt": pa.array(counts, pa.int64())})
     return partial
 
 
-def _merge_bucket(g: pd.DataFrame) -> pd.DataFrame:
+def _merge_bucket(g: pd.DataFrame) -> pa.Table:
     out = g.groupby("kmer", as_index=False, sort=False)["cnt"].sum()
-    return out
+    # return an Arrow block: pandas blocks make every later row-based
+    # consumption (take_all/iter_rows) catastrophically slow (~0.5 ms
+    # PER ROW via .iloc — measured 68 s for 127k rows)
+    return pa.table({"kmer": pa.array(out["kmer"].to_numpy(np.uint64),
+                                      pa.uint64()),
+                     "cnt": pa.array(out["cnt"].to_numpy(np.int64))})
 
 
 def _combine_block(batch: pa.Table) -> pa.Table:
@@ -61,7 +101,8 @@ def _combine_block(batch: pa.Table) -> pa.Table:
 
 def count_kmers(ds: "ray.data.Dataset", k: int, canonical: bool = True,
                 batch_size: int = 4096, n_buckets: int = 64,
-                strategy: str = "auto") -> "ray.data.Dataset":
+                strategy: str = "auto",
+                bucket_by: str = "kmer") -> "ray.data.Dataset":
     """Global counts dataset ``(kmer: uint64, cnt: int64)``.
 
     Two merge strategies over the per-batch ``np.unique`` partials:
@@ -97,9 +138,11 @@ def count_kmers(ds: "ray.data.Dataset", k: int, canonical: bool = True,
             _combine_block, batch_format="pyarrow", zero_copy_batch=True,
             batch_size=None)
 
-    partial = ds.map_batches(make_partial_counts_fn(k, canonical, n_buckets),
-                             batch_format="pyarrow", zero_copy_batch=True,
-                             batch_size=batch_size)
+    partial = ds.map_batches(
+        make_partial_counts_fn(k, canonical, n_buckets,
+                               bucket_by=bucket_by),
+        batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=batch_size)
     return partial.groupby("bucket").map_groups(_merge_bucket,
                                                 batch_format="pandas")
 

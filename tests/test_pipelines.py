@@ -135,3 +135,15 @@ def test_oligo_cgr_pipeline(ray_session, tiny_corpus_dir):
     out = oligo_cgr_pipeline(ds_of(tiny_corpus_dir), k=4).take(5)
     for r in out:
         assert len(r["oligo_cgr"]) == 136
+
+
+def test_minimiser_bucketed_counting(ray_session, tiny_corpus_dir):
+    """north_star: minimizer-bucketed partitioning — identical final
+    counts to the kmer-hash exchange."""
+    ds = ds_of(tiny_corpus_dir)
+    a = {r["kmer"]: r["cnt"] for r in
+         count_kmers(ds, 12, bucket_by="kmer").take_all()}
+    b = {r["kmer"]: r["cnt"] for r in
+         count_kmers(ds_of(tiny_corpus_dir), 12,
+                     bucket_by="minimiser").take_all()}
+    assert a == b
