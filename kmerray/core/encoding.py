@@ -154,8 +154,21 @@ def flat_kmers(values: np.ndarray, offsets: np.ndarray, k: int,
     return f[valid], rc[valid], row
 
 
+@lru_cache(maxsize=None)
+def canonical_value_map(k: int) -> np.ndarray:
+    """uint64 table of length 4^k: kmer -> min(kmer, revcomp(kmer)).
+    Memoized per worker; makes canonicalization a single gather for
+    small k (<= 12: table <= 128 MB would be too fat above that)."""
+    all_kmers = np.arange(4**k, dtype=np.uint64)
+    return np.minimum(all_kmers, rev_comp(all_kmers, k))
+
+
 def canonical_flat_kmers(values, offsets, k: int):
     """(canonical kmers, row ids) for a batch — min(fwd, revcomp) identity
-    as in /root/reference/composition/src/oligo.rs:244."""
+    as in /root/reference/composition/src/oligo.rs:244.  For k <= 10 the
+    rev-comp+min collapses to one table gather (canonical_value_map)."""
+    if k <= 10:
+        f, _, row = flat_kmers(values, offsets, k, with_rc=False)
+        return canonical_value_map(k)[f], row
     f, rc, row = flat_kmers(values, offsets, k)
     return np.minimum(f, rc), row
