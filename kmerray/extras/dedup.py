@@ -74,8 +74,9 @@ def make_gram_explode_fn(n: int):
 
 
 def ngram_jaccard_pairs(ds: "ray.data.Dataset", n: int = 3,
-                        threshold: float = 0.2,
-                        n_buckets: int = 32) -> "ray.data.Dataset":
+                        threshold: float = 0.2, n_buckets: int = 32,
+                        stopgram_cap: int | None = None
+                        ) -> "ray.data.Dataset":
     """Exact Jaccard >= threshold pairs over distinct word n-grams.
 
     grams-explode (bucketed by a gram hash) -> per-bucket vectorized
@@ -101,6 +102,13 @@ def ngram_jaccard_pairs(ds: "ray.data.Dataset", n: int = 3,
     sizes_ref = ray.put(sizes)
 
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        if stopgram_cap is not None:
+            # drop grams shared by more than `cap` docs: stopword grams
+            # dominate pair emission quadratically while carrying no
+            # near-dup signal (a gram lives in exactly one bucket, so
+            # this per-bucket count is its exact global count)
+            freq = g.groupby("gram")["doc_id"].transform("size")
+            g = g[freq <= stopgram_cap]
         m = g[["gram", "doc_id"]].merge(g[["gram", "doc_id"]], on="gram")
         m = m[m["doc_id_x"] < m["doc_id_y"]]
         out = (m.groupby(["doc_id_x", "doc_id_y"], as_index=False)

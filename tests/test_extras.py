@@ -207,3 +207,14 @@ def test_near_dup_survivors(ray_session, docs_with_dups):
     assert 20 in kept and 603 not in kept
     # everything else survives
     assert len(kept) == 60
+
+
+def test_ngram_stopgram_cap(ray_session, docs_with_dups):
+    """The scale guard drops quadratic stopword grams but keeps real
+    near-dup pairs (their distinctive grams are rare)."""
+    from kmerray.extras.dedup import ngram_jaccard_pairs
+    ds = ray.data.from_arrow(docs_with_dups)
+    pairs = ngram_jaccard_pairs(ds, n=3, threshold=0.5,
+                                stopgram_cap=10).to_pandas()
+    got = {tuple(sorted((a, b))) for a, b in zip(pairs["a"], pairs["b"])}
+    assert (0, 601) in got and (10, 602) in got
