@@ -239,6 +239,36 @@ def q_sessionize(sf_dir: str, gap_us: int = SESSION_GAP_US):
     return out.map_batches(cast, batch_format="pandas")
 
 
+def q_lag_lead_partitioned(sf_dir: str):
+    """Scale-path lag/lead (ts-bucket partitions + boundary exchange) —
+    checked against the SAME SQL oracle as the single-task variant."""
+    from .pipelines.windowed import partitioned_lag_lead
+    ds = _seq(sf_dir, ["doc_id", "source", "ts", "n_tok"])
+    out = partitioned_lag_lead(ds)
+
+    def cast(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "doc_id": batch["doc_id"],
+            "prev_n_tok": batch["prev_n_tok"].fillna(-1).astype(np.int64),
+            "next_n_tok": batch["next_n_tok"].fillna(-1).astype(np.int64),
+        })
+    return out.map_batches(cast, batch_format="pandas")
+
+
+def q_sessionize_partitioned(sf_dir: str, gap_us: int = SESSION_GAP_US):
+    """Scale-path sessionize (two-phase scan) — same oracle as the
+    single-task variant."""
+    from .pipelines.windowed import partitioned_sessionize
+    ds = _seq(sf_dir, ["doc_id", "source", "ts"])
+    out = partitioned_sessionize(ds, gap_us=gap_us)
+
+    def cast(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"doc_id": batch["doc_id"],
+                             "session_seq": batch["session_seq"]
+                             .astype(np.int64)})
+    return out.map_batches(cast, batch_format="pandas")
+
+
 def registry() -> dict:
     return {
         "kmer_counts_per_doc": q_kmer_counts_per_doc,
@@ -253,6 +283,8 @@ def registry() -> dict:
         "asof_cov_hist": q_asof_cov_hist,
         "lag_lead": q_lag_lead,
         "sessionize": q_sessionize,
+        "lag_lead_partitioned": q_lag_lead_partitioned,
+        "sessionize_partitioned": q_sessionize_partitioned,
         **extras_registry(),
     }
 
@@ -274,6 +306,9 @@ def oracle_registry(sf_dir: str = "/root/testdata/sf0.01") -> dict:
         "asof_cov_hist": oracle.asof_cov_hist_sql(path, K_ASOF, *ASOF_BINS),
         "lag_lead": oracle.lag_lead_sql(path),
         "sessionize": oracle.sessionize_sql(path, SESSION_GAP_US),
+        "lag_lead_partitioned": oracle.lag_lead_sql(path),
+        "sessionize_partitioned": oracle.sessionize_sql(path,
+                                                        SESSION_GAP_US),
         "doc_stats": oracle.doc_stats_sql(),
         "dedup_exact": oracle.dedup_exact_sql(),
         "ngram_dupes": oracle.ngram_dupes_sql(NGRAM_N, NGRAM_THRESHOLD),
