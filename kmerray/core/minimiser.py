@@ -67,7 +67,11 @@ def _aligned_canonical(values, offsets, m: int):
     f = np.zeros(nwin, dtype=np.uint64)
     for j in range(m):
         f = (f << np.uint64(2)) | vv[j:j + nwin]
-    canon = np.minimum(f, rev_comp(f, m))
+    if m <= 10:
+        from .encoding import canonical_value_map
+        canon = canonical_value_map(m)[f]
+    else:
+        canon = np.minimum(f, rev_comp(f, m))
     c = np.zeros(n + 1, dtype=np.int64)
     np.cumsum(bad, out=c[1:])
     valid = (c[m:] - c[:-m]) == 0
