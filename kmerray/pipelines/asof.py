@@ -62,29 +62,72 @@ def eff_day_of(ts_us: np.ndarray, window_us: int = DAY_US,
 
 def make_snapshot_partial_fn(k: int, window_us: int = DAY_US,
                              n_buckets: int = 64):
-    """Per batch: partial ``(bucket, source, day, kmer, cnt)`` counts."""
+    """Per batch: partial ``(bucket, source, day, kmer, cnt)`` counts.
+
+    The per-batch combine packs (kmer, day, source-code) into one
+    uint64 key with ``ceil(log2(n_sources))`` source bits allocated
+    PER BATCH (round 1 hard-coded 2 bits, silently aliasing counts
+    for >=5 distinct sources); when the dynamic key would not fit in
+    64 bits (large k x many sources) it falls back to a per-source
+    combine with the same output.  Day indexes are range-checked —
+    a >2^8-day horizon raises instead of silently wrapping."""
     def partial(batch: pa.Table) -> pa.Table:
         values, offsets = list_column_to_numpy(batch.column("tokens"))
         canon, row = canonical_flat_kmers(values, offsets, k)
         day = day_of(_ts_us(batch), window_us)[row]
+        if len(day) and (day.min() < 0 or day.max() >= (1 << _DAY_BITS)):
+            raise ValueError(
+                f"day index outside [0, {1 << _DAY_BITS}) for "
+                f"window_us={window_us}; use a wider window (or raise "
+                f"_DAY_BITS) instead of silently wrapping")
         src = batch.column("source").to_pandas()
         src_codes, src_uniques = pd.factorize(src)
-        code_per_kmer = src_codes[row]
-        # composite key (src, kmer, day) -> counts within the batch
-        key = (canon.astype(np.uint64) << np.uint64(_DAY_BITS + 2)) \
-            | (day.astype(np.uint64) << np.uint64(2)) \
-            | code_per_kmer.astype(np.uint64)
-        uk, cnt = np.unique(key, return_counts=True)
-        out_kmer = uk >> np.uint64(_DAY_BITS + 2)
-        out_day = (uk >> np.uint64(2)) & np.uint64((1 << _DAY_BITS) - 1)
-        out_src = (uk & np.uint64(3)).astype(np.int64)
+        code_per_kmer = src_codes[row].astype(np.uint64)
+        n_src = max(int(len(src_uniques)), 1)
+        src_bits = max(1, int(np.ceil(np.log2(n_src))) if n_src > 1 else 1)
+        days_u = day.astype(np.uint64)
+        canon_u = canon.astype(np.uint64)
+        if 2 * k + _DAY_BITS + src_bits <= 64:
+            shift = np.uint64(_DAY_BITS + src_bits)
+            key = (canon_u << shift) \
+                | (days_u << np.uint64(src_bits)) | code_per_kmer
+            uk, cnt = np.unique(key, return_counts=True)
+            out_kmer = uk >> shift
+            out_day = (uk >> np.uint64(src_bits)) \
+                & np.uint64((1 << _DAY_BITS) - 1)
+            out_src = (uk & np.uint64((1 << src_bits) - 1)).astype(np.int64)
+            cnt = cnt.astype(np.int64)
+        else:
+            # per-source fallback: key is (kmer << 8 | day) only, which
+            # fits for any k <= 28 regardless of the source count
+            kparts, dparts, sparts, cparts = [], [], [], []
+            for code in range(n_src):
+                m = code_per_kmer == code
+                if not m.any():
+                    continue
+                key = (canon_u[m] << np.uint64(_DAY_BITS)) | days_u[m]
+                uk, c = np.unique(key, return_counts=True)
+                kparts.append(uk >> np.uint64(_DAY_BITS))
+                dparts.append(uk & np.uint64((1 << _DAY_BITS) - 1))
+                sparts.append(np.full(len(uk), code, dtype=np.int64))
+                cparts.append(c.astype(np.int64))
+            out_kmer = (np.concatenate(kparts) if kparts
+                        else np.empty(0, np.uint64))
+            out_day = (np.concatenate(dparts) if dparts
+                       else np.empty(0, np.uint64))
+            out_src = (np.concatenate(sparts) if sparts
+                       else np.empty(0, np.int64))
+            cnt = (np.concatenate(cparts) if cparts
+                   else np.empty(0, np.int64))
         return pa.table({
             "bucket": pa.array((out_kmer % np.uint64(n_buckets)
                                 ).astype(np.int64)),
-            "source": pa.array(src_uniques[out_src].astype(str)),
+            "source": pa.array(
+                np.asarray(src_uniques, dtype=object)[out_src],
+                pa.string()),
             "day": pa.array(out_day.astype(np.int64)),
             "kmer": pa.array(out_kmer, pa.uint64()),
-            "cnt": pa.array(cnt.astype(np.int64)),
+            "cnt": pa.array(cnt),
         })
     return partial
 
@@ -129,7 +172,12 @@ def load_snapshot_index(path_or_table) -> dict:
         t = path_or_table
     src = np.asarray(t.column("source").to_pandas())
     kmer = t.column("kmer").to_numpy().astype(np.uint64)
-    day = t.column("day").to_numpy().astype(np.uint64)
+    day_i = t.column("day").to_numpy().astype(np.int64)
+    if len(day_i) and (day_i.min() < 0 or day_i.max() >= (1 << _DAY_BITS)):
+        raise ValueError(
+            f"snapshot day outside [0, {1 << _DAY_BITS}) — the table "
+            "was built with an incompatible window")
+    day = day_i.astype(np.uint64)
     cum = t.column("cum_cnt").to_numpy().astype(np.int64)
     keys = (kmer << np.uint64(_DAY_BITS)) | day
     index = {}
@@ -147,7 +195,10 @@ def asof_lookup_counts(index: dict, source_of_row: np.ndarray,
     """Per k-mer occurrence: dictionary count in the row's effective
     snapshot (vectorized double binary search; missing/never-seen -> 0)."""
     out = np.zeros(len(canon), dtype=np.int64)
-    eff_per_kmer = eff_day[row]
+    # snapshot days are < 2^_DAY_BITS (enforced at build); an eff day
+    # beyond that still wants the newest snapshot, so clamping is
+    # exact — and keeps the packed query key from overflowing
+    eff_per_kmer = np.minimum(eff_day[row], (1 << _DAY_BITS) - 1)
     src_per_kmer = source_of_row[row]
     usable = eff_per_kmer >= 0
     for s in np.unique(src_per_kmer):

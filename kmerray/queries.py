@@ -368,10 +368,21 @@ def q_ann_topk(sf_dir: str):
 
 
 def q_emb_near_dup(sf_dir: str):
+    """Exact block-grid path (no full-matrix broadcast); block_rows
+    sized so the sf0.01 table exercises a multi-block grid."""
     from .extras.similarity import cosine_near_dup_pairs
     path = f"{sf_dir}/embeddings.parquet"
-    ds = ray.data.read_parquet(path)
-    return cosine_near_dup_pairs(ds, path, threshold=EMB_DUP_THRESHOLD)
+    return cosine_near_dup_pairs(path, threshold=EMB_DUP_THRESHOLD,
+                                 block_rows=256)
+
+
+def q_emb_near_dup_lsh(sf_dir: str):
+    """Rows-only check: sub-quadratic LSH-bucketed near-dup (recall
+    vs the exact block grid is asserted in tests)."""
+    from .extras.similarity import cosine_near_dup_lsh
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                               columns=["vec_id", "embedding"])
+    return cosine_near_dup_lsh(ds, threshold=EMB_DUP_THRESHOLD)
 
 
 def q_minhash_candidates(sf_dir: str):
@@ -401,6 +412,7 @@ def extras_registry() -> dict:
         "ngram_dupes": q_ngram_dupes,
         "ann_topk": q_ann_topk,
         "emb_near_dup": q_emb_near_dup,
+        "emb_near_dup_lsh": q_emb_near_dup_lsh,
         "minhash_candidates": q_minhash_candidates,
         "simhash_pairs": q_simhash_pairs,
         "media_features": q_media_features,

@@ -242,3 +242,111 @@ def test_backfill_idempotent_and_leak_free(ray_session, corpus):
              backfill_rescore(ds_early, snap2, K, BIN_SIZE, BIN_COUNT,
                               concurrency=2).take_all()}
     assert again == redone
+
+
+# ---------------------------------------------------------------------------
+# round-2 packing fixes: arbitrary source counts, k=28 fallback, day guard
+# ---------------------------------------------------------------------------
+
+
+def _many_source_table(n_src=6, rows_per_src=5, n_tok=30, n_days=5, seed=3):
+    rng = np.random.default_rng(seed)
+    ids, toks, srcs, ts = [], [], [], []
+    for s in range(n_src):
+        for r in range(rows_per_src):
+            ids.append(f"d{s}-{r}")
+            toks.append(rng.integers(0, 4, size=n_tok,
+                                     dtype=np.int32).tolist())
+            srcs.append(f"src{s}")
+            ts.append(TS_BASE_US + int(rng.integers(0, n_days)) * DAY_US
+                      + 1000)
+    return pa.table({
+        "doc_id": pa.array(ids),
+        "tokens": pa.array(toks, pa.list_(pa.int32())),
+        "source": pa.array(srcs),
+        "ts": pa.array(ts, pa.int64()).cast(pa.timestamp("us")),
+    })
+
+
+def _expected_partial(table, k):
+    """Pandas oracle for the per-batch partial: (source, day, kmer) ->
+    count over the whole table as one batch."""
+    tok = table.column("tokens").combine_chunks()
+    off = tok.offsets.to_numpy().astype(np.int64)
+    values = tok.values.to_numpy()[off[0]:off[-1]]
+    off = off - off[0]
+    canon, row = canonical_flat_kmers(values, off, k)
+    ts = table.column("ts").cast(pa.int64()).to_numpy()
+    df = pd.DataFrame({
+        "source": np.asarray(table.column("source").to_pandas())[row],
+        "day": day_of(ts)[row],
+        "kmer": canon,
+    })
+    return (df.groupby(["source", "day", "kmer"]).size()
+              .reset_index(name="cnt")
+              .sort_values(["source", "day", "kmer"])
+              .reset_index(drop=True))
+
+
+@pytest.mark.parametrize("k", [6, 28])
+def test_snapshot_partial_many_sources(k):
+    """>=5 distinct sources in one batch (round 1 silently aliased
+    them into 2 bits); k=28 exercises the per-source fallback path
+    (2k + 8 + src_bits > 64)."""
+    from kmerray.pipelines.asof import make_snapshot_partial_fn
+    t = _many_source_table(n_src=6)
+    got = (make_snapshot_partial_fn(k)(t).to_pandas()
+           [["source", "day", "kmer", "cnt"]]
+           .astype({"kmer": np.uint64})
+           .sort_values(["source", "day", "kmer"]).reset_index(drop=True))
+    want = _expected_partial(t, k).astype({"kmer": np.uint64,
+                                           "cnt": np.int64})
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_snapshot_many_sources_end_to_end(ray_session):
+    """Full snapshot build over 6 sources matches the cumulative
+    pandas oracle."""
+    t = _many_source_table(n_src=6)
+    snap = snapshot_counts(ray.data.from_arrow(t), K, n_buckets=4)
+    got = (snap.to_pandas().astype({"kmer": np.uint64})
+           .sort_values(["source", "kmer", "day"]).reset_index(drop=True))
+    want = _expected_partial(t, K)
+    want = want.sort_values(["source", "kmer", "day"]).reset_index(drop=True)
+    want["cum_cnt"] = want.groupby(["source", "kmer"])["cnt"].cumsum()
+    want = want[["source", "kmer", "day", "cum_cnt"]].astype(
+        {"kmer": np.uint64})
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_snapshot_day_out_of_range_raises():
+    """A >256-day horizon must raise, not silently wrap into kmer bits."""
+    from kmerray.pipelines.asof import make_snapshot_partial_fn
+    t = pa.table({
+        "doc_id": pa.array(["x"]),
+        "tokens": pa.array([[0, 1, 2, 3, 0, 1]], pa.list_(pa.int32())),
+        "source": pa.array(["s"]),
+        "ts": pa.array([TS_BASE_US + 300 * DAY_US],
+                pa.int64()).cast(pa.timestamp("us")),
+    })
+    with pytest.raises(ValueError, match="day index"):
+        make_snapshot_partial_fn(6)(t)
+
+
+def test_asof_lookup_eff_day_clamped():
+    """A row far past the last snapshot still scores against the
+    newest snapshot (clamped eff day; no uint64 overflow)."""
+    from kmerray.pipelines.asof import (AsofCovScorer, asof_lookup_counts,
+                                        load_snapshot_index)
+    snap = pa.table({
+        "source": pa.array(["s", "s"]),
+        "kmer": pa.array([5, 9], pa.uint64()),
+        "day": pa.array([0, 2], pa.int64()),
+        "cum_cnt": pa.array([7, 3], pa.int64()),
+    })
+    index = load_snapshot_index(snap)
+    canon = np.array([5, 9, 11], dtype=np.uint64)
+    row = np.array([0, 0, 0])
+    eff = np.array([10_000])          # way past day 255
+    out = asof_lookup_counts(index, np.array(["s"]), eff, canon, row)
+    assert out.tolist() == [7, 3, 0]

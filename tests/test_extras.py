@@ -152,10 +152,34 @@ def test_cosine_near_dup(ray_session, emb_table, tmp_path):
     import pyarrow.parquet as pq
     path = str(tmp_path / "emb.parquet")
     pq.write_table(emb_table, path)
-    ds = ray.data.read_parquet(path)
-    pairs = cosine_near_dup_pairs(ds, path, threshold=0.95).to_pandas()
+    # multi-block grid (300 rows, 64-row blocks) must equal one block
+    pairs = cosine_near_dup_pairs(path, threshold=0.95,
+                                  block_rows=64).to_pandas()
     got = {tuple(sorted((a, b))) for a, b in zip(pairs["a"], pairs["b"])}
     assert (0, 7) in got
+    one = cosine_near_dup_pairs(path, threshold=0.95,
+                                block_rows=1000).to_pandas()
+    assert got == {tuple(sorted((a, b)))
+                   for a, b in zip(one["a"], one["b"])}
+
+
+def test_cosine_near_dup_lsh_recall(ray_session, emb_table, tmp_path):
+    """The LSH-bucketed scale path: exact-verified pairs only (no
+    false positives) and decent recall vs the exact block grid."""
+    import pyarrow.parquet as pq
+    from kmerray.extras.similarity import cosine_near_dup_lsh
+    path = str(tmp_path / "emb.parquet")
+    pq.write_table(emb_table, path)
+    exact = cosine_near_dup_pairs(path, threshold=0.8).to_pandas()
+    want = {tuple(sorted((a, b))) for a, b in zip(exact["a"], exact["b"])}
+    approx = cosine_near_dup_lsh(ray.data.read_parquet(path),
+                                 threshold=0.8, n_bits=4,
+                                 n_tables=8).to_pandas()
+    got = {tuple(sorted((a, b))) for a, b in zip(approx["a"], approx["b"])}
+    assert got <= want                       # no false positives
+    assert (0, 7) in got                     # planted near-dup found
+    if want:
+        assert len(got & want) / len(want) >= 0.5
 
 
 def test_text_stages(ray_session, docs_with_dups):
