@@ -70,6 +70,64 @@ FROM per p JOIN colmap c ON c.canon = p.kmer
 JOIN tot t ON t.doc_id = p.doc_id"""
 
 
+def cfv_raw_sql(path: str, k: int) -> str:
+    """Raw-mode normalized CFV: col = the forward k-mer value itself
+    (no canonical folding; /root/reference/composition/src/oligo.rs:250)."""
+    f, _, valid = _kmer_terms(k)
+    return f"""WITH km AS (
+  SELECT doc_id, CAST({f} AS BIGINT) AS col
+  FROM {_seq(path)},
+       LATERAL (SELECT unnest(generate_series(1, len(tokens) - {k - 1})) AS i) g
+  WHERE {valid}
+),
+per AS (SELECT doc_id, col, count(*) AS cnt FROM km GROUP BY doc_id, col),
+tot AS (SELECT doc_id, sum(cnt) AS total FROM per GROUP BY doc_id)
+SELECT p.doc_id, p.col,
+       CAST(p.cnt AS DOUBLE) / CAST(t.total AS DOUBLE) AS freq
+FROM per p JOIN tot t ON t.doc_id = p.doc_id"""
+
+
+def oligo_cgr_sql(path: str, k: int) -> str:
+    """Oligo-CGR entries: canonical column map (as in cfv_norm) plus
+    the per-canonical-kmer CGR endpoint, folded digit-by-digit with
+    the exact (corner + acc)/2 operation order so the floats are
+    bit-identical (same list_reduce trick as cgr_final_sql);
+    vecsize = k*k (the CLI default, kmertools/src/args.rs:266-269)."""
+    v = float(k * k)
+    rc = " + ".join(f"(3 - ((v // {4 ** j}) % 4)) * {4 ** (k - 1 - j)}"
+                    for j in range(k))
+    # walk digits most-significant first; corner x = v if digit>=2,
+    # corner y = v if digit in (1,2)  (A=(0,0) C=(0,v) G=(v,v) T=(v,0))
+    xt = ", ".join(
+        f"CAST(CASE WHEN ((canon // {4 ** (k - 1 - j)}) % 4) >= 2 "
+        f"THEN {v} ELSE 0 END AS DOUBLE)" for j in range(k))
+    yt = ", ".join(
+        f"CAST(CASE WHEN ((canon // {4 ** (k - 1 - j)}) % 4) IN (1, 2) "
+        f"THEN {v} ELSE 0 END AS DOUBLE)" for j in range(k))
+    fold = f"(acc, t) -> (t + acc) / 2"
+    return f"""WITH {km_cte(path, k)},
+allk AS (
+  SELECT CAST(least(v, {rc}) AS BIGINT) AS canon
+  FROM (SELECT unnest(generate_series(0, {4 ** k - 1})) AS v)
+),
+colmap AS (
+  SELECT canon, CAST(row_number() OVER (ORDER BY canon) - 1 AS BIGINT) AS col,
+         list_reduce(list_prepend(CAST({v / 2.0} AS DOUBLE), [{xt}]),
+                     {fold}) AS x,
+         list_reduce(list_prepend(CAST({v / 2.0} AS DOUBLE), [{yt}]),
+                     {fold}) AS y
+  FROM (SELECT DISTINCT canon FROM allk)
+),
+per AS (
+  SELECT doc_id, kmer, count(*) AS cnt FROM km GROUP BY doc_id, kmer
+),
+tot AS (SELECT doc_id, sum(cnt) AS total FROM per GROUP BY doc_id)
+SELECT p.doc_id, c.col, c.x, c.y,
+       CAST(p.cnt AS DOUBLE) / CAST(t.total AS DOUBLE) AS freq
+FROM per p JOIN colmap c ON c.canon = p.kmer
+JOIN tot t ON t.doc_id = p.doc_id"""
+
+
 def minimisers_sql(path: str, w: int, m: int) -> str:
     """(doc_id, mmer, start, end) minimizer runs — value-RLE over
     per-window minima with the reference's end-of-row drop quirk."""
