@@ -82,6 +82,114 @@ def coverage_pipeline(seq_ds: "ray.data.Dataset", counts_source,
         batch_size=batch_size, concurrency=concurrency, num_cpus=num_cpus)
 
 
+# ---------------------------------------------------------------------------
+# sharded scale path: each task holds only a 1/n_shards dictionary slice
+# ---------------------------------------------------------------------------
+
+
+def group_pair_counts(row: np.ndarray, kmer: np.ndarray):
+    """Vectorized (row, kmer) -> occurrence counts via lexsort run
+    detection (no bit-packing, so any k/batch size combination is
+    safe — unlike a row<<2k composite key)."""
+    if not len(row):
+        return (np.empty(0, np.int64), np.empty(0, np.uint64),
+                np.empty(0, np.int64))
+    order = np.lexsort((kmer, row))
+    r, c = row[order], kmer[order]
+    brk = np.empty(len(r), dtype=bool)
+    brk[0] = True
+    brk[1:] = (r[1:] != r[:-1]) | (c[1:] != c[:-1])
+    starts = np.flatnonzero(brk)
+    counts = np.diff(np.append(starts, len(r))).astype(np.int64)
+    return r[starts].astype(np.int64), c[starts], counts
+
+
+def shard_count_table(kmers: np.ndarray, cnts: np.ndarray,
+                      n_shards: int) -> list:
+    """Split a sorted count table into ``n_shards`` broadcastable
+    slices keyed by ``kmer % n_shards`` (one ``ray.put`` per shard —
+    a scoring task only ever fetches its own slice)."""
+    refs = []
+    for s in range(n_shards):
+        m = (kmers % np.uint64(n_shards)) == s
+        refs.append(ray.put((kmers[m], cnts[m])))
+    return refs
+
+
+def sharded_cov_hist(seq_ds: "ray.data.Dataset", shard_refs: list, k: int,
+                     bin_size: int, bin_count: int,
+                     n_buckets: int = 32) -> "ray.data.Dataset":
+    """Coverage histogram (exploded ``(doc_id, bin, val)`` rows, nonzero
+    bins only) with the dictionary SHARDED across tasks — the scale
+    path for dictionaries too large for one actor's heap (SURVEY §7.2:
+    "the dictionary can be GBs at scale"; VERDICT round 1, item #7).
+
+    Plan: per-batch (doc, kmer) combine -> shuffle occurrence rows by
+    ``kmer % n_shards`` (each shard task fetches ONLY its dictionary
+    slice) -> per-shard searchsorted lookup + partial (doc, bin)
+    histogram -> doc-bucketed reassembly.  Costs one extra exchange of
+    the distinct (doc, kmer) pairs vs the unsharded broadcast scorer;
+    per-task memory drops from |dict| to |dict|/n_shards.  Parity with
+    the unsharded path is pytest-gated and both share the driver's
+    cov_hist SQL oracle."""
+    n_shards = len(shard_refs)
+
+    def occurrences(batch: pa.Table) -> pa.Table:
+        values, offsets = list_column_to_numpy(batch.column("tokens"))
+        from ..core.encoding import canonical_flat_kmers
+        canon, row = canonical_flat_kmers(values, offsets, k)
+        urow, ukmer, occ = group_pair_counts(row, canon)
+        return pa.table({
+            "doc_id": batch.column("doc_id").take(pa.array(urow)),
+            "kmer": pa.array(ukmer, pa.uint64()),
+            "occ": pa.array(occ),
+            "shard": pa.array((ukmer % np.uint64(n_shards))
+                              .astype(np.int64)),
+        })
+
+    occ_ds = seq_ds.map_batches(occurrences, batch_format="pyarrow",
+                                zero_copy_batch=True)
+
+    def shard_lookup(g: "pd.DataFrame") -> pa.Table:
+        import pandas as pd
+        s = int(g["shard"].iloc[0])
+        kmers, cnts = ray.get(shard_refs[s])
+        q = g["kmer"].to_numpy().astype(np.uint64)
+        if len(kmers):
+            idx = np.minimum(np.searchsorted(kmers, q), len(kmers) - 1)
+            c = np.where(kmers[idx] == q, cnts[idx], 0)
+        else:
+            c = np.zeros(len(q), dtype=np.int64)
+        bins = np.minimum(c // bin_size, bin_count - 1)
+        df = pd.DataFrame({"doc_id": g["doc_id"].to_numpy(),
+                           "bin": bins.astype(np.int64),
+                           "val": g["occ"].to_numpy()})
+        out = df.groupby(["doc_id", "bin"], as_index=False)["val"].sum()
+        from ..extras.text import content_hash64
+        bucket = (content_hash64(out["doc_id"])
+                  % np.uint64(n_buckets)).astype(np.int64)
+        return pa.table({
+            "doc_id": pa.array(out["doc_id"], pa.string()),
+            "bin": pa.array(out["bin"].to_numpy(np.int64)),
+            "val": pa.array(out["val"].to_numpy(np.int64)),
+            "bucket": pa.array(bucket),
+        })
+
+    partial = occ_ds.groupby("shard").map_groups(shard_lookup,
+                                                 batch_format="pandas")
+
+    def reassemble(g: "pd.DataFrame") -> pa.Table:
+        out = g.groupby(["doc_id", "bin"], as_index=False)["val"].sum()
+        return pa.table({
+            "doc_id": pa.array(out["doc_id"], pa.string()),
+            "bin": pa.array(out["bin"].to_numpy(np.int64)),
+            "val": pa.array(out["val"].to_numpy(np.int64)),
+        })
+
+    return partial.groupby("bucket").map_groups(reassemble,
+                                                batch_format="pandas")
+
+
 def cov_end_to_end(seq_ds: "ray.data.Dataset", k: int, bin_size: int,
                    bin_count: int, counts_dir: str, norm: bool = True,
                    alt_ds: "ray.data.Dataset | None" = None,

@@ -214,6 +214,32 @@ def q_cov_hist(sf_dir: str, k: int = K_COV, bins=COV_BINS):
                               batch_format="pyarrow")
 
 
+def q_cov_hist_sharded(sf_dir: str, k: int = K_COV, bins=COV_BINS,
+                       n_shards: int = 4):
+    """Sharded-dictionary scale path — same SQL oracle as cov_hist."""
+    from .pipelines.cov import shard_count_table, sharded_cov_hist
+    bin_size, bin_count = bins
+    ds = _seq(sf_dir, ["doc_id", "tokens"])
+    ct = count_kmers(ds, k).to_pandas()
+    kmers = ct["kmer"].to_numpy().astype(np.uint64)
+    cnts = ct["cnt"].to_numpy().astype(np.int64)
+    order = np.argsort(kmers)
+    refs = shard_count_table(kmers[order], cnts[order], n_shards)
+    return sharded_cov_hist(ds, refs, k, bin_size, bin_count)
+
+
+def q_asof_cov_hist_sharded(sf_dir: str, k: int = K_ASOF, bins=ASOF_BINS,
+                            n_shards: int = 4):
+    """Sharded-snapshot-index scale path — same SQL oracle as
+    asof_cov_hist."""
+    from .pipelines.asof import shard_snapshot_index, sharded_asof_hist
+    bin_size, bin_count = bins
+    ds = _seq(sf_dir, ["doc_id", "tokens", "source", "ts"])
+    snap_df = snapshot_counts(ds, k).to_pandas()
+    refs = shard_snapshot_index(pa.Table.from_pandas(snap_df), n_shards)
+    return sharded_asof_hist(ds, refs, k, bin_size, bin_count)
+
+
 def q_cgr_final(sf_dir: str):
     """Final CGR point per clean row — exercises the M8 walk through an
     exact SQL oracle (full walks are pytest-golden-tested)."""
@@ -332,8 +358,10 @@ def registry() -> dict:
         "whole_seq_minimiser": q_whole_seq_minimiser,
         "cgr_final": q_cgr_final,
         "cov_hist": q_cov_hist,
+        "cov_hist_sharded": q_cov_hist_sharded,
         "asof_snapshots": q_asof_snapshots,
         "asof_cov_hist": q_asof_cov_hist,
+        "asof_cov_hist_sharded": q_asof_cov_hist_sharded,
         "lag_lead": q_lag_lead,
         "sessionize": q_sessionize,
         "lag_lead_partitioned": q_lag_lead_partitioned,
@@ -357,8 +385,11 @@ def oracle_registry(sf_dir: str = "/root/testdata/sf0.01") -> dict:
         "whole_seq_minimiser": oracle.whole_seq_minimiser_sql(path, WHOLE_M),
         "cgr_final": oracle.cgr_final_sql(path),
         "cov_hist": oracle.cov_hist_sql(path, K_COV, *COV_BINS),
+        "cov_hist_sharded": oracle.cov_hist_sql(path, K_COV, *COV_BINS),
         "asof_snapshots": oracle.asof_snapshots_sql(path, K_ASOF),
         "asof_cov_hist": oracle.asof_cov_hist_sql(path, K_ASOF, *ASOF_BINS),
+        "asof_cov_hist_sharded": oracle.asof_cov_hist_sql(path, K_ASOF,
+                                                          *ASOF_BINS),
         "lag_lead": oracle.lag_lead_sql(path),
         "sessionize": oracle.sessionize_sql(path, SESSION_GAP_US),
         "lag_lead_partitioned": oracle.lag_lead_sql(path),
