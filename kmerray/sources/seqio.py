@@ -1,0 +1,111 @@
+"""FASTA/FASTQ ingestion source — S1/S2/S3 parity for *real* kmertools
+inputs (format sniffing /root/reference/ktio/src/seq.rs:29-42, record
+iteration :44-139, gzip :141-155), re-expressed as a Ray Data source:
+``read_binary_files`` (one block per file — files are the parallelism
+unit, the natural sharding for genomics corpora of many read files)
+followed by a vectorized parse/tokenize ``map_batches`` stage that
+emits the engine's standard sequences schema
+``(doc_id: string, tokens: list<int32>, n_tok: int32)``.
+
+Record splitting is C-speed ``bytes.split``; base tokenization is one
+numpy 256-entry table gather over the concatenated sequence bytes
+(0..3 = ACGT case-insensitive, 4 = anything else — the SEQ_NT4 code
+space).  Gzip is auto-detected by magic; format by first record byte.
+"""
+
+from __future__ import annotations
+
+import gzip
+
+import numpy as np
+import pyarrow as pa
+
+import ray.data
+
+_TOK = np.full(256, 4, dtype=np.int32)
+for _i, _c in enumerate(b"ACGT"):
+    _TOK[_c] = _i
+for _i, _c in enumerate(b"acgt"):
+    _TOK[_c] = _i
+
+
+def sniff_format(data: bytes) -> str:
+    """'fasta' or 'fastq' from the first non-blank byte."""
+    for b in data[:4096]:
+        if b in (ord(">"),):
+            return "fasta"
+        if b in (ord("@"),):
+            return "fastq"
+        if b not in (ord("\n"), ord("\r"), ord(" "), ord("\t")):
+            break
+    raise ValueError("not a FASTA/FASTQ payload (no '>'/'@' lead byte)")
+
+
+def parse_fasta(data: bytes) -> tuple[list[str], list[bytes]]:
+    """(record ids, raw sequence bytes) — multi-line sequences joined."""
+    ids, seqs = [], []
+    for rec in data.split(b">")[1:]:
+        header, _, body = rec.partition(b"\n")
+        ids.append(header.split()[0].decode() if header.split() else "")
+        seqs.append(body.replace(b"\n", b"").replace(b"\r", b""))
+    return ids, seqs
+
+
+def parse_fastq(data: bytes) -> tuple[list[str], list[bytes]]:
+    lines = data.split(b"\n")
+    ids, seqs = [], []
+    for i in range(0, len(lines) - 1, 4):
+        header = lines[i].strip()
+        if not header:
+            continue
+        if not header.startswith(b"@"):
+            raise ValueError(f"malformed FASTQ header at line {i}")
+        ids.append(header[1:].split()[0].decode())
+        seqs.append(lines[i + 1].strip())
+    return ids, seqs
+
+
+def records_to_table(ids: list[str], seqs: list[bytes]) -> pa.Table:
+    """Tokenize all records with one table gather over the
+    concatenated bytes and assemble the list column zero-copy."""
+    lens = np.fromiter((len(s) for s in seqs), dtype=np.int64,
+                       count=len(seqs))
+    offsets = np.zeros(len(seqs) + 1, dtype=np.int64)
+    np.cumsum(lens, out=offsets[1:])
+    flat = np.frombuffer(b"".join(seqs), dtype=np.uint8)
+    tokens = _TOK[flat]
+    lst = pa.ListArray.from_arrays(
+        pa.array(offsets.astype(np.int32), pa.int32()),
+        pa.array(tokens, pa.int32()))
+    return pa.table({
+        "doc_id": pa.array(ids, pa.string()),
+        "tokens": lst,
+        "n_tok": pa.array(lens.astype(np.int32), pa.int32()),
+    })
+
+
+def parse_payload(data: bytes) -> pa.Table:
+    if data[:2] == b"\x1f\x8b":
+        data = gzip.decompress(data)
+    fmt = sniff_format(data)
+    ids, seqs = (parse_fasta if fmt == "fasta" else parse_fastq)(data)
+    return records_to_table(ids, seqs)
+
+
+def read_seq_files(paths, **read_kwargs) -> "ray.data.Dataset":
+    """FASTA/FASTQ(.gz) file(s)/dir -> sequences Dataset
+    ``(doc_id, tokens, n_tok)`` ready for any kmerray pipeline.
+
+    Parallelism is per file (each file is one read task); at cluster
+    scale a many-file corpus fans out across nodes with no driver
+    involvement.  A single giant file parses in one task — split such
+    inputs upstream (standard for line-oriented genomics formats)."""
+    ds = ray.data.read_binary_files(paths, **read_kwargs)
+
+    def parse_batch(batch: pa.Table) -> pa.Table:
+        tables = [parse_payload(row.as_py())
+                  for row in batch.column("bytes")]
+        return pa.concat_tables(tables) if tables else records_to_table(
+            [], [])
+    return ds.map_batches(parse_batch, batch_format="pyarrow",
+                          batch_size=1)
