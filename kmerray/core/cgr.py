@@ -56,26 +56,31 @@ def cgr_batch(values, offsets, vecsize: float = 1.0, strict: bool = True):
     np.add.at(row_bad, np.repeat(np.arange(nrows), lengths), bad_tok)
     valid = row_bad == 0
 
-    maxlen = int(lengths.max()) if nrows else 0
     cx, cy = _corners(vecsize)
     center = float(vecsize) / 2.0
 
-    # pad tokens into (nrows x maxlen); padded slots use code 0 but are
-    # never read back
-    grid = np.zeros((nrows, maxlen), dtype=np.int64)
-    mask = np.arange(maxlen)[None, :] < lengths[:, None]
-    grid[mask] = np.where(bad_tok, 0, v)
-    xs_g = np.empty((nrows, maxlen), dtype=np.float64)
-    ys_g = np.empty((nrows, maxlen), dtype=np.float64)
+    # rows sorted by length DESC: at step i the rows still walking are
+    # a prefix of the sorted order, so total work is O(total tokens)
+    # and memory O(total tokens) — no (nrows x maxlen) padded grid
+    # (one 5x-long row used to inflate the whole batch)
+    v_clean = np.where(bad_tok, 0, v)
+    xs = np.empty(len(v), dtype=np.float64)
+    ys = np.empty(len(v), dtype=np.float64)
+    order = np.argsort(-lengths, kind="stable")
+    slen = lengths[order]
+    starts = offsets[:-1][order]
+    maxlen = int(slen[0]) if nrows else 0
     mx = np.full(nrows, center)
     my = np.full(nrows, center)
     for i in range(maxlen):
-        mx = (cx[grid[:, i]] + mx) / 2.0
-        my = (cy[grid[:, i]] + my) / 2.0
-        xs_g[:, i] = mx
-        ys_g[:, i] = my
-    xs = xs_g[mask]
-    ys = ys_g[mask]
+        # rows with slen >= i+1 (prefix; -slen is ascending)
+        cnt = int(np.searchsorted(-slen, -(i + 1), side="right"))
+        idx = starts[:cnt] + i
+        tok = v_clean[idx]
+        mx[:cnt] = (cx[tok] + mx[:cnt]) / 2.0
+        my[:cnt] = (cy[tok] + my[:cnt]) / 2.0
+        xs[idx] = mx[:cnt]
+        ys[idx] = my[:cnt]
     if not valid.all():
         flat_invalid = np.repeat(~valid, lengths)
         xs[flat_invalid] = np.nan

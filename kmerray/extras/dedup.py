@@ -33,6 +33,12 @@ _FNV_PRIME = np.uint64(0x100000001B3)
 _FNV_OFFSET = np.uint64(0xCBF29CE484222325)
 
 
+def _auto_buckets(ds: "ray.data.Dataset", floor: int = 32) -> int:
+    """Input-size-derived shuffle width (shared G2 sizing formula)."""
+    from ..pipelines.counter import default_n_buckets
+    return default_n_buckets(ds, floor=floor)
+
+
 def _empty(cols: dict) -> pd.DataFrame:
     return pd.DataFrame({c: pd.Series([], dtype=t) for c, t in cols.items()})
 
@@ -55,14 +61,19 @@ def _popcount64(x: np.ndarray) -> np.ndarray:
 
 
 def exact_dedup_survivors(ds: "ray.data.Dataset", col: str = "text",
-                          n_buckets: int = 64) -> "ray.data.Dataset":
+                          n_buckets: int | None = None
+                          ) -> "ray.data.Dataset":
     """(doc_id) of the kept row per distinct content.
 
     Shuffle key = 64-bit content hash **bucketed** (``h % n_buckets``)
     — grouping by the raw hash would make one Ray group per distinct
     document; inside each bucket one vectorized pandas groupby on the
     raw content keeps min doc_id (raw-equality grouping, so a hash
-    collision cannot merge distinct contents)."""
+    collision cannot merge distinct contents).  ``n_buckets=None``
+    derives the shuffle width from the input size."""
+    if n_buckets is None:
+        n_buckets = _auto_buckets(ds, floor=64)
+
     def add_bucket(batch: pd.DataFrame) -> pd.DataFrame:
         batch = batch.copy()
         h = content_hash64(batch[col])
@@ -130,7 +141,8 @@ def _pair_dedup(cand: "ray.data.Dataset", n_buckets: int,
 
 
 def ngram_jaccard_pairs(ds: "ray.data.Dataset", n: int = 3,
-                        threshold: float = 0.2, n_buckets: int = 32,
+                        threshold: float = 0.2,
+                        n_buckets: int | None = None,
                         stopgram_cap: int | None = None
                         ) -> "ray.data.Dataset":
     """Jaccard >= threshold pairs over distinct word n-grams.
@@ -148,6 +160,9 @@ def ngram_jaccard_pairs(ds: "ray.data.Dataset", n: int = 3,
     threshold margin.  At 10^12 scale the per-gram pair emission is
     bounded by dropping grams shared by > cap docs (stopword-gram
     guard), standard for this algorithm; unused at test scale."""
+    if n_buckets is None:
+        n_buckets = _auto_buckets(ds)
+
     def explode_bucketed(batch: pd.DataFrame) -> pd.DataFrame:
         gh, g_offs = gram_hashes(batch["text"], n)
         rowid = np.repeat(np.arange(len(batch)), np.diff(g_offs))
@@ -274,7 +289,8 @@ def make_minhash_fn(n: int, num_perm: int, bands: int, seed: int = 7):
 
 def minhash_lsh_candidates(ds: "ray.data.Dataset", n: int = 3,
                            num_perm: int = 64, bands: int = 16,
-                           n_buckets: int = 32) -> "ray.data.Dataset":
+                           n_buckets: int | None = None
+                           ) -> "ray.data.Dataset":
     """Candidate near-dup pairs: docs sharing any LSH band bucket.
 
     The shuffle key is ``band_hash % n_buckets`` (a raw
@@ -282,6 +298,8 @@ def minhash_lsh_candidates(ds: "ray.data.Dataset", n: int = 3,
     nearly one per doc); a (band, band_hash) bucket lives entirely in
     one shuffle bucket, so the per-bucket duplicated-key self-merge is
     globally complete.  Final pair dedup is bucketed the same way."""
+    if n_buckets is None:
+        n_buckets = _auto_buckets(ds)
     sigs = ds.map_batches(make_minhash_fn(n, num_perm, bands),
                           batch_format="pandas")
 
@@ -352,12 +370,15 @@ def make_simhash_fn(bands: int = 4):
 
 def simhash_near_dup_pairs(ds: "ray.data.Dataset", max_hamming: int = 3,
                            bands: int = 4,
-                           n_buckets: int = 32) -> "ray.data.Dataset":
+                           n_buckets: int | None = None
+                           ) -> "ray.data.Dataset":
     """Pairs with Hamming(simhash) <= max_hamming, blocked by exact
     match on any of ``bands`` 64/bands-bit bands (guaranteed complete
     for max_hamming < bands by pigeonhole).  Shuffles are bucketed by
     the band key hash; Hamming distances are computed over the FULL
     64 bits with a vectorized SWAR popcount."""
+    if n_buckets is None:
+        n_buckets = _auto_buckets(ds)
     sigs = ds.map_batches(make_simhash_fn(bands), batch_format="pandas")
 
     def add_bucket(batch: pd.DataFrame) -> pd.DataFrame:

@@ -2,13 +2,14 @@
 columns with typed metadata, processed by actor-pool ``map_batches``
 stages.
 
-The decode libraries (PIL/ffmpeg/torchaudio) are NOT in this
-container, so the codec step is stubbed: ``DecodeStage`` with
-``fake=True`` (default) runs a deterministic fake decoder so the
-Ray-side plumbing — schema, small batch sizes for large payloads,
-actor ``__init__`` setup, output layout — is real and tested;
-``fake=False`` raises NotImplementedError at the clearly-marked codec
-boundary.  Byte-level feature extraction (histogram, entropy) is real.
+The decode stage probes for a real codec (PIL) at actor init and
+uses it when present; otherwise it falls back to a deterministic fake
+decoder so the Ray-side plumbing — schema, small batch sizes for
+large payloads, actor ``__init__`` setup, output layout — is real and
+tested everywhere (``fake=None`` auto-detects; ``fake=False`` demands
+the real codec and raises NotImplementedError where the libraries are
+absent, the clearly-marked codec boundary).  Byte-level feature
+extraction (histogram, entropy) is real in both paths.
 """
 
 from __future__ import annotations
@@ -45,25 +46,45 @@ def synth_media_table(n_items: int, seed: int = 42,
     })
 
 
+def _try_import_pil():
+    try:
+        from PIL import Image
+        return Image
+    except ImportError:
+        return None
+
+
 class DecodeStage:
-    """Actor-pool stage: codec initialised once per actor.
+    """Actor-pool stage: codec probed/initialised once per actor.
 
     Real pipeline shape: small ``batch_size`` (large payloads),
     ``concurrency`` x ``num_cpus`` sized to the node, decode ->
-    fixed-size feature vector (here: byte histogram + entropy;  with a
-    real codec: pixels/samples -> resize / frame-sample -> features).
+    fixed-size feature vector (here: grayscale histogram + entropy +
+    mean; with PIL present the decode is a real image decode +
+    resize, otherwise the deterministic fake).
     """
 
-    def __init__(self, fake: bool = True, resize_to: int = 32):
-        if not fake:
+    def __init__(self, fake: bool | None = None, resize_to: int = 32):
+        # once-per-actor setup (the 'model load' slot)
+        self._pil = _try_import_pil()
+        if fake is None:
+            fake = self._pil is None
+        if not fake and self._pil is None:
             # codec boundary — libraries not available in this container
             raise NotImplementedError(
-                "real image/audio decode requires PIL/ffmpeg; "
-                "run with fake=True for the deterministic stub")
+                "real image decode requires PIL; run with fake=True "
+                "(or fake=None auto-detect) for the deterministic stub")
         self.fake = fake
         self.resize_to = resize_to
-        # once-per-actor setup (the 'model load' slot)
         self._hist_bins = np.arange(257)
+
+    def _real_decode(self, payload: bytes, width: int,
+                     height: int) -> np.ndarray:
+        import io
+        img = self._pil.open(io.BytesIO(payload)).convert("L")
+        if self.resize_to:
+            img = img.resize((self.resize_to, self.resize_to))
+        return np.asarray(img, dtype=np.uint8)
 
     def _fake_decode(self, payload: bytes, width: int,
                      height: int) -> np.ndarray:
@@ -79,8 +100,9 @@ class DecodeStage:
         payloads = batch.column("payload").to_pylist()
         widths = batch.column("width").to_numpy()
         heights = batch.column("height").to_numpy()
+        decode = self._fake_decode if self.fake else self._real_decode
         for i, p in enumerate(payloads):
-            frame = self._fake_decode(p, widths[i], heights[i])
+            frame = decode(p, widths[i], heights[i])
             hist, _ = np.histogram(frame, bins=16, range=(0, 256))
             hist = hist / frame.size
             probs = hist[hist > 0]
@@ -97,9 +119,12 @@ class DecodeStage:
 
 
 def media_features_pipeline(ds: "ray.data.Dataset", concurrency: int = 2,
-                            batch_size: int = 64) -> "ray.data.Dataset":
+                            batch_size: int = 64,
+                            fake: bool | None = True) -> "ray.data.Dataset":
     """Binary payloads need small batches: batch_size x payload size x
-    concurrency bounds worker heap."""
-    return ds.map_batches(DecodeStage, fn_constructor_kwargs={"fake": True},
+    concurrency bounds worker heap.  ``fake=True`` by default so the
+    driver-facing rows-only check stays deterministic regardless of
+    which codecs a node has; pass ``fake=None`` to auto-use PIL."""
+    return ds.map_batches(DecodeStage, fn_constructor_kwargs={"fake": fake},
                           batch_format="pyarrow", batch_size=batch_size,
                           concurrency=concurrency, num_cpus=0.5)

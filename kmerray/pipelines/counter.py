@@ -99,8 +99,28 @@ def _combine_block(batch: pa.Table) -> pa.Table:
                      "cnt": pa.array(summed)})
 
 
+def default_n_buckets(ds: "ray.data.Dataset", mem_gb: float = 2.0,
+                      floor: int = 64, cap: int = 4096) -> int:
+    """Input-bytes-derived shuffle partition count — the reference's
+    G2 sizing formula ``n_parts = max(threads, ceil(8*GB/(2*mem)))``
+    (/root/reference/counter/src/lib.rs:243-246) with Ray analogs:
+    at least the cluster CPU count (full merge parallelism), at least
+    ``floor`` (small-input floor), capped so tiny groups don't drown
+    in per-group overhead.  Uses Dataset size metadata only (no
+    execution); falls back to the floor when size is unknown."""
+    import ray as _ray
+    try:
+        nbytes = ds.size_bytes() or 0
+    except Exception:
+        nbytes = 0
+    cpus = int(_ray.cluster_resources().get("CPU", 8)) \
+        if _ray.is_initialized() else 8
+    sized = int(np.ceil(8.0 * (nbytes / 1e9) / (2.0 * mem_gb)))
+    return max(cpus, floor, min(cap, sized))
+
+
 def count_kmers(ds: "ray.data.Dataset", k: int, canonical: bool = True,
-                batch_size: int = 4096, n_buckets: int = 64,
+                batch_size: int = 4096, n_buckets: int | None = None,
                 strategy: str = "auto",
                 bucket_by: str = "kmer") -> "ray.data.Dataset":
     """Global counts dataset ``(kmer: uint64, cnt: int64)``.
@@ -122,9 +142,12 @@ def count_kmers(ds: "ray.data.Dataset", k: int, canonical: bool = True,
       memory: per-bucket results never co-reside.
 
     ``"auto"`` = shuffle (benchmarks: shuffle 7.6s vs tree 15-19s on a
-    20M-token corpus at k=15, 32 cpus)."""
+    20M-token corpus at k=15, 32 cpus).  ``n_buckets=None`` derives
+    the partition count from the input size (G2 formula)."""
     if strategy == "auto":
         strategy = "shuffle"
+    if n_buckets is None:
+        n_buckets = default_n_buckets(ds)
 
     if strategy == "tree":
         partial = ds.map_batches(

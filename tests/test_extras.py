@@ -216,9 +216,34 @@ def test_multimodal_plumbing(ray_session):
     a = {r["item_id"]: tuple(r["features"]) for r in out}
     b = {r["item_id"]: tuple(r["features"]) for r in out2}
     assert a == b
-    # real decode is gated behind a clearly-marked stub
-    with pytest.raises(NotImplementedError):
-        DecodeStage(fake=False)
+    # codec boundary: real decode auto-enables with PIL, raises without
+    try:
+        import PIL  # noqa: F401
+        has_pil = True
+    except ImportError:
+        has_pil = False
+    if has_pil:
+        import io
+
+        from PIL import Image
+        img = Image.fromarray(
+            np.arange(64, dtype=np.uint8).reshape(8, 8), mode="L")
+        buf = io.BytesIO()
+        img.save(buf, format="PNG")
+        stage = DecodeStage(fake=False, resize_to=8)
+        tbl = pa.table({
+            "item_id": pa.array(["p"]),
+            "payload": pa.array([buf.getvalue()], pa.binary()),
+            "media_type": pa.array(["image"]),
+            "width": pa.array([8], pa.int32()),
+            "height": pa.array([8], pa.int32()),
+        })
+        feats = np.asarray(stage(tbl).column("features").to_pylist()[0])
+        # real decode of a lossless PNG: mean of 0..63 == 31.5
+        assert feats[17] == np.arange(64).mean()
+    else:
+        with pytest.raises(NotImplementedError):
+            DecodeStage(fake=False)
 
 
 def test_near_dup_survivors(ray_session, docs_with_dups):
