@@ -135,6 +135,30 @@ def run_bench() -> dict:
             ds, ref, 8, 2, 4, concurrency=max(2, NUM_CPUS // 2)))
     timed("asof_k8", asof_run)
 
+    # LLM-data extras over a bench-scale document corpus (planted
+    # near-dups): exact dedup, MinHash-LSH candidates, SimHash pairs,
+    # doc stats — the hash kernels are the stages vectorized in r2
+    from kmerray.extras.dedup import (exact_dedup_survivors,
+                                      minhash_lsh_candidates,
+                                      simhash_near_dup_pairs)
+    from kmerray.extras.text import doc_stats_pipeline
+    from kmerray.sources.synth import ensure_documents
+    n_bench_docs = max(20_000, int(200_000 * sf / 0.1))
+    docs_path = ensure_documents(f"bench-{os.path.basename(SF_DIR)}",
+                                 n_docs=n_bench_docs)
+    doc_files = sorted(glob.glob(os.path.join(docs_path, "*.parquet")))
+
+    def docs():
+        return ray.data.read_parquet(doc_files)
+    doc_stats_pipeline(docs().limit(2048)).count()   # warm workers
+    timed("dedup_exact", lambda: exact_dedup_survivors(docs()).count())
+    timed("dedup_minhash",
+          lambda: minhash_lsh_candidates(docs(), n=3, num_perm=64,
+                                         bands=16).count())
+    timed("dedup_simhash",
+          lambda: simhash_near_dup_pairs(docs(), max_hamming=3).count())
+    timed("doc_stats", lambda: doc_stats_pipeline(docs()).count())
+
     ray.shutdown()
 
     return {

@@ -233,3 +233,69 @@ def ensure_read_corpus(tag: str, n_docs: int, mean_len: int = 1024,
         import shutil
         shutil.rmtree(tmp_dir, ignore_errors=True)
     return out_dir
+
+
+# ---------------------------------------------------------------------------
+# bench-scale documents corpus (dedup / text-stage benchmarks)
+# ---------------------------------------------------------------------------
+
+_DOC_VOCAB_N = 50_000
+
+
+def generate_documents(n_docs: int, seed: int = SEED,
+                       mean_words: int = 150,
+                       dup_frac: float = 0.02) -> pa.Table:
+    """Deterministic text corpus with a Zipf-ish vocabulary and
+    ``dup_frac`` planted near-duplicates (one word changed), the
+    dedup/minhash/simhash workload shape."""
+    rng = np.random.default_rng([seed, n_docs, 77])
+    vocab = np.array([f"w{i:05d}" for i in range(_DOC_VOCAB_N)],
+                     dtype=object)
+    p = 1.0 / (np.arange(_DOC_VOCAB_N, dtype=np.float64) + 10.0)
+    p /= p.sum()
+    lens = np.maximum(20, rng.poisson(mean_words, n_docs))
+    offs = np.zeros(n_docs + 1, np.int64)
+    np.cumsum(lens, out=offs[1:])
+    words = vocab[rng.choice(_DOC_VOCAB_N, size=int(offs[-1]), p=p)]
+    texts = [" ".join(words[offs[i]:offs[i + 1]]) for i in range(n_docs)]
+    n_dup = int(n_docs * dup_frac)
+    for j in range(n_dup):
+        src = int(rng.integers(0, n_docs - n_dup))
+        w = texts[src].split(" ")
+        w[int(rng.integers(0, len(w)))] = "XDUP"
+        texts[n_docs - n_dup + j] = " ".join(w)
+    return pa.table({
+        "doc_id": pa.array(np.arange(n_docs, dtype=np.int64), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    })
+
+
+def ensure_documents(tag: str, n_docs: int, mean_words: int = 150) -> str:
+    out_dir = os.path.join(CACHE_ROOT,
+                           f"{tag}-docs-n{n_docs}-w{mean_words}"
+                           f"-v{VERSION}", "documents")
+    marker = os.path.join(out_dir, "_SUCCESS")
+    if os.path.exists(marker):
+        return out_dir
+    tmp_dir = out_dir + f".tmp.{os.getpid()}"
+    os.makedirs(tmp_dir, exist_ok=True)
+    table = generate_documents(n_docs, mean_words=mean_words)
+    n_files = max(8, min(32, n_docs // 8_000))
+    step = (table.num_rows + n_files - 1) // n_files
+    for i in range(n_files):
+        part = table.slice(i * step, step)
+        if part.num_rows:
+            pq.write_table(part,
+                           os.path.join(tmp_dir, f"part-{i:04d}.parquet"),
+                           row_group_size=4096)
+    with open(os.path.join(tmp_dir, "_SUCCESS"), "w") as fh:
+        json.dump({"n_docs": n_docs, "seed": SEED, "version": VERSION,
+                   "mean_words": mean_words}, fh)
+    try:
+        os.rename(tmp_dir, out_dir)
+    except OSError:
+        if not os.path.exists(marker):
+            raise
+        import shutil
+        shutil.rmtree(tmp_dir, ignore_errors=True)
+    return out_dir
