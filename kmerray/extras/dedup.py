@@ -329,24 +329,31 @@ def minhash_lsh_candidates(ds: "ray.data.Dataset", n: int = 3,
 # --------------------------------------------------------------------------
 
 
+_BIT_TABLE = np.unpackbits(np.arange(256, dtype=np.uint8)[:, None],
+                           axis=1, bitorder="little").astype(np.float64)
+
+
 def simhash64_batch(texts) -> np.ndarray:
     """64-bit SimHash per text (sign of per-bit vote sums over word
-    hashes), vectorized: flat word hashes -> (words x 64) bit matrix
-    -> per-row ``np.add.reduceat`` vote sums -> packed uint64."""
+    hashes).  Vote sums are computed byte-sliced: per hash byte, one
+    ``np.bincount`` builds the per-doc byte-value histogram and a
+    (256 x 8) bit-table matmul expands it to per-bit votes — measured
+    ~40x faster than a (words x 64) bit matrix + ``reduceat`` (which
+    itself beat the round-1 per-row Python loop ~100x)."""
     vals, offs = flat_words(texts)
     wh = content_hash64(vals)
     nrows = len(offs) - 1
-    shifts = np.arange(64, dtype=np.uint64)
-    bits = ((wh[:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.int32)
     lens = np.diff(offs)
-    nonempty = np.flatnonzero(lens > 0)
-    votes = np.zeros((nrows, 64), dtype=np.int64)
-    if len(nonempty):
-        votes[nonempty] = np.add.reduceat(bits, offs[:-1][nonempty],
-                                          axis=0)
+    rowid = np.repeat(np.arange(nrows, dtype=np.int64), lens)
+    byts = wh.view(np.uint8).reshape(-1, 8)  # LE: byte k = bits 8k..8k+7
+    votes = np.empty((nrows, 64), dtype=np.float64)
+    for kb in range(8):
+        hist = np.bincount(rowid * 256 + byts[:, kb],
+                           minlength=nrows * 256).reshape(nrows, 256)
+        votes[:, kb * 8:(kb + 1) * 8] = hist @ _BIT_TABLE
     over = votes * 2 > lens[:, None]
-    return (over * (np.uint64(1) << shifts)[None, :]).sum(
-        axis=1, dtype=np.uint64)
+    return np.packbits(over, axis=1,
+                       bitorder="little").copy().view(np.uint64).ravel()
 
 
 def make_simhash_fn(bands: int = 4):
