@@ -34,8 +34,9 @@ def entry() -> Any:
 
     sf_dir = "/root/testdata/sf0.001"
     ds = read_sequences(sf_dir)
-    snap_df = snapshot_counts(ds, 8).to_pandas()
-    index_ref = ray.put(load_snapshot_index(pa.Table.from_pandas(snap_df)))
+    from kmerray.pipelines.asof import collect_snapshot_table
+    index_ref = ray.put(load_snapshot_index(
+        collect_snapshot_table(snapshot_counts(ds, 8))))
     out = cfv_pipeline(ds, k=4)
     return asof_coverage_pipeline(out, index_ref, 8, 2, 4, concurrency=2)
 

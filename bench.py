@@ -116,12 +116,9 @@ def run_bench() -> dict:
 
     # coverage: dict build + actor-pool scoring
     def cov_run():
+        from kmerray.pipelines.cov import collect_count_table
         ds = ray.data.read_parquet(heavy_files)
-        ct = count_kmers(ds, 15).to_pandas()
-        kmers = ct["kmer"].to_numpy().astype(np.uint64)
-        cnts = ct["cnt"].to_numpy().astype(np.int64)
-        order = np.argsort(kmers)
-        ref = ray.put((kmers[order], cnts[order]))
+        ref = ray.put(collect_count_table(count_kmers(ds, 15)))
         return consume(coverage_pipeline(ds, ref, 15, 4, 8, norm=True,
                                          concurrency=max(2, NUM_CPUS // 2)))
     timed("cov_k15", cov_run)
@@ -129,8 +126,9 @@ def run_bench() -> dict:
     # as-of: snapshot build + point-in-time scoring
     def asof_run():
         ds = ray.data.read_parquet(heavy_files)
-        snap = snapshot_counts(ds, 8).to_pandas()
-        ref = ray.put(load_snapshot_index(pa.Table.from_pandas(snap)))
+        from kmerray.pipelines.asof import collect_snapshot_table
+        ref = ray.put(load_snapshot_index(
+            collect_snapshot_table(snapshot_counts(ds, 8))))
         return consume(asof_coverage_pipeline(
             ds, ref, 8, 2, 4, concurrency=max(2, NUM_CPUS // 2)))
     timed("asof_k8", asof_run)

@@ -161,6 +161,12 @@ def snapshot_counts(seq_ds: "ray.data.Dataset", k: int,
             .map_groups(_cumulate, batch_format="pandas"))
 
 
+def collect_snapshot_table(snap_ds: "ray.data.Dataset") -> pa.Table:
+    """Snapshot Dataset -> one Arrow table via arrow-refs fetch (no
+    pandas round-trip; blocks are already Arrow)."""
+    return pa.concat_tables(ray.get(snap_ds.to_arrow_refs()))
+
+
 def load_snapshot_index(path_or_table) -> dict:
     """Build the per-source as-of index from a snapshot table/dir:
     ``{source: (sorted (kmer<<8|day) keys, cum counts)}``."""

@@ -41,6 +41,25 @@ def load_count_table(path: str) -> tuple[np.ndarray, np.ndarray]:
     return kmers[order], cnts[order]
 
 
+def collect_count_table(counts_ds: "ray.data.Dataset"
+                        ) -> tuple[np.ndarray, np.ndarray]:
+    """Globally sorted (kmers, cnts) arrays from a counts Dataset via
+    a DISTRIBUTED sort + arrow-refs fetch.  The round-1 path
+    (``to_pandas`` + driver ``np.argsort``) cost ~15s on a 17M-key
+    dictionary; the Ray sort rides the same shuffle machinery as the
+    count and the driver only concatenates pre-sorted Arrow blocks
+    (~0.3s).  Canonical k-mers are < 4^28 < 2^63, so the int64 sort
+    key Ray uses orders identically to uint64."""
+    cds = counts_ds.sort("kmer")
+    t = pa.concat_tables(ray.get(cds.to_arrow_refs()))
+    kmers = t.column("kmer").to_numpy().astype(np.uint64)
+    cnts = t.column("cnt").to_numpy().astype(np.int64)
+    if len(kmers) and not bool(np.all(kmers[1:] >= kmers[:-1])):
+        order = np.argsort(kmers)          # defensive fallback
+        kmers, cnts = kmers[order], cnts[order]
+    return kmers, cnts
+
+
 class CovScorer:
     """Actor-pool stage: dictionary loaded once per actor (A3)."""
 

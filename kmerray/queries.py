@@ -200,14 +200,11 @@ def _explode_nonzero_fixedlist(col: str):
 
 
 def q_cov_hist(sf_dir: str, k: int = K_COV, bins=COV_BINS):
+    from .pipelines.cov import collect_count_table
     bin_size, bin_count = bins
     ds = _seq(sf_dir, ["doc_id", "tokens"])
-    # build the dictionary once, broadcast via ray.put
-    ct = count_kmers(ds, k).to_pandas()
-    kmers = ct["kmer"].to_numpy().astype(np.uint64)
-    cnts = ct["cnt"].to_numpy().astype(np.int64)
-    order = np.argsort(kmers)
-    ref = ray.put((kmers[order], cnts[order]))
+    # build the dictionary once (distributed sort), broadcast via ray.put
+    ref = ray.put(collect_count_table(count_kmers(ds, k)))
     scored = coverage_pipeline(ds, ref, k, bin_size, bin_count, norm=False,
                                concurrency=2)
     return scored.map_batches(_explode_nonzero_fixedlist("coverage"),
@@ -217,14 +214,12 @@ def q_cov_hist(sf_dir: str, k: int = K_COV, bins=COV_BINS):
 def q_cov_hist_sharded(sf_dir: str, k: int = K_COV, bins=COV_BINS,
                        n_shards: int = 4):
     """Sharded-dictionary scale path — same SQL oracle as cov_hist."""
-    from .pipelines.cov import shard_count_table, sharded_cov_hist
+    from .pipelines.cov import (collect_count_table, shard_count_table,
+                                sharded_cov_hist)
     bin_size, bin_count = bins
     ds = _seq(sf_dir, ["doc_id", "tokens"])
-    ct = count_kmers(ds, k).to_pandas()
-    kmers = ct["kmer"].to_numpy().astype(np.uint64)
-    cnts = ct["cnt"].to_numpy().astype(np.int64)
-    order = np.argsort(kmers)
-    refs = shard_count_table(kmers[order], cnts[order], n_shards)
+    kmers, cnts = collect_count_table(count_kmers(ds, k))
+    refs = shard_count_table(kmers, cnts, n_shards)
     return sharded_cov_hist(ds, refs, k, bin_size, bin_count)
 
 
@@ -235,8 +230,9 @@ def q_asof_cov_hist_sharded(sf_dir: str, k: int = K_ASOF, bins=ASOF_BINS,
     from .pipelines.asof import shard_snapshot_index, sharded_asof_hist
     bin_size, bin_count = bins
     ds = _seq(sf_dir, ["doc_id", "tokens", "source", "ts"])
-    snap_df = snapshot_counts(ds, k).to_pandas()
-    refs = shard_snapshot_index(pa.Table.from_pandas(snap_df), n_shards)
+    from .pipelines.asof import collect_snapshot_table
+    refs = shard_snapshot_index(
+        collect_snapshot_table(snapshot_counts(ds, k)), n_shards)
     return sharded_asof_hist(ds, refs, k, bin_size, bin_count)
 
 
@@ -283,9 +279,9 @@ def q_asof_snapshots(sf_dir: str, k: int = K_ASOF):
 def q_asof_cov_hist(sf_dir: str, k: int = K_ASOF, bins=ASOF_BINS):
     bin_size, bin_count = bins
     ds = _seq(sf_dir, ["doc_id", "tokens", "source", "ts"])
-    snap_df = snapshot_counts(ds, k).to_pandas()
-    index = load_snapshot_index(pa.Table.from_pandas(snap_df))
-    ref = ray.put(index)
+    from .pipelines.asof import collect_snapshot_table
+    ref = ray.put(load_snapshot_index(
+        collect_snapshot_table(snapshot_counts(ds, k))))
     scored = asof_coverage_pipeline(ds, ref, k, bin_size, bin_count,
                                     norm=False, concurrency=2)
     return scored.map_batches(_explode_nonzero_fixedlist("asof_coverage"),
