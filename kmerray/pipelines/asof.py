@@ -163,8 +163,16 @@ def snapshot_counts(seq_ds: "ray.data.Dataset", k: int,
 
 def collect_snapshot_table(snap_ds: "ray.data.Dataset") -> pa.Table:
     """Snapshot Dataset -> one Arrow table via arrow-refs fetch (no
-    pandas round-trip; blocks are already Arrow)."""
-    return pa.concat_tables(ray.get(snap_ds.to_arrow_refs()))
+    pandas round-trip; blocks are already Arrow).  Zero-column
+    placeholder blocks (empty shuffle partitions) are dropped."""
+    tabs = [t for t in ray.get(snap_ds.to_arrow_refs())
+            if t.num_columns > 0]
+    if not tabs:
+        return pa.table({"source": pa.array([], pa.string()),
+                         "kmer": pa.array([], pa.uint64()),
+                         "day": pa.array([], pa.int64()),
+                         "cum_cnt": pa.array([], pa.int64())})
+    return pa.concat_tables(tabs)
 
 
 def load_snapshot_index(path_or_table) -> dict:

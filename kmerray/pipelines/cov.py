@@ -51,7 +51,10 @@ def collect_count_table(counts_ds: "ray.data.Dataset"
     (~0.3s).  Canonical k-mers are < 4^28 < 2^63, so the int64 sort
     key Ray uses orders identically to uint64."""
     cds = counts_ds.sort("kmer")
-    t = pa.concat_tables(ray.get(cds.to_arrow_refs()))
+    tabs = [t for t in ray.get(cds.to_arrow_refs()) if t.num_columns > 0]
+    if not tabs:
+        return np.empty(0, np.uint64), np.empty(0, np.int64)
+    t = pa.concat_tables(tabs)
     kmers = t.column("kmer").to_numpy().astype(np.uint64)
     cnts = t.column("cnt").to_numpy().astype(np.int64)
     if len(kmers) and not bool(np.all(kmers[1:] >= kmers[:-1])):
