@@ -118,7 +118,8 @@ def run_bench() -> dict:
     def cov_run():
         from kmerray.pipelines.cov import collect_count_table
         ds = ray.data.read_parquet(heavy_files)
-        ref = ray.put(collect_count_table(count_kmers(ds, 15)))
+        ref = ray.put(collect_count_table(
+            count_kmers(ds, 15, bucket_by="range")))
         return consume(coverage_pipeline(ds, ref, 15, 4, 8, norm=True,
                                          concurrency=max(2, NUM_CPUS // 2)))
     timed("cov_k15", cov_run)

@@ -39,6 +39,10 @@ def make_partial_counts_fn(k: int, canonical: bool = True,
       partitions — the skew-aware, locality-preserving exchange the
       north_star names.  Partial aggregation then keys on
       (minimizer-bucket, kmer); identical final counts.
+    * ``bucket_by="range"`` — key-range buckets
+      (``kmer * B >> 2k``): merge outputs are disjoint sorted runs,
+      so a broadcast dictionary assembles with no global sort
+      (``cov.collect_count_table`` fast path).
     """
     def partial(batch: pa.Table) -> pa.Table:
         values, offsets = list_column_to_numpy(batch.column("tokens"))
@@ -50,6 +54,19 @@ def make_partial_counts_fn(k: int, canonical: bool = True,
             uniq, counts = np.unique(kmers, return_counts=True)
             return pa.table({"kmer": pa.array(uniq, pa.uint64()),
                              "cnt": pa.array(counts, pa.int64())})
+        if bucket_by == "range":
+            # key-RANGE buckets: per-bucket key sets are disjoint
+            # intervals, so kmer-sorted merge outputs concatenate into
+            # a globally sorted dictionary with no driver sort
+            # (collect_count_table's fast path)
+            uniq, counts = np.unique(kmers, return_counts=True)
+            with np.errstate(over="ignore"):
+                bucket = ((uniq * np.uint64(n_buckets))
+                          >> np.uint64(2 * k)).astype(np.int64)
+            return pa.table({
+                "bucket": pa.array(bucket),
+                "kmer": pa.array(uniq, pa.uint64()),
+                "cnt": pa.array(counts, pa.int64())})
         if bucket_by == "minimiser":
             from ..core.minimiser import _aligned_canonical, sliding_min
             # minimizer of each k-mer window = min canonical m-mer over
@@ -81,6 +98,9 @@ def make_partial_counts_fn(k: int, canonical: bool = True,
 
 def _merge_bucket(g: pd.DataFrame) -> pa.Table:
     out = g.groupby("kmer", as_index=False, sort=False)["cnt"].sum()
+    # kmer-sorted block (cheap: distinct keys only) — lets range-
+    # bucketed dictionaries concatenate pre-sorted on the driver
+    out = out.sort_values("kmer")
     # return an Arrow block: pandas blocks make every later row-based
     # consumption (take_all/iter_rows) catastrophically slow (~0.5 ms
     # PER ROW via .iloc — measured 68 s for 127k rows)
@@ -116,9 +136,9 @@ def default_n_buckets(ds: "ray.data.Dataset", mem_gb: float = 2.0,
     cpus = int(_ray.cluster_resources().get("CPU", 8)) \
         if _ray.is_initialized() else 8
     sized = int(np.ceil(8.0 * (nbytes / 1e9) / (2.0 * mem_gb)))
-    # 2x CPUs: two merge waves hide per-group latency (measured 6.3s
-    # at 128 buckets vs 8.0s at 64 on 32 cpus, 17M-key count)
-    return max(2 * cpus, floor, min(cap, sized))
+    # 4x CPUs: several merge waves hide per-group latency (measured
+    # 6.3s at 128 buckets vs 8.0s at 64 on 32 cpus, 17M-key count)
+    return max(4 * cpus, floor, min(cap, sized))
 
 
 def count_kmers(ds: "ray.data.Dataset", k: int, canonical: bool = True,

@@ -44,21 +44,25 @@ def load_count_table(path: str) -> tuple[np.ndarray, np.ndarray]:
 def collect_count_table(counts_ds: "ray.data.Dataset"
                         ) -> tuple[np.ndarray, np.ndarray]:
     """Globally sorted (kmers, cnts) arrays from a counts Dataset via
-    a DISTRIBUTED sort + arrow-refs fetch.  The round-1 path
-    (``to_pandas`` + driver ``np.argsort``) cost ~15s on a 17M-key
-    dictionary; the Ray sort rides the same shuffle machinery as the
-    count and the driver only concatenates pre-sorted Arrow blocks
-    (~0.3s).  Canonical k-mers are < 4^28 < 2^63, so the int64 sort
-    key Ray uses orders identically to uint64."""
-    cds = counts_ds.sort("kmer")
-    tabs = [t for t in ray.get(cds.to_arrow_refs()) if t.num_columns > 0]
+    an arrow-refs fetch + one driver ``np.argsort``.  vs round 1's
+    ``to_pandas`` path this skips the pandas conversion of the whole
+    dictionary (~10s on a 17M-key dict -> ~0.3s concat); a Ray
+    ``sort("kmer")`` was measured SLOWER than the driver argsort
+    (30s vs 4.5s at 17M keys — the all-to-all range exchange is
+    wasted work when the result is collected to one place anyway)."""
+    tabs = [t for t in ray.get(counts_ds.to_arrow_refs())
+            if t.num_columns > 0 and t.num_rows > 0]
     if not tabs:
         return np.empty(0, np.uint64), np.empty(0, np.int64)
+    # fast path: range-bucketed + per-block-sorted counts (count_kmers
+    # bucket_by="range") concatenate globally sorted once the blocks
+    # are ordered by their first key — no 17M-element driver argsort
+    tabs.sort(key=lambda t: t.column("kmer")[0].as_py())
     t = pa.concat_tables(tabs)
     kmers = t.column("kmer").to_numpy().astype(np.uint64)
     cnts = t.column("cnt").to_numpy().astype(np.int64)
-    if len(kmers) and not bool(np.all(kmers[1:] >= kmers[:-1])):
-        order = np.argsort(kmers)          # defensive fallback
+    if len(kmers) > 1 and not bool(np.all(kmers[1:] >= kmers[:-1])):
+        order = np.argsort(kmers)          # hash-bucketed fallback
         kmers, cnts = kmers[order], cnts[order]
     return kmers, cnts
 

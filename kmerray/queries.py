@@ -204,7 +204,8 @@ def q_cov_hist(sf_dir: str, k: int = K_COV, bins=COV_BINS):
     bin_size, bin_count = bins
     ds = _seq(sf_dir, ["doc_id", "tokens"])
     # build the dictionary once (distributed sort), broadcast via ray.put
-    ref = ray.put(collect_count_table(count_kmers(ds, k)))
+    ref = ray.put(collect_count_table(
+        count_kmers(ds, k, bucket_by="range")))
     scored = coverage_pipeline(ds, ref, k, bin_size, bin_count, norm=False,
                                concurrency=2)
     return scored.map_batches(_explode_nonzero_fixedlist("coverage"),
@@ -218,7 +219,8 @@ def q_cov_hist_sharded(sf_dir: str, k: int = K_COV, bins=COV_BINS,
                                 sharded_cov_hist)
     bin_size, bin_count = bins
     ds = _seq(sf_dir, ["doc_id", "tokens"])
-    kmers, cnts = collect_count_table(count_kmers(ds, k))
+    kmers, cnts = collect_count_table(
+        count_kmers(ds, k, bucket_by="range"))
     refs = shard_count_table(kmers, cnts, n_shards)
     return sharded_cov_hist(ds, refs, k, bin_size, bin_count)
 
