@@ -64,11 +64,31 @@ def build_parser() -> argparse.ArgumentParser:
     asof.add_argument("-k", "--ksize", type=int, default=8)
     asof.add_argument("--bin-size", type=int, default=2)
     asof.add_argument("--bin-count", type=int, default=4)
+
+    tok = sub.add_parser(
+        "tokenize",
+        help="FASTA/FASTQ(.gz) -> sequences-table Parquet "
+             "(ktio/src/seq.rs parity; feeds every other subcommand)")
+    tok.add_argument("-i", "--input", required=True, nargs="+",
+                     help="FASTA/FASTQ file(s) or directory")
+    tok.add_argument("-o", "--output", required=True)
     return p
 
 
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
+
+    if args.cmd == "tokenize":
+        import ray
+        if not ray.is_initialized():
+            ray.init(address="local", include_dashboard=False,
+                     logging_level="ERROR")
+        from ray.data import DataContext
+        DataContext.get_current().enable_progress_bars = False
+        from .sources.seqio import read_seq_files
+        paths = args.input if len(args.input) > 1 else args.input[0]
+        read_seq_files(paths).write_parquet(args.output)
+        return 0
 
     import ray
     if not ray.is_initialized():
