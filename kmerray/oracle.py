@@ -282,6 +282,59 @@ def doc_stats_sql() -> str:
 FROM documents"""
 
 
+def quality_sql() -> str:
+    """Mirror of extras.text.quality_fn with the exact same double
+    operation order (clip = least(greatest(...))), so the floats are
+    bit-identical; distinct words via list_distinct (the engine uses
+    distinct 64-bit word hashes — equal up to a ~1e-14 collision)."""
+    return f"""WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+),
+s AS (
+  SELECT doc_id,
+    CAST(len(ws) AS DOUBLE) AS n,
+    CAST(len(list_distinct(ws)) AS DOUBLE) AS d,
+    CAST(len(list_filter(ws, x -> x IN {STOPLIST_SQL})) AS DOUBLE) AS st
+  FROM w
+)
+SELECT doc_id,
+  0.5 * (least(greatest(n / 50.0, 0.0), 1.0)
+         * least(greatest(2.0 - n / 500.0, 0.0), 1.0))
+  + 0.25 * least(greatest(d / n, 0.0), 1.0)
+  + 0.25 * least(greatest((st / n) * 5.0, 0.0), 1.0) AS quality
+FROM s"""
+
+
+def lang_id_sql() -> str:
+    """Mirror of extras.text.lang_id_fn: distinct hint-word hits per
+    language, first-in-dict-order argmax, 'und' when all zero."""
+    from .extras.text import _LANG_HINTS
+    langs = list(_LANG_HINTS)
+    score_cols = []
+    for lang in langs:
+        inlist = ", ".join(f"'{h}'" for h in sorted(_LANG_HINTS[lang]))
+        score_cols.append(
+            f"len(list_filter(ws, x -> x IN ({inlist}))) AS s_{lang}")
+    all_scores = ", ".join(f"s_{lang}" for lang in langs)
+    cases = []
+    for i, lang in enumerate(langs):
+        rest = [f"s_{lang} >= s_{other}" for other in langs[i + 1:]]
+        cond = " AND ".join(rest) if rest else "TRUE"
+        cases.append(f"WHEN {cond} THEN '{lang}'")
+    return f"""WITH w AS (
+  SELECT doc_id, list_distinct(string_split(text, ' ')) AS ws
+  FROM documents
+),
+s AS (
+  SELECT doc_id, {", ".join(score_cols)} FROM w
+)
+SELECT doc_id,
+  CASE WHEN greatest({all_scores}) = 0 THEN 'und'
+       {" ".join(cases)}
+       ELSE 'und' END AS lang_guess
+FROM s"""
+
+
 def dedup_exact_sql() -> str:
     return "SELECT min(doc_id) AS doc_id FROM documents GROUP BY text"
 

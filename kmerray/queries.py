@@ -394,6 +394,8 @@ def oracle_registry(sf_dir: str = "/root/testdata/sf0.01") -> dict:
         "sessionize_partitioned": oracle.sessionize_sql(path,
                                                         SESSION_GAP_US),
         "doc_stats": oracle.doc_stats_sql(),
+        "quality": oracle.quality_sql(),
+        "lang_id": oracle.lang_id_sql(),
         "dedup_exact": oracle.dedup_exact_sql(),
         "ngram_dupes": oracle.ngram_dupes_sql(NGRAM_N, NGRAM_THRESHOLD),
         "ann_topk": oracle.ann_topk_sql(ANN_QUERIES, ANN_K),
@@ -425,6 +427,16 @@ def q_doc_stats(sf_dir: str):
     def cast(batch: pa.Table) -> pa.Table:
         return batch.select(["doc_id", "n_words", "n_chars", "stop_cnt"])
     return out.map_batches(cast, batch_format="pyarrow")
+
+
+def q_quality(sf_dir: str):
+    from .extras.text import quality_pipeline
+    return quality_pipeline(_docs(sf_dir))
+
+
+def q_lang_id(sf_dir: str):
+    from .extras.text import lang_id_pipeline
+    return lang_id_pipeline(_docs(sf_dir))
 
 
 def q_dedup_exact(sf_dir: str):
@@ -492,6 +504,8 @@ def q_media_features(sf_dir: str):
 def extras_registry() -> dict:
     return {
         "doc_stats": q_doc_stats,
+        "quality": q_quality,
+        "lang_id": q_lang_id,
         "dedup_exact": q_dedup_exact,
         "ngram_dupes": q_ngram_dupes,
         "ann_topk": q_ann_topk,
