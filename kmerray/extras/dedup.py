@@ -479,20 +479,104 @@ def verify_candidate_pairs(ds: "ray.data.Dataset",
     return candidates.map_batches(verify, batch_format="pandas")
 
 
+def connected_components(edges: "ray.data.Dataset", n_buckets: int = 32,
+                         max_iter: int = 50) -> "ray.data.Dataset":
+    """Distributed connected components over an (a, b) edge Dataset:
+    returns ``(node, root)`` for every node, root = min node id in the
+    component (min-label propagation with node-hash-bucketed
+    exchanges; O(component diameter) rounds, and near-dup components
+    are shallow).  The scale path behind
+    ``near_dup_survivors(distributed=True)`` — the default driver
+    union-find assumes the verified edge set fits driver memory.
+
+    Convergence detection: the global label sum is strictly
+    decreasing; a round that leaves it unchanged is a fixpoint."""
+    def sym(b: pd.DataFrame) -> pd.DataFrame:
+        u = np.concatenate([b["a"].to_numpy(), b["b"].to_numpy()])
+        v = np.concatenate([b["b"].to_numpy(), b["a"].to_numpy()])
+        return pd.DataFrame({
+            "key": u, "val": v,
+            "is_edge": np.ones(len(u), dtype=np.int64),
+            "bucket": (u.astype(np.int64) * 1000003) % n_buckets,
+        })
+
+    edge_rows = edges.map_batches(sym, batch_format="pandas").materialize()
+
+    # initial labels: every endpoint labels itself
+    def init_labels(b: pd.DataFrame) -> pd.DataFrame:
+        nodes = np.unique(np.concatenate([b["a"].to_numpy(),
+                                          b["b"].to_numpy()]))
+        return pd.DataFrame({
+            "key": nodes, "val": nodes,
+            "is_edge": np.zeros(len(nodes), dtype=np.int64),
+            "bucket": (nodes.astype(np.int64) * 1000003) % n_buckets,
+        })
+
+    labels = edges.map_batches(init_labels, batch_format="pandas")
+    # per-bucket dedup of nodes emitted by different edge batches
+    labels = labels.groupby("bucket").map_groups(
+        lambda g: g.drop_duplicates("key"), batch_format="pandas")
+    labels = labels.materialize()
+    prev_sum = None
+
+    def propose(g: pd.DataFrame) -> pd.DataFrame:
+        lab = g[g["is_edge"] == 0][["key", "val"]]
+        e = g[g["is_edge"] == 1][["key", "val"]]
+        m = e.merge(lab.rename(columns={"val": "label"}), on="key")
+        # neighbor proposals + each node keeps its own label
+        out = pd.concat([
+            pd.DataFrame({"key": m["val"].to_numpy(),
+                          "val": m["label"].to_numpy()}),
+            lab,
+        ])
+        out = (out.groupby("key", as_index=False)["val"].min())
+        out["is_edge"] = np.int64(0)
+        out["bucket"] = (out["key"].astype(np.int64) * 1000003) % n_buckets
+        return out
+
+    for _ in range(max_iter):
+        merged = edge_rows.union(labels)
+        labels = (merged.groupby("bucket")
+                  .map_groups(propose, batch_format="pandas").materialize())
+        s = labels.sum("val")
+        if s == prev_sum:
+            break
+        prev_sum = s
+
+    def finalize(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"node": b["key"], "root": b["val"]})
+    return labels.map_batches(finalize, batch_format="pandas")
+
+
 def near_dup_survivors(ds: "ray.data.Dataset", n: int = 3,
                        num_perm: int = 64, bands: int = 16,
-                       threshold: float = 0.8) -> "ray.data.Dataset":
+                       threshold: float = 0.8,
+                       distributed: bool = False) -> "ray.data.Dataset":
     """Full near-dup dedup: MinHash-LSH candidates -> exact Jaccard
     verify -> connected components -> keep min doc_id per component.
 
     Components are resolved with union-find over the *verified edge
     set* on the driver — edges above a high Jaccard threshold are tiny
-    relative to the corpus (the standard assumption; for adversarial
-    edge volumes switch to iterated min-label propagation with the
-    same survivor semantics)."""
+    relative to the corpus (the standard assumption); pass
+    ``distributed=True`` to resolve them with the bucketed min-label
+    propagation of :func:`connected_components` instead (same survivor
+    semantics, parity-tested)."""
+    import ray
+
     cands = minhash_lsh_candidates(ds, n=n, num_perm=num_perm, bands=bands)
-    edges = verify_candidate_pairs(ds, cands, n=n,
-                                   threshold=threshold).to_pandas()
+    edges_ds = verify_candidate_pairs(ds, cands, n=n, threshold=threshold)
+
+    if distributed:
+        comp = connected_components(edges_ds).to_pandas()
+        drop = set(comp.loc[comp["node"] != comp["root"], "node"])
+        drop_ref = ray.put(drop)
+
+        def survivors_d(batch: pd.DataFrame) -> pd.DataFrame:
+            d = ray.get(drop_ref)
+            return batch.loc[~batch["doc_id"].isin(d), ["doc_id"]]
+        return ds.map_batches(survivors_d, batch_format="pandas")
+
+    edges = edges_ds.to_pandas()
 
     parent: dict = {}
 

@@ -267,3 +267,44 @@ def test_ngram_stopgram_cap(ray_session, docs_with_dups):
                                 stopgram_cap=10).to_pandas()
     got = {tuple(sorted((a, b))) for a, b in zip(pairs["a"], pairs["b"])}
     assert (0, 601) in got and (10, 602) in got
+
+
+def test_connected_components_parity(ray_session):
+    """Distributed min-label propagation == driver union-find on a
+    random graph with several components and a chain (depth > 1)."""
+    import pandas as pd
+    from kmerray.extras.dedup import connected_components
+    rng = np.random.default_rng(3)
+    edges = [(int(a), int(b)) for a, b in rng.integers(0, 60, (40, 2))
+             if a != b]
+    edges += [(100, 101), (101, 102), (102, 103), (103, 104)]  # chain
+    df = pd.DataFrame(edges, columns=["a", "b"])
+
+    parent = {}
+
+    def find(x):
+        while parent.get(x, x) != x:
+            parent[x] = parent.get(parent[x], parent[x])
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    nodes = sorted({x for e in edges for x in e})
+    want = {x: find(x) for x in nodes}
+
+    got_df = connected_components(
+        ray.data.from_pandas(df), n_buckets=4).to_pandas()
+    got = dict(zip(got_df["node"], got_df["root"]))
+    assert got == want
+
+
+def test_near_dup_survivors_distributed(ray_session, docs_with_dups):
+    from kmerray.extras.dedup import near_dup_survivors
+    ds = ray.data.from_arrow(docs_with_dups)
+    a = set(near_dup_survivors(ds, threshold=0.7).to_pandas()["doc_id"])
+    b = set(near_dup_survivors(ds, threshold=0.7,
+                               distributed=True).to_pandas()["doc_id"])
+    assert a == b
