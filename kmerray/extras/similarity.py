@@ -131,8 +131,92 @@ def lsh_topk(ds: "ray.data.Dataset", query_ids: np.ndarray,
             kk = min(k, len(rows))
             for ci, qi in enumerate(qidxs):
                 s = sub[:, ci]
-                idx = np.argpartition(-s, kk - 1)[:kk] if kk < len(rows) \
-                    else np.arange(len(rows))
+                if kk < len(rows):
+                    part = np.argpartition(-s, kk - 1)
+                    kth = s[part[kk - 1]]
+                    # include k-th-score ties so the deterministic
+                    # (score desc, vec_id asc) merge never loses one
+                    idx = np.flatnonzero(s >= kth)
+                else:
+                    idx = np.arange(len(rows))
+                out["qid"].extend([qids[qi]] * len(idx))
+                out["vec_id"].extend(vec_ids[rows[idx]])
+                out["score"].extend(s[idx])
+        return pa.table({"qid": pa.array(out["qid"], pa.int64()),
+                         "vec_id": pa.array(out["vec_id"], pa.int64()),
+                         "score": pa.array(out["score"], pa.float64())})
+
+    cand = ds.map_batches(local, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["score", "vec_id"],
+                          ascending=[False, True]).head(k)
+        return g[["qid", "vec_id"]]
+    return cand.groupby("qid").map_groups(merge, batch_format="pandas")
+
+
+def train_ivf_centroids(sample: np.ndarray, n_centroids: int = 64,
+                        iters: int = 10, seed: int = 29) -> np.ndarray:
+    """Deterministic spherical k-means on a (driver-side) sample:
+    normalized centroids for cosine-space IVF cells.  The sample is
+    small (centroid count x ~100s of vectors); training is one numpy
+    matmul + bincount per iteration."""
+    rng = np.random.default_rng(seed)
+    m = _normalize(sample.astype(np.float64))
+    n_centroids = min(n_centroids, len(m))
+    cent = m[rng.choice(len(m), n_centroids, replace=False)]
+    for _ in range(iters):
+        assign = np.argmax(m @ cent.T, axis=1)
+        sums = np.zeros_like(cent)
+        np.add.at(sums, assign, m)
+        counts = np.bincount(assign, minlength=n_centroids)
+        empty = counts == 0
+        sums[empty] = cent[empty]          # keep empty cells in place
+        cent = _normalize(sums)
+    return cent
+
+
+def ivf_topk(ds: "ray.data.Dataset", query_ids: np.ndarray,
+             query_mat: np.ndarray, centroids: np.ndarray, k: int = 10,
+             nprobe: int = 4) -> "ray.data.Dataset":
+    """IVF approximate top-k: the corpus is partitioned into coarse
+    cosine cells (nearest centroid); each query scans only its
+    ``nprobe`` closest cells.  Same broadcast-accept-map shape as
+    :func:`lsh_topk` — per batch one assignment matmul, then exact
+    scores against only the accepted (cell, query) row subsets.
+    Recall grows with nprobe (recall-tested vs brute force)."""
+    qn = _normalize(query_mat)
+    probe = np.argsort(-(qn @ centroids.T), axis=1)[:, :nprobe]
+    accept: dict[int, list[int]] = {}
+    for qi in range(len(qn)):
+        for c in probe[qi]:
+            accept.setdefault(int(c), []).append(qi)
+    ref = ray.put((query_ids, qn, centroids, accept))
+
+    def local(batch: pa.Table) -> pa.Table:
+        qids, qmat, cent, acc = ray.get(ref)
+        em = _normalize(_emb_matrix(batch))
+        cells = np.argmax(em @ cent.T, axis=1)
+        vec_ids = batch.column("vec_id").to_numpy()
+        out = {"qid": [], "vec_id": [], "score": []}
+        for cell in np.unique(cells):
+            qidxs = acc.get(int(cell))
+            if not qidxs:
+                continue
+            rows = np.flatnonzero(cells == cell)
+            sub = em[rows] @ qmat[qidxs].T
+            kk = min(k, len(rows))
+            for ci, qi in enumerate(qidxs):
+                s = sub[:, ci]
+                if kk < len(rows):
+                    part = np.argpartition(-s, kk - 1)
+                    kth = s[part[kk - 1]]
+                    # include k-th-score ties so the deterministic
+                    # (score desc, vec_id asc) merge never loses one
+                    idx = np.flatnonzero(s >= kth)
+                else:
+                    idx = np.arange(len(rows))
                 out["qid"].extend([qids[qi]] * len(idx))
                 out["vec_id"].extend(vec_ids[rows[idx]])
                 out["score"].extend(s[idx])

@@ -399,6 +399,7 @@ def oracle_registry(sf_dir: str = "/root/testdata/sf0.01") -> dict:
         "dedup_exact": oracle.dedup_exact_sql(),
         "ngram_dupes": oracle.ngram_dupes_sql(NGRAM_N, NGRAM_THRESHOLD),
         "ann_topk": oracle.ann_topk_sql(ANN_QUERIES, ANN_K),
+        "ann_topk_ivf": oracle.ann_topk_sql(ANN_QUERIES, ANN_K),
         "emb_near_dup": oracle.emb_near_dup_sql(EMB_DUP_THRESHOLD),
     }
 
@@ -463,6 +464,22 @@ def q_ann_topk(sf_dir: str):
     return brute_force_topk(ds, qids, qmat, k=ANN_K)
 
 
+def q_ann_topk_ivf(sf_dir: str):
+    """IVF cell machinery end-to-end with exhaustive probing
+    (nprobe = all cells), which must reproduce the exact top-k — so
+    it shares ann_topk's SQL oracle.  The approximate regime
+    (nprobe << cells) is recall-tested in pytest."""
+    import pyarrow.parquet as pq
+    from .extras.similarity import (_emb_matrix, ivf_topk, load_queries,
+                                    train_ivf_centroids)
+    path = f"{sf_dir}/embeddings.parquet"
+    qids, qmat = load_queries(path, ANN_QUERIES)
+    cent = train_ivf_centroids(_emb_matrix(pq.read_table(path)),
+                               n_centroids=16)
+    ds = ray.data.read_parquet(path)
+    return ivf_topk(ds, qids, qmat, cent, k=ANN_K, nprobe=len(cent))
+
+
 def q_emb_near_dup(sf_dir: str):
     """Exact block-grid path (no full-matrix broadcast); block_rows
     sized so the sf0.01 table exercises a multi-block grid."""
@@ -509,6 +526,7 @@ def extras_registry() -> dict:
         "dedup_exact": q_dedup_exact,
         "ngram_dupes": q_ngram_dupes,
         "ann_topk": q_ann_topk,
+        "ann_topk_ivf": q_ann_topk_ivf,
         "emb_near_dup": q_emb_near_dup,
         "emb_near_dup_lsh": q_emb_near_dup_lsh,
         "minhash_candidates": q_minhash_candidates,

@@ -308,3 +308,28 @@ def test_near_dup_survivors_distributed(ray_session, docs_with_dups):
     b = set(near_dup_survivors(ds, threshold=0.7,
                                distributed=True).to_pandas()["doc_id"])
     assert a == b
+
+
+def test_ivf_topk_recall(ray_session, emb_table):
+    """IVF coarse cells: recall vs brute force rises with nprobe; the
+    self-match is always found (a vector's own cell is probed)."""
+    from kmerray.extras.similarity import ivf_topk, train_ivf_centroids
+    m = np.asarray(
+        emb_table.column("embedding").combine_chunks().to_pylist(),
+        dtype=np.float64)
+    cent = train_ivf_centroids(m, n_centroids=16)
+    assert np.allclose(np.linalg.norm(cent, axis=1), 1.0)
+    ds = ray.data.from_arrow(emb_table)
+    qids = np.arange(10)
+    approx = ivf_topk(ds, qids, m[:10], cent, k=10, nprobe=4).to_pandas()
+    oracle = brute_oracle(emb_table, list(range(10)))
+    recalls = []
+    for q in range(10):
+        mine = set(approx[approx["qid"] == q]["vec_id"].tolist())
+        assert q in mine
+        recalls.append(len(mine & set(oracle[q])) / 10)
+    assert np.mean(recalls) >= 0.5
+    # nprobe = all cells == exact
+    full = ivf_topk(ds, qids, m[:10], cent, k=10, nprobe=16).to_pandas()
+    for q in range(10):
+        assert set(full[full["qid"] == q]["vec_id"]) == set(oracle[q])
