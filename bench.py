@@ -213,7 +213,8 @@ def run_scaling():
                              check=True).stdout
         return json.loads(out.strip().splitlines()[-1])
 
-    lo, hi = 8, 32
+    lo = int(os.environ.get("KMERRAY_SCALING_LO", "8"))
+    hi = int(os.environ.get("KMERRAY_SCALING_HI", "32"))
     # This shared VM's wall clock varies up to 2-3x BETWEEN runs as
     # neighbor load comes and goes, which swamps a single-sample
     # efficiency ratio in either direction.  Each round therefore
