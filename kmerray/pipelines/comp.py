@@ -33,14 +33,24 @@ def read_sequences(sf_dir_or_path: str, columns: list[str] | None = None,
     """Read a sequences-table directory/file, pruning columns at the read."""
     import glob
     import os
+
+    import pyarrow.parquet as _pq
+
     from ..sources.synth import ensure_sequences
     path = sf_dir_or_path
-    if os.path.isdir(path) and not os.path.exists(
-            os.path.join(path, "_SUCCESS")):
-        # an sf data dir (TPC-H tables) -> our synthesized corpus for it
-        path = ensure_sequences(sf_dir_or_path)
     if os.path.isdir(path):
-        path = sorted(glob.glob(os.path.join(path, "*.parquet")))
+        files = sorted(glob.glob(os.path.join(path, "*.parquet")))
+        # a dir whose shards carry a `tokens` column IS a sequences
+        # table (e.g. `kmerray tokenize` output — Ray writes no
+        # _SUCCESS marker); anything else (the driver's TPC-H sf
+        # dirs) maps to our synthesized corpus for that scale.
+        # (Round-2 fix: the old "_SUCCESS present?" trigger silently
+        # replaced real user shard dirs with synthetic data.)
+        if files and "tokens" in _pq.ParquetFile(files[0]).schema_arrow.names:
+            path = files
+        else:
+            path = sorted(glob.glob(os.path.join(
+                ensure_sequences(sf_dir_or_path), "*.parquet")))
     return ray.data.read_parquet(path, columns=columns, **kwargs)
 
 
