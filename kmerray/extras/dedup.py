@@ -544,6 +544,8 @@ def connected_components(edges: "ray.data.Dataset", n_buckets: int = 32,
         prev_sum = s
 
     def finalize(b: pd.DataFrame) -> pd.DataFrame:
+        if "key" not in b.columns:          # empty edge set -> no labels
+            return _empty({"node": np.int64, "root": np.int64})
         return pd.DataFrame({"node": b["key"], "root": b["val"]})
     return labels.map_batches(finalize, batch_format="pandas")
 
@@ -568,7 +570,8 @@ def near_dup_survivors(ds: "ray.data.Dataset", n: int = 3,
 
     if distributed:
         comp = connected_components(edges_ds).to_pandas()
-        drop = set(comp.loc[comp["node"] != comp["root"], "node"])
+        drop = set(comp.loc[comp["node"] != comp["root"], "node"]) \
+            if len(comp) else set()
         drop_ref = ray.put(drop)
 
         def survivors_d(batch: pd.DataFrame) -> pd.DataFrame:

@@ -333,3 +333,17 @@ def test_ivf_topk_recall(ray_session, emb_table):
     full = ivf_topk(ds, qids, m[:10], cent, k=10, nprobe=16).to_pandas()
     for q in range(10):
         assert set(full[full["qid"] == q]["vec_id"]) == set(oracle[q])
+
+
+def test_near_dup_survivors_distributed_no_dups(ray_session):
+    """Empty verified-edge set must keep everything (regression: the
+    distributed path crashed on the empty labels frame)."""
+    from kmerray.extras.dedup import near_dup_survivors
+    rng = np.random.default_rng(1)
+    texts = [" ".join(f"u{rng.integers(0, 10**9)}" for _ in range(30))
+             for _ in range(20)]
+    t = pa.table({"doc_id": pa.array(np.arange(20), pa.int64()),
+                  "text": pa.array(texts)})
+    out = near_dup_survivors(ray.data.from_arrow(t), threshold=0.8,
+                             distributed=True).to_pandas()
+    assert len(out) == 20
