@@ -156,8 +156,14 @@ def q_minimisers(sf_dir: str, w: int = MIN_W, m: int = MIN_M):
 
 
 def q_m2s_index_counts(sf_dir: str, w: int = MIN_W, m: int = MIN_M,
-                       n_buckets: int = 32):
+                       n_buckets: int | None = None):
     ex = _exploded_minimisers(sf_dir, w, m)
+    if n_buckets is None:
+        # size from the SOURCE read (metadata-only) — size_bytes() on
+        # the transformed dataset would trigger execution
+        from .pipelines.counter import default_n_buckets
+        n_buckets = default_n_buckets(
+            _seq(sf_dir, ["doc_id", "tokens"]), floor=32)
 
     def add_bucket(batch: pd.DataFrame) -> pd.DataFrame:
         batch = batch.copy()
