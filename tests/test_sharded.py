@@ -80,3 +80,16 @@ def test_sharded_asof_matches_unsharded(ray_session):
           .map_batches(_explode_nonzero_fixedlist("asof_coverage"),
                        batch_format="pyarrow").to_pandas())
     pd.testing.assert_frame_equal(sharded, _norm(un))
+
+
+def test_collect_count_table_range_vs_hash(ray_session):
+    """Range-bucketed collection (pre-sorted concat fast path) must
+    equal hash-bucketed collection (argsort fallback), both sorted."""
+    from kmerray.pipelines.cov import collect_count_table
+    corpus = generate_sequences(200)
+    k_r, c_r = collect_count_table(
+        count_kmers(ray.data.from_arrow(corpus), K, bucket_by="range"))
+    k_h, c_h = collect_count_table(
+        count_kmers(ray.data.from_arrow(corpus), K))
+    assert np.array_equal(k_r, k_h) and np.array_equal(c_r, c_h)
+    assert bool(np.all(k_r[1:] >= k_r[:-1]))
