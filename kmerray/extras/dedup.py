@@ -177,7 +177,8 @@ def ngram_jaccard_pairs(ds: "ray.data.Dataset", n: int = 3,
             "bucket": (gh % np.uint64(n_buckets)).astype(np.int64),
         })
 
-    grams = ds.map_batches(explode_bucketed, batch_format="pandas")
+    grams = ds.map_batches(explode_bucketed, batch_format="pandas",
+                           batch_size=1024)
 
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
         if stopgram_cap is not None:
@@ -302,8 +303,11 @@ def minhash_lsh_candidates(ds: "ray.data.Dataset", n: int = 3,
     globally complete.  Final pair dedup is bucketed the same way."""
     if n_buckets is None:
         n_buckets = _auto_buckets(ds)
+    # batch_size pins the (grams x perm_chunk) signature temporaries
+    # to a cache-friendly size: 200k docs measured 2.5s at 1024 vs
+    # 19s+ at 4096 (32 workers x ~100MB transients thrash)
     sigs = ds.map_batches(make_minhash_fn(n, num_perm, bands),
-                          batch_format="pandas")
+                          batch_format="pandas", batch_size=1024)
 
     def add_bucket(batch: pd.DataFrame) -> pd.DataFrame:
         batch = batch.copy()
@@ -388,7 +392,8 @@ def simhash_near_dup_pairs(ds: "ray.data.Dataset", max_hamming: int = 3,
     64 bits with a vectorized SWAR popcount."""
     if n_buckets is None:
         n_buckets = _auto_buckets(ds)
-    sigs = ds.map_batches(make_simhash_fn(bands), batch_format="pandas")
+    sigs = ds.map_batches(make_simhash_fn(bands), batch_format="pandas",
+                          batch_size=1024)
 
     def add_bucket(batch: pd.DataFrame) -> pd.DataFrame:
         batch = batch.copy()
