@@ -145,6 +145,32 @@ def content_hash64(texts) -> np.ndarray:
     return pd.util.hash_array(arr, categorize=False)
 
 
+# BPE-ish pre-tokenization classes: alphabetic runs, digit runs,
+# single punctuation marks (the usual byte-level BPE split shape)
+TOKEN_PATTERNS = ("[A-Za-z]+", "[0-9]+", "[^A-Za-z0-9 ]")
+
+
+def token_count_fn(batch: pd.DataFrame) -> pd.DataFrame:
+    """Per-doc token counts under a BPE-ish regex pre-tokenizer:
+    whitespace words plus the three TOKEN_PATTERNS classes, each
+    counted with pandas' C regex engine (``str.count`` — no per-row
+    Python).  Patterns are plain character classes so Python re and
+    DuckDB's RE2 oracle agree exactly."""
+    out = batch[["doc_id"]].copy()
+    text = batch["text"]
+    out["n_ws_tokens"] = text.str.split(" ").str.len().astype("int64")
+    total = None
+    for pat in TOKEN_PATTERNS:
+        c = text.str.count(pat).astype("int64")
+        total = c if total is None else total + c
+    out["n_bpe_tokens"] = total
+    return out
+
+
+def token_count_pipeline(ds: "ray.data.Dataset") -> "ray.data.Dataset":
+    return ds.map_batches(token_count_fn, batch_format="pandas")
+
+
 def fingerprint_fn(batch: pd.DataFrame) -> pd.DataFrame:
     """Content fingerprint: stable 64-bit hash of the full text."""
     out = batch[["doc_id"]].copy()

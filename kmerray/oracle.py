@@ -335,6 +335,18 @@ SELECT doc_id,
 FROM s"""
 
 
+def token_counts_sql() -> str:
+    """Mirror of extras.text.token_count_fn (RE2 char classes ==
+    Python re for these patterns)."""
+    from .extras.text import TOKEN_PATTERNS
+    parts = " + ".join(
+        f"len(regexp_extract_all(text, '{p}'))" for p in TOKEN_PATTERNS)
+    return f"""SELECT doc_id,
+  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens,
+  CAST({parts} AS BIGINT) AS n_bpe_tokens
+FROM documents"""
+
+
 def dedup_exact_sql() -> str:
     return "SELECT min(doc_id) AS doc_id FROM documents GROUP BY text"
 

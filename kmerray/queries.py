@@ -400,6 +400,7 @@ def oracle_registry(sf_dir: str = "/root/testdata/sf0.01") -> dict:
         "sessionize_partitioned": oracle.sessionize_sql(path,
                                                         SESSION_GAP_US),
         "doc_stats": oracle.doc_stats_sql(),
+        "token_counts": oracle.token_counts_sql(),
         "quality": oracle.quality_sql(),
         "lang_id": oracle.lang_id_sql(),
         "dedup_exact": oracle.dedup_exact_sql(),
@@ -434,6 +435,11 @@ def q_doc_stats(sf_dir: str):
     def cast(batch: pa.Table) -> pa.Table:
         return batch.select(["doc_id", "n_words", "n_chars", "stop_cnt"])
     return out.map_batches(cast, batch_format="pyarrow")
+
+
+def q_token_counts(sf_dir: str):
+    from .extras.text import token_count_pipeline
+    return token_count_pipeline(_docs(sf_dir))
 
 
 def q_quality(sf_dir: str):
@@ -527,6 +533,7 @@ def q_media_features(sf_dir: str):
 def extras_registry() -> dict:
     return {
         "doc_stats": q_doc_stats,
+        "token_counts": q_token_counts,
         "quality": q_quality,
         "lang_id": q_lang_id,
         "dedup_exact": q_dedup_exact,
