@@ -230,6 +230,10 @@ def ngram_jaccard_pairs(ds: "ray.data.Dataset", n: int = 3,
 def _perm_params(num_perm: int, seed: int = 7):
     rng = np.random.default_rng(seed)
     a = rng.integers(1, (1 << 61) - 1, size=num_perm, dtype=np.uint64)
+    # odd multipliers: a*x+b mod 2^64 is a bijection iff a is odd (an
+    # even a discards low bits of the gram hash and weakens min-wise
+    # independence — ADVICE r2)
+    a |= np.uint64(1)
     b = rng.integers(0, (1 << 61) - 1, size=num_perm, dtype=np.uint64)
     return a, b
 
@@ -551,8 +555,14 @@ def connected_components(edges: "ray.data.Dataset", n_buckets: int = 32,
     def finalize(b: pd.DataFrame) -> pd.DataFrame:
         if "key" not in b.columns:          # empty edge set -> no labels
             return _empty({"node": np.int64, "root": np.int64})
-        return pd.DataFrame({"node": b["key"], "root": b["val"]})
-    return labels.map_batches(finalize, batch_format="pandas")
+        # contract: exactly ONE (node, root) row per node.  A node's
+        # rows all live in its hash bucket (= one groupby group, never
+        # split across blocks), so a per-block min is a global dedup
+        # given batch_size=None below (ADVICE r2).
+        out = pd.DataFrame({"node": b["key"], "root": b["val"]})
+        return out.groupby("node", as_index=False)["root"].min()
+    return labels.map_batches(finalize, batch_format="pandas",
+                              batch_size=None)
 
 
 def near_dup_survivors(ds: "ray.data.Dataset", n: int = 3,

@@ -272,10 +272,17 @@ def cosine_near_dup_pairs(full_path: str, threshold: float = 0.4,
     def score(batch: pd.DataFrame) -> pa.Table:
         pf = pq.ParquetFile(full_path)
         ends = _rg_ends(pf)
+        # bounded LRU so a task whose batch spans many (bi, bj) items
+        # keeps the documented two-block footprint (ADVICE r2); 4
+        # entries ride out the i-major item ordering (bi stays hot)
         cache: dict = {}
 
         def load(b: int):
-            if b not in cache:
+            if b in cache:
+                cache[b] = cache.pop(b)      # refresh recency
+            else:
+                if len(cache) >= 4:
+                    cache.pop(next(iter(cache)))
                 cache[b] = _read_block(pf, ends, *bounds[b])
             return cache[b]
 

@@ -52,26 +52,53 @@ def parse_fasta(data: bytes) -> tuple[list[str], list[bytes]]:
 
 
 def parse_fastq(data: bytes) -> tuple[list[str], list[bytes]]:
-    lines = data.split(b"\n")
+    """Blank lines are dropped BEFORE framing (a mid-file blank line
+    must not desync the 4-line frame — ADVICE r2), and the '+'
+    separator of every record is validated so a desynced stream fails
+    loudly instead of ingesting quality bytes as sequence."""
+    lines = [ln for ln in data.split(b"\n") if ln.strip()]
     ids, seqs = [], []
-    for i in range(0, len(lines) - 1, 4):
+    for i in range(0, len(lines) - 3, 4):
         header = lines[i].strip()
-        if not header:
-            continue
         if not header.startswith(b"@"):
-            raise ValueError(f"malformed FASTQ header at line {i}")
+            raise ValueError(f"malformed FASTQ header at record {i // 4}")
+        if not lines[i + 2].lstrip().startswith(b"+"):
+            raise ValueError(
+                f"malformed FASTQ separator at record {i // 4}")
         ids.append(header[1:].split()[0].decode())
         seqs.append(lines[i + 1].strip())
+    if len(lines) % 4:
+        raise ValueError("truncated FASTQ: trailing partial record")
     return ids, seqs
+
+
+_I32_MAX = np.iinfo(np.int32).max
 
 
 def records_to_table(ids: list[str], seqs: list[bytes]) -> pa.Table:
     """Tokenize all records with one table gather over the
-    concatenated bytes and assemble the list column zero-copy."""
+    concatenated bytes and assemble the list column zero-copy.
+
+    A payload with > 2^31 total bases (e.g. one whole mammalian
+    genome parsed as a single task) would silently wrap the int32
+    list offsets — such inputs are split into sub-tables whose
+    chunked concat keeps every per-chunk offset in range (ADVICE r2,
+    medium)."""
     lens = np.fromiter((len(s) for s in seqs), dtype=np.int64,
                        count=len(seqs))
     offsets = np.zeros(len(seqs) + 1, dtype=np.int64)
     np.cumsum(lens, out=offsets[1:])
+    if offsets[-1] > _I32_MAX:
+        if len(seqs) == 1:
+            raise ValueError(
+                f"single record of {offsets[-1]} bases exceeds the "
+                "int32 list-offset range")
+        # greedy split at the last record boundary under the limit
+        cut = int(np.searchsorted(offsets, _I32_MAX, side="right")) - 1
+        return pa.concat_tables([
+            records_to_table(ids[:cut], seqs[:cut]),
+            records_to_table(ids[cut:], seqs[cut:]),
+        ])
     flat = np.frombuffer(b"".join(seqs), dtype=np.uint8)
     tokens = _TOK[flat]
     lst = pa.ListArray.from_arrays(
