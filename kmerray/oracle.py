@@ -373,6 +373,68 @@ JOIN sizes sb ON sb.doc_id = i.b
 WHERE CAST(i.i AS DOUBLE) / (sa.n + sb.n - i.i) >= {threshold}"""
 
 
+def _exact_jaccard_edges_cte(n: int, threshold: float) -> str:
+    """Shared CTE list: exact word-n-gram Jaccard >= threshold pairs
+    over `documents` (the edge set of the near-dup graph)."""
+    gram = " || ' ' || ".join(f"w[i+{j}]" for j in range(n))
+    return f"""words AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+),
+grams AS (
+  SELECT DISTINCT doc_id, {gram} AS gram
+  FROM words,
+       LATERAL (SELECT unnest(generate_series(1, len(w) - {n - 1})) AS i) g
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS i
+  FROM grams a JOIN grams b ON a.gram = b.gram AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+edges AS (
+  SELECT i.a, i.b FROM inter i
+  JOIN sizes sa ON sa.doc_id = i.a
+  JOIN sizes sb ON sb.doc_id = i.b
+  WHERE CAST(i.i AS DOUBLE) / (sa.n + sb.n - i.i) >= {threshold}
+)"""
+
+
+def near_dup_survivors_sql(n: int = 3, threshold: float = 0.8) -> str:
+    """Survivors of the full near-dup pipeline: exact Jaccard edges at
+    the verify threshold -> min-id connected components (recursive
+    min-label closure) -> keep min doc_id per component.  Equals the
+    engine's LSH->verify->components survivors because (a) verify makes
+    LSH precision exact and (b) the query's banding params put LSH
+    recall at J>=threshold at ~1-5e-8 per pair on the deterministic
+    corpus (checked empirically at sf0.001/sf0.01)."""
+    return f"""WITH RECURSIVE {_exact_jaccard_edges_cte(n, threshold)},
+sym AS (
+  SELECT a AS u, b AS v FROM edges
+  UNION ALL
+  SELECT b, a FROM edges
+),
+reach(node, lab) AS (
+  SELECT u, v FROM sym
+  UNION
+  SELECT r.node, s.v FROM reach r JOIN sym s ON s.u = r.lab
+),
+comp AS (
+  SELECT node, least(node, min(lab)) AS root FROM reach GROUP BY node
+)
+SELECT doc_id FROM documents
+WHERE doc_id NOT IN (SELECT node FROM comp WHERE node <> root)"""
+
+
+def minhash_recall_sql(n: int = 3, threshold: float = 0.8) -> str:
+    """Containment oracle for the LSH candidate stage: the Ray side
+    returns ``exact_pairs(threshold) ∩ lsh_candidates``; it hash-equals
+    this (all exact pairs) iff LSH missed none — banding isn't
+    SQL-expressible, but its recall-1 containment is (VERDICT r2 next
+    #6a)."""
+    return f"""WITH {_exact_jaccard_edges_cte(n, threshold)}
+SELECT a, b FROM edges"""
+
+
 def ann_topk_sql(n_queries: int = 5, k: int = 10) -> str:
     return f"""WITH q AS (
   SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe

@@ -405,6 +405,10 @@ def oracle_registry(sf_dir: str = "/root/testdata/sf0.01") -> dict:
         "lang_id": oracle.lang_id_sql(),
         "dedup_exact": oracle.dedup_exact_sql(),
         "ngram_dupes": oracle.ngram_dupes_sql(NGRAM_N, NGRAM_THRESHOLD),
+        "minhash_recall": oracle.minhash_recall_sql(NGRAM_N, ND_THRESHOLD),
+        "simhash_recall": oracle.minhash_recall_sql(NGRAM_N, ND_THRESHOLD),
+        "near_dup_survivors": oracle.near_dup_survivors_sql(NGRAM_N,
+                                                            ND_THRESHOLD),
         "ann_topk": oracle.ann_topk_sql(ANN_QUERIES, ANN_K),
         "ann_topk_ivf": oracle.ann_topk_sql(ANN_QUERIES, ANN_K),
         "emb_near_dup": oracle.emb_near_dup_sql(EMB_DUP_THRESHOLD),
@@ -420,6 +424,13 @@ NGRAM_THRESHOLD = 0.08
 ANN_QUERIES = 5
 ANN_K = 10
 EMB_DUP_THRESHOLD = 0.4
+# end-to-end near-dup / recall-containment params: verify threshold
+# 0.8; 128 perms x 32 bands (rows-per-band 4) puts LSH miss
+# probability at J>=0.8 at (1-0.8^4)^32 ~ 5e-8 per pair, so the
+# oracle (exact-Jaccard edges) matches deterministically
+ND_THRESHOLD = 0.8
+ND_PERMS = 128
+ND_BANDS = 32
 
 
 def _docs(sf_dir: str):
@@ -510,6 +521,40 @@ def q_emb_near_dup_lsh(sf_dir: str):
     return cosine_near_dup_lsh(ds, threshold=EMB_DUP_THRESHOLD)
 
 
+def q_near_dup_survivors(sf_dir: str):
+    """Full near-dup dedup end-to-end (LSH candidates -> distributed
+    gram-semi-join verify -> distributed components -> survivors),
+    gated by an EXACT DuckDB oracle (recursive-CTE components over the
+    exact Jaccard edge set) — VERDICT r2 next #1."""
+    from .extras.dedup import near_dup_survivors
+    out = near_dup_survivors(_docs(sf_dir), n=NGRAM_N, num_perm=ND_PERMS,
+                             bands=ND_BANDS, threshold=ND_THRESHOLD,
+                             distributed=True)
+
+    def cast(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"doc_id": batch["doc_id"].astype(np.int64)})
+    return out.map_batches(cast, batch_format="pandas")
+
+
+def q_minhash_recall(sf_dir: str):
+    """Containment oracle for the LSH candidate stage: exact-Jaccard
+    pairs at ND_THRESHOLD semi-joined with the banded candidates.
+    Hash-equals the full exact pair set iff LSH recall is 1 (VERDICT
+    r2 next #6a)."""
+    from .extras.dedup import (minhash_lsh_candidates, ngram_jaccard_pairs,
+                               pair_semijoin)
+    docs = _docs(sf_dir)
+    cands = minhash_lsh_candidates(docs, n=NGRAM_N, num_perm=ND_PERMS,
+                                   bands=ND_BANDS)
+    exact = ngram_jaccard_pairs(docs, n=NGRAM_N, threshold=ND_THRESHOLD)
+    out = pair_semijoin(exact, cands)
+
+    def cast(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"a": batch["a"].astype(np.int64),
+                             "b": batch["b"].astype(np.int64)})
+    return out.map_batches(cast, batch_format="pandas")
+
+
 def q_minhash_candidates(sf_dir: str):
     """Rows-only check (LSH banding is not SQL-expressible)."""
     from .extras.dedup import minhash_lsh_candidates
@@ -517,9 +562,37 @@ def q_minhash_candidates(sf_dir: str):
 
 
 def q_simhash_pairs(sf_dir: str):
-    """Rows-only check."""
+    """Rows-only check (the emitted-pairs-have-Hamming<=3 invariant is
+    pytest-asserted against an independent recomputation)."""
     from .extras.dedup import simhash_near_dup_pairs
     return simhash_near_dup_pairs(_docs(sf_dir), max_hamming=3)
+
+
+# oracle-only simhash config: 16 x 4-bit bands block-guarantee every
+# pair with Hamming <= 15 (pigeonhole), and on the deterministic corpus
+# every exact-Jaccard>=0.8 pair sits within Hamming 10 (measured max 8)
+SH_RECALL_HAMMING = 10
+SH_RECALL_BANDS = 16
+
+
+def q_simhash_recall(sf_dir: str):
+    """Containment oracle for SimHash blocking: exact-Jaccard pairs at
+    ND_THRESHOLD semi-joined with simhash pairs at a Hamming radius
+    wide enough to cover them all (VERDICT r2 next #6).  4-bit bands
+    are an oracle-only config (they emit O(n^2/16) candidates — the
+    production radius-3 config uses 16-bit bands)."""
+    from .extras.dedup import (ngram_jaccard_pairs, pair_semijoin,
+                               simhash_near_dup_pairs)
+    docs = _docs(sf_dir)
+    sh = simhash_near_dup_pairs(docs, max_hamming=SH_RECALL_HAMMING,
+                                bands=SH_RECALL_BANDS)
+    exact = ngram_jaccard_pairs(docs, n=NGRAM_N, threshold=ND_THRESHOLD)
+    out = pair_semijoin(exact, sh)
+
+    def cast(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"a": batch["a"].astype(np.int64),
+                             "b": batch["b"].astype(np.int64)})
+    return out.map_batches(cast, batch_format="pandas")
 
 
 def q_media_features(sf_dir: str):
@@ -543,6 +616,9 @@ def extras_registry() -> dict:
         "emb_near_dup": q_emb_near_dup,
         "emb_near_dup_lsh": q_emb_near_dup_lsh,
         "minhash_candidates": q_minhash_candidates,
+        "minhash_recall": q_minhash_recall,
+        "near_dup_survivors": q_near_dup_survivors,
         "simhash_pairs": q_simhash_pairs,
+        "simhash_recall": q_simhash_recall,
         "media_features": q_media_features,
     }

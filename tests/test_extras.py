@@ -347,3 +347,68 @@ def test_near_dup_survivors_distributed_no_dups(ray_session):
     out = near_dup_survivors(ray.data.from_arrow(t), threshold=0.8,
                              distributed=True).to_pandas()
     assert len(out) == 20
+
+
+def test_verify_pairs_distributed_matches_broadcast(ray_session,
+                                                    docs_with_dups):
+    """The bucketed gram semi-join verify must be bit-identical to the
+    round-2 broadcast verify (VERDICT r2 next #1)."""
+    from kmerray.extras.dedup import (_verify_pairs_broadcast,
+                                      minhash_lsh_candidates,
+                                      verify_candidate_pairs)
+    ds = ray.data.from_arrow(docs_with_dups)
+    cands = minhash_lsh_candidates(ds, n=3, num_perm=64,
+                                   bands=16).materialize()
+    new = verify_candidate_pairs(ds, cands, n=3,
+                                 threshold=0.7).to_pandas()
+    old = _verify_pairs_broadcast(ds, cands, n=3,
+                                  threshold=0.7).to_pandas()
+    key = ["a", "b"]
+    new = new.sort_values(key).reset_index(drop=True)
+    old = old.sort_values(key).reset_index(drop=True)
+    assert len(new) == len(old) and len(new) > 0
+    assert (new["a"] == old["a"]).all() and (new["b"] == old["b"]).all()
+    # exact ints divided by exact ints -> bit-identical doubles
+    assert (new["jaccard"].to_numpy() == old["jaccard"].to_numpy()).all()
+
+
+def test_pair_semijoin(ray_session):
+    from kmerray.extras.dedup import pair_semijoin
+    left = ray.data.from_arrow(pa.table({
+        "a": pa.array([1, 2, 3, 3], pa.int64()),
+        "b": pa.array([5, 6, 7, 7], pa.int64())}))
+    right = ray.data.from_arrow(pa.table({
+        "a": pa.array([2, 3, 9], pa.int64()),
+        "b": pa.array([6, 7, 9], pa.int64())}))
+    out = pair_semijoin(left, right).to_pandas().sort_values("a")
+    assert list(zip(out["a"], out["b"])) == [(2, 6), (3, 7)]
+
+
+def test_simhash_pairs_hamming_invariant(ray_session, docs_with_dups):
+    """Every emitted pair's Hamming distance <= max_hamming, recomputed
+    independently with a naive per-word/per-bit vote loop (VERDICT r2
+    next #6b)."""
+    from kmerray.extras.dedup import simhash_near_dup_pairs
+
+    def naive_simhash(text: str) -> int:
+        words = np.array(text.split(" "), dtype=object)
+        hashes = pd.util.hash_array(words)
+        votes = [0] * 64
+        for h in hashes:
+            for b in range(64):
+                votes[b] += (int(h) >> b) & 1
+        v = 0
+        for b in range(64):
+            if votes[b] * 2 > len(words):
+                v |= 1 << b
+        return v
+
+    ds = ray.data.from_arrow(docs_with_dups)
+    pairs = simhash_near_dup_pairs(ds, max_hamming=3).to_pandas()
+    assert len(pairs) > 0
+    texts = dict(zip(docs_with_dups["doc_id"].to_pylist(),
+                     docs_with_dups["text"].to_pylist()))
+    for a, b, ham in zip(pairs["a"], pairs["b"], pairs["hamming"]):
+        naive = bin(naive_simhash(texts[a])
+                    ^ naive_simhash(texts[b])).count("1")
+        assert naive == ham <= 3
