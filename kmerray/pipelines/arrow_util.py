@@ -27,6 +27,23 @@ def matrix_to_fixed_list(mat: np.ndarray) -> pa.FixedSizeListArray:
     return pa.FixedSizeListArray.from_arrays(flat, mat.shape[1])
 
 
+def explode_nonzero_fixedlist(col: str):
+    """Batch fn: FixedSizeList column -> exploded nonzero
+    ``(doc_id, bin, val)`` rows (shared by cov/asof histogram
+    queries)."""
+    def explode(batch: pa.Table) -> pa.Table:
+        arr = batch.column(col).combine_chunks()
+        width = arr.type.list_size
+        mat = arr.flatten().to_numpy().reshape(batch.num_rows, width)
+        rows, bins = np.nonzero(mat)
+        return pa.table({
+            "doc_id": batch.column("doc_id").take(pa.array(rows)),
+            "bin": pa.array(bins.astype(np.int64)),
+            "val": pa.array(mat[rows, bins].astype(np.int64)),
+        })
+    return explode
+
+
 def ragged_to_list(values: np.ndarray, offsets: np.ndarray,
                    pa_type) -> pa.ListArray:
     """Ragged rows -> Arrow list column (per-batch offsets fit int32)."""

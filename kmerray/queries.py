@@ -191,31 +191,27 @@ def q_whole_seq_minimiser(sf_dir: str, m: int = WHOLE_M):
     return ex.map_batches(cast, batch_format="pyarrow")
 
 
-def _explode_nonzero_fixedlist(col: str):
-    def explode(batch: pa.Table) -> pa.Table:
-        arr = batch.column(col).combine_chunks()
-        width = arr.type.list_size
-        mat = arr.flatten().to_numpy().reshape(batch.num_rows, width)
-        rows, bins = np.nonzero(mat)
-        return pa.table({
-            "doc_id": batch.column("doc_id").take(pa.array(rows)),
-            "bin": pa.array(bins.astype(np.int64)),
-            "val": pa.array(mat[rows, bins].astype(np.int64)),
-        })
-    return explode
+from .pipelines.arrow_util import explode_nonzero_fixedlist \
+    as _explode_nonzero_fixedlist
 
 
 def q_cov_hist(sf_dir: str, k: int = K_COV, bins=COV_BINS):
-    from .pipelines.cov import collect_count_table
+    """Size-triggered default (VERDICT r2 next #2): broadcast scorer
+    below the dictionary-size threshold, bucketed join above."""
+    from .pipelines.cov import cov_hist_auto
     bin_size, bin_count = bins
     ds = _seq(sf_dir, ["doc_id", "tokens"])
-    # build the dictionary once (distributed sort), broadcast via ray.put
-    ref = ray.put(collect_count_table(
-        count_kmers(ds, k, bucket_by="range")))
-    scored = coverage_pipeline(ds, ref, k, bin_size, bin_count, norm=False,
-                               concurrency=2)
-    return scored.map_batches(_explode_nonzero_fixedlist("coverage"),
-                              batch_format="pyarrow")
+    return cov_hist_auto(ds, k, bin_size, bin_count)
+
+
+def q_cov_hist_join(sf_dir: str, k: int = K_COV, bins=COV_BINS):
+    """The above-threshold route forced (threshold 0), so the
+    fully-distributed bucketed join is oracle-gated every round —
+    same SQL oracle as cov_hist."""
+    from .pipelines.cov import cov_hist_auto
+    bin_size, bin_count = bins
+    ds = _seq(sf_dir, ["doc_id", "tokens"])
+    return cov_hist_auto(ds, k, bin_size, bin_count, threshold_keys=0)
 
 
 def q_cov_hist_sharded(sf_dir: str, k: int = K_COV, bins=COV_BINS,
@@ -285,15 +281,20 @@ def q_asof_snapshots(sf_dir: str, k: int = K_ASOF):
 
 
 def q_asof_cov_hist(sf_dir: str, k: int = K_ASOF, bins=ASOF_BINS):
+    """Size-triggered default (VERDICT r2 next #2)."""
+    from .pipelines.asof import asof_hist_auto
     bin_size, bin_count = bins
     ds = _seq(sf_dir, ["doc_id", "tokens", "source", "ts"])
-    from .pipelines.asof import collect_snapshot_table
-    ref = ray.put(load_snapshot_index(
-        collect_snapshot_table(snapshot_counts(ds, k))))
-    scored = asof_coverage_pipeline(ds, ref, k, bin_size, bin_count,
-                                    norm=False, concurrency=2)
-    return scored.map_batches(_explode_nonzero_fixedlist("asof_coverage"),
-                              batch_format="pyarrow")
+    return asof_hist_auto(ds, k, bin_size, bin_count)
+
+
+def q_asof_cov_hist_join(sf_dir: str, k: int = K_ASOF, bins=ASOF_BINS):
+    """Above-threshold route forced — the bucketed as-of join
+    oracle-gated every round (same SQL oracle as asof_cov_hist)."""
+    from .pipelines.asof import asof_hist_auto
+    bin_size, bin_count = bins
+    ds = _seq(sf_dir, ["doc_id", "tokens", "source", "ts"])
+    return asof_hist_auto(ds, k, bin_size, bin_count, threshold_rows=0)
 
 
 def q_lag_lead(sf_dir: str):
@@ -363,9 +364,11 @@ def registry() -> dict:
         "cgr_final": q_cgr_final,
         "cov_hist": q_cov_hist,
         "cov_hist_sharded": q_cov_hist_sharded,
+        "cov_hist_join": q_cov_hist_join,
         "asof_snapshots": q_asof_snapshots,
         "asof_cov_hist": q_asof_cov_hist,
         "asof_cov_hist_sharded": q_asof_cov_hist_sharded,
+        "asof_cov_hist_join": q_asof_cov_hist_join,
         "lag_lead": q_lag_lead,
         "sessionize": q_sessionize,
         "lag_lead_partitioned": q_lag_lead_partitioned,
@@ -390,10 +393,13 @@ def oracle_registry(sf_dir: str = "/root/testdata/sf0.01") -> dict:
         "cgr_final": oracle.cgr_final_sql(path),
         "cov_hist": oracle.cov_hist_sql(path, K_COV, *COV_BINS),
         "cov_hist_sharded": oracle.cov_hist_sql(path, K_COV, *COV_BINS),
+        "cov_hist_join": oracle.cov_hist_sql(path, K_COV, *COV_BINS),
         "asof_snapshots": oracle.asof_snapshots_sql(path, K_ASOF),
         "asof_cov_hist": oracle.asof_cov_hist_sql(path, K_ASOF, *ASOF_BINS),
         "asof_cov_hist_sharded": oracle.asof_cov_hist_sql(path, K_ASOF,
                                                           *ASOF_BINS),
+        "asof_cov_hist_join": oracle.asof_cov_hist_sql(path, K_ASOF,
+                                                       *ASOF_BINS),
         "lag_lead": oracle.lag_lead_sql(path),
         "sessionize": oracle.sessionize_sql(path, SESSION_GAP_US),
         "lag_lead_partitioned": oracle.lag_lead_sql(path),

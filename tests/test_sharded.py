@@ -93,3 +93,29 @@ def test_collect_count_table_range_vs_hash(ray_session):
         count_kmers(ray.data.from_arrow(corpus), K))
     assert np.array_equal(k_r, k_h) and np.array_equal(c_r, c_h)
     assert bool(np.all(k_r[1:] >= k_r[:-1]))
+
+
+def test_cov_hist_auto_threshold_switch(ray_session, tmp_path):
+    """The size-trigger routes to the bucketed join above the
+    threshold and both routes agree row-for-row (VERDICT r2 next #2)."""
+    from kmerray.pipelines.cov import cov_hist_auto
+    t = generate_sequences(300)
+    bin_size, bin_count = BINS
+    broadcast = cov_hist_auto(ray.data.from_arrow(t), K, bin_size,
+                              bin_count,
+                              threshold_keys=10**9).to_pandas()
+    joined = cov_hist_auto(ray.data.from_arrow(t), K, bin_size,
+                           bin_count, threshold_keys=0).to_pandas()
+    pd.testing.assert_frame_equal(_norm(broadcast), _norm(joined))
+
+
+def test_asof_hist_auto_threshold_switch(ray_session):
+    from kmerray.pipelines.asof import asof_hist_auto
+    t = generate_sequences(300)
+    bin_size, bin_count = BINS
+    broadcast = asof_hist_auto(ray.data.from_arrow(t), K, bin_size,
+                               bin_count,
+                               threshold_rows=10**9).to_pandas()
+    joined = asof_hist_auto(ray.data.from_arrow(t), K, bin_size,
+                            bin_count, threshold_rows=0).to_pandas()
+    pd.testing.assert_frame_equal(_norm(broadcast), _norm(joined))
