@@ -46,6 +46,38 @@ def synth_media_table(n_items: int, seed: int = 42,
     })
 
 
+def ensure_media_parquet(n_items: int = 500, seed: int = 42) -> str:
+    """Write-once deterministic media parquet under the shared cache
+    root, so the Ray pipeline and the DuckDB oracle read the SAME
+    bytes (the pattern of ``sources.synth.ensure_sequences``)."""
+    import json
+    import os
+
+    import pyarrow.parquet as pq
+
+    from ..sources.synth import CACHE_ROOT
+    out_dir = os.path.join(CACHE_ROOT, f"media-n{n_items}-s{seed}-v1")
+    path = os.path.join(out_dir, "media.parquet")
+    marker = os.path.join(out_dir, "_SUCCESS")
+    if os.path.exists(marker):
+        return path
+    tmp_dir = out_dir + f".tmp.{os.getpid()}"
+    os.makedirs(tmp_dir, exist_ok=True)
+    pq.write_table(synth_media_table(n_items, seed=seed),
+                   os.path.join(tmp_dir, "media.parquet"),
+                   row_group_size=128)
+    with open(os.path.join(tmp_dir, "_SUCCESS"), "w") as fh:
+        json.dump({"n_items": n_items, "seed": seed}, fh)
+    try:
+        os.rename(tmp_dir, out_dir)
+    except OSError:
+        if not os.path.exists(marker):
+            raise
+        import shutil
+        shutil.rmtree(tmp_dir, ignore_errors=True)
+    return path
+
+
 def _try_import_pil():
     try:
         from PIL import Image

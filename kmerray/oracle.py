@@ -462,6 +462,42 @@ FROM e a JOIN e b ON a.vec_id < b.vec_id
 WHERE list_cosine_similarity(a.v, b.v) >= {threshold}"""
 
 
+def media_features_sql(path: str) -> str:
+    """Mirror of the multimodal fake-decode feature stage over the
+    deterministic media parquet: frame byte j = payload[j % len], 16-bin
+    byte histogram / frame size, mean = sum/size (exact int sums ->
+    bit-identical doubles).  Per-byte access via hex() + strpos
+    (DuckDB blobs have no direct byte indexer); entropy stays
+    pytest-side (log2 operation order isn't worth pinning in SQL)."""
+    hexmap = "0123456789ABCDEF"
+    return f"""WITH m AS (
+  SELECT item_id, media_type,
+         CAST(width AS BIGINT) * CAST(height AS BIGINT) AS need,
+         CAST(octet_length(payload) AS BIGINT) AS plen,
+         hex(payload) AS h
+  FROM read_parquet('{path}')
+),
+b AS (
+  SELECT item_id, media_type, need,
+         16 * (strpos('{hexmap}', substr(h, 2 * (i % plen) + 1, 1)) - 1)
+         + strpos('{hexmap}', substr(h, 2 * (i % plen) + 2, 1)) - 1 AS byte
+  FROM m,
+       LATERAL (SELECT unnest(generate_series(0, need - 1)) AS i) g
+),
+mn AS (
+  SELECT item_id, CAST(sum(byte) AS DOUBLE) / any_value(need) AS mean
+  FROM b GROUP BY item_id
+),
+agg AS (
+  SELECT item_id, any_value(media_type) AS media_type,
+         any_value(need) AS need, byte // 16 AS bin, count(*) AS c
+  FROM b GROUP BY item_id, byte // 16
+)
+SELECT a.item_id, a.media_type, CAST(a.bin AS BIGINT) AS bin,
+       CAST(a.c AS DOUBLE) / a.need AS freq, mn.mean
+FROM agg a JOIN mn ON mn.item_id = a.item_id"""
+
+
 def cgr_final_sql(path: str) -> str:
     """Final CGR walk point per clean row (vecsize=1): the x/y
     recurrences are separable, so two left-folds with the exact

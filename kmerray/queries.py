@@ -418,7 +418,13 @@ def oracle_registry(sf_dir: str = "/root/testdata/sf0.01") -> dict:
         "ann_topk": oracle.ann_topk_sql(ANN_QUERIES, ANN_K),
         "ann_topk_ivf": oracle.ann_topk_sql(ANN_QUERIES, ANN_K),
         "emb_near_dup": oracle.emb_near_dup_sql(EMB_DUP_THRESHOLD),
+        "media_features": oracle.media_features_sql(_media_path()),
     }
+
+
+def _media_path() -> str:
+    from .extras.multimodal import ensure_media_parquet
+    return ensure_media_parquet()
 
 
 # ---------------------------------------------------------------------------
@@ -602,11 +608,29 @@ def q_simhash_recall(sf_dir: str):
 
 
 def q_media_features(sf_dir: str):
-    """Rows-only check: multimodal actor-pool plumbing over a
-    deterministic fake-binary corpus (decode libs absent — stubbed)."""
-    from .extras.multimodal import media_features_pipeline, synth_media_table
-    t = synth_media_table(500)
-    return media_features_pipeline(ray.data.from_arrow(t))
+    """Multimodal actor-pool plumbing over a deterministic fake-binary
+    parquet, now gated by an EXACT DuckDB oracle over the BLOB
+    (VERDICT r2 next #5): nonzero 16-bin byte-histogram entries +
+    frame mean per item (exact int counts / sizes -> bit-identical
+    doubles).  Entropy stays pytest-checked (media pipeline tests)."""
+    from .extras.multimodal import (ensure_media_parquet,
+                                    media_features_pipeline)
+    path = ensure_media_parquet()
+    out = media_features_pipeline(ray.data.read_parquet(path), fake=True)
+
+    def explode(batch: pa.Table) -> pa.Table:
+        arr = batch.column("features").combine_chunks()
+        mat = arr.flatten().to_numpy().reshape(batch.num_rows, 18)
+        hist, mean = mat[:, :16], mat[:, 17]
+        rows, bins = np.nonzero(hist)
+        return pa.table({
+            "item_id": batch.column("item_id").take(pa.array(rows)),
+            "media_type": batch.column("media_type").take(pa.array(rows)),
+            "bin": pa.array(bins.astype(np.int64)),
+            "freq": pa.array(hist[rows, bins]),
+            "mean": pa.array(mean[rows]),
+        })
+    return out.map_batches(explode, batch_format="pyarrow")
 
 
 def extras_registry() -> dict:
