@@ -18,6 +18,19 @@ import argparse
 import sys
 
 
+def _ranged(lo: int, hi: int, name: str):
+    """Reference-CLI-parity range validation (clap value_parser ranges,
+    /root/reference/kmertools/src/args.rs:85,148,188,219) — reject at
+    argparse time instead of failing later in a kernel."""
+    def parse(v: str) -> int:
+        iv = int(v)
+        if not (lo <= iv <= hi):
+            raise argparse.ArgumentTypeError(
+                f"{name} must be in {lo}..={hi}")
+        return iv
+    return parse
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="kmerray")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -31,7 +44,8 @@ def build_parser() -> argparse.ArgumentParser:
 
     comp = sub.add_parser("comp", help="composition vectors (CFV/CGR)")
     common(comp)
-    comp.add_argument("-k", "--ksize", type=int, default=4)
+    comp.add_argument("-k", "--ksize", type=_ranged(3, 7, "oligo k"),
+                  default=4)
     comp.add_argument("--preset", default="oligo",
                       choices=["oligo", "cgr", "oligocgr"])
     comp.add_argument("--raw", action="store_true",
@@ -41,12 +55,14 @@ def build_parser() -> argparse.ArgumentParser:
 
     ctr = sub.add_parser("ctr", help="global k-mer counting")
     common(ctr)
-    ctr.add_argument("-k", "--ksize", type=int, default=15)
+    ctr.add_argument("-k", "--ksize", type=_ranged(10, 31, "ctr k"),
+                 default=15)
     ctr.add_argument("--acgt", action="store_true")
 
     cov = sub.add_parser("cov", help="coverage histograms")
     common(cov)
-    cov.add_argument("-k", "--ksize", type=int, default=15)
+    cov.add_argument("-k", "--ksize", type=_ranged(7, 31, "cov k"),
+                 default=15)
     cov.add_argument("--bin-size", type=int, default=16)
     cov.add_argument("--bin-count", type=int, default=16)
     cov.add_argument("--alt-input", default=None,
@@ -55,13 +71,15 @@ def build_parser() -> argparse.ArgumentParser:
 
     mn = sub.add_parser("min", help="minimizers")
     common(mn)
-    mn.add_argument("-m", "--msize", type=int, default=10)
+    mn.add_argument("-m", "--msize", type=_ranged(7, 28, "minimizer m"),
+                default=10)
     mn.add_argument("-w", "--wsize", type=int, default=0)
     mn.add_argument("--preset", default="s2m", choices=["s2m", "m2s"])
 
     asof = sub.add_parser("asof", help="point-in-time coverage features")
     common(asof)
-    asof.add_argument("-k", "--ksize", type=int, default=8)
+    asof.add_argument("-k", "--ksize", type=_ranged(1, 28, "asof k"),
+                  default=8)
     asof.add_argument("--bin-size", type=int, default=2)
     asof.add_argument("--bin-count", type=int, default=4)
 
@@ -70,7 +88,8 @@ def build_parser() -> argparse.ArgumentParser:
         help="FASTA/FASTQ(.gz) -> sequences-table Parquet "
              "(ktio/src/seq.rs parity; feeds every other subcommand)")
     tok.add_argument("-i", "--input", required=True, nargs="+",
-                     help="FASTA/FASTQ file(s) or directory")
+                     help="FASTA/FASTQ file(s) or directory, or '-' "
+                          "for stdin (ktio/src/seq.rs:141-155 parity)")
     tok.add_argument("-o", "--output", required=True)
     return p
 
@@ -85,7 +104,16 @@ def main(argv=None) -> int:
                      logging_level="ERROR")
         from ray.data import DataContext
         DataContext.get_current().enable_progress_bars = False
-        from .sources.seqio import read_seq_files
+        from .sources.seqio import parse_payload, read_seq_files
+        if args.input == ["-"]:
+            # stdin streaming parity (ktio/src/seq.rs:141-155): parse
+            # the piped payload on the driver (it arrived here anyway)
+            # and hand Ray the finished Arrow table
+            table = parse_payload(sys.stdin.buffer.read())
+            ray.data.from_arrow(table).write_parquet(args.output)
+            return 0
+        if "-" in args.input:
+            raise SystemExit("'-' (stdin) cannot be mixed with paths")
         paths = args.input if len(args.input) > 1 else args.input[0]
         read_seq_files(paths).write_parquet(args.output)
         return 0

@@ -66,7 +66,7 @@ def test_cli_comp_and_ctr(ray_session, tiny_corpus_dir, tmp_path):
     assert "cfv" in t.schema.names
 
     out2 = str(tmp_path / "cli_ctr")
-    assert main(["ctr", "-i", tiny_corpus_dir, "-o", out2, "-k", "8",
+    assert main(["ctr", "-i", tiny_corpus_dir, "-o", out2, "-k", "10",
                  "--acgt"]) == 0
     t2 = pq.read_table(glob.glob(out2 + "/*.parquet"))
     assert set(t2.schema.names) >= {"kmer", "cnt", "acgt"}
@@ -85,7 +85,7 @@ def test_cli_min_cov_asof(ray_session, tiny_corpus_dir, tmp_path):
 
     out_min = str(tmp_path / "cli_min")
     assert main(["min", "-i", tiny_corpus_dir, "-o", out_min,
-                 "-m", "5", "-w", "8", "--preset", "s2m"]) == 0
+                 "-m", "7", "-w", "10", "--preset", "s2m"]) == 0
     t = pq.read_table(glob.glob(out_min + "/*.parquet"))
     assert "minimisers" in t.schema.names
 
@@ -101,3 +101,44 @@ def test_cli_min_cov_asof(ray_session, tiny_corpus_dir, tmp_path):
                  "-k", "8"]) == 0
     a = pq.read_table(glob.glob(out_asof + "/vectors/*.parquet"))
     assert {"asof_coverage", "asof_day"} <= set(a.schema.names)
+
+
+def test_cli_k_range_clamps(tmp_path):
+    """Reference CLI parity: out-of-range k rejected at argparse time
+    (kmertools/src/args.rs:85,148,188,219 — VERDICT r2 missing #2)."""
+    import pytest
+    from kmerray.__main__ import build_parser
+    p = build_parser()
+    for argv in (["comp", "-i", "x", "-o", "y", "-k", "8"],
+                 ["comp", "-i", "x", "-o", "y", "-k", "2"],
+                 ["ctr", "-i", "x", "-o", "y", "-k", "8"],
+                 ["cov", "-i", "x", "-o", "y", "-k", "6"],
+                 ["cov", "-i", "x", "-o", "y", "-k", "32"],
+                 ["min", "-i", "x", "-o", "y", "-m", "5"],
+                 ["asof", "-i", "x", "-o", "y", "-k", "29"]):
+        with pytest.raises(SystemExit):
+            p.parse_args(argv)
+    # boundaries accepted
+    assert p.parse_args(["comp", "-i", "x", "-o", "y", "-k", "7"]).ksize == 7
+    assert p.parse_args(["ctr", "-i", "x", "-o", "y", "-k", "10"]).ksize == 10
+    assert p.parse_args(["min", "-i", "x", "-o", "y", "-m", "28"]).msize == 28
+
+
+def test_cli_tokenize_stdin(ray_session, tmp_path, monkeypatch):
+    """`tokenize -i -` parses stdin bytes (ktio/src/seq.rs:141-155
+    parity — VERDICT r2 missing #1)."""
+    import glob
+    import io
+    import sys
+
+    import pyarrow.parquet as pq
+
+    from kmerray.__main__ import main
+    payload = b">r1\nACGT\n>r2\nGGTTAA\n"
+    fake = io.TextIOWrapper(io.BytesIO(payload))
+    monkeypatch.setattr(sys, "stdin", fake)
+    out = str(tmp_path / "stdin_tok")
+    assert main(["tokenize", "-i", "-", "-o", out]) == 0
+    t = pq.read_table(glob.glob(out + "/*.parquet"))
+    assert t.column("doc_id").to_pylist() == ["r1", "r2"]
+    assert t.column("n_tok").to_pylist() == [4, 6]
