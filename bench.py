@@ -185,6 +185,39 @@ def run_bench() -> dict:
           lambda: simhash_near_dup_pairs(docs(), max_hamming=3).count())
     timed("doc_stats", lambda: doc_stats_pipeline(docs()).count())
 
+    # m2s inverted-index build (vectorized run-offset assembly, r3)
+    from kmerray.pipelines.minpipe import m2s_pipeline
+    timed("m2s_31_7", lambda: m2s_pipeline(
+        rseq(heavy_files), 31, 7).count())
+
+    # exact n-gram Jaccard pairs (gram-bucketed self-join); stop-gram
+    # cap bounds the quadratic per-gram emission on the Zipf corpus
+    from kmerray.extras.dedup import ngram_jaccard_pairs
+    timed("ngram_jaccard", lambda: ngram_jaccard_pairs(
+        docs(), n=3, threshold=0.5, stopgram_cap=64).count())
+
+    # ANN over a bench-scale clustered embedding corpus
+    from kmerray.extras.similarity import (_emb_matrix, brute_force_topk,
+                                           ivf_topk, train_ivf_centroids)
+    from kmerray.sources.synth import ensure_embeddings
+    import pyarrow.parquet as pq
+    n_vecs = max(20_000, int(200_000 * sf / 0.1))
+    emb_path = ensure_embeddings(f"bench-{os.path.basename(SF_DIR)}",
+                                 n_vecs=n_vecs, dim=64)
+    emb_files = sorted(glob.glob(os.path.join(emb_path, "*.parquet")))
+    qt = pq.read_table(emb_files[0]).slice(0, 64)
+    qids, qmat = qt.column("vec_id").to_numpy(), _emb_matrix(qt)
+
+    def emb():
+        return ray.data.read_parquet(emb_files,
+                                     override_num_blocks=n_blocks)
+    timed("ann_topk", lambda: brute_force_topk(
+        emb(), qids, qmat, k=10).count())
+    cent = train_ivf_centroids(_emb_matrix(pq.read_table(emb_files[0])),
+                               n_centroids=64)
+    timed("ann_ivf", lambda: ivf_topk(
+        emb(), qids, qmat, cent, k=10, nprobe=8).count())
+
     ray.shutdown()
 
     return {

@@ -235,6 +235,57 @@ def ensure_read_corpus(tag: str, n_docs: int, mean_len: int = 1024,
     return out_dir
 
 
+def generate_embeddings(n_vecs: int, dim: int = 64, n_clusters: int = 64,
+                        seed: int = SEED) -> pa.Table:
+    """Deterministic clustered embeddings (Gaussian blobs around unit
+    centers) — the ANN / IVF bench workload shape (clusters make IVF
+    cell-pruning meaningful; a uniform cloud would not)."""
+    rng = np.random.default_rng([seed, n_vecs, dim])
+    centers = rng.normal(size=(n_clusters, dim))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    assign = rng.integers(0, n_clusters, size=n_vecs)
+    mat = centers[assign] + 0.15 * rng.normal(size=(n_vecs, dim))
+    flat = pa.array(mat.astype(np.float32).ravel(), pa.float32())
+    offs = pa.array((np.arange(n_vecs + 1) * dim).astype(np.int32),
+                    pa.int32())
+    return pa.table({
+        "vec_id": pa.array(np.arange(n_vecs, dtype=np.int64), pa.int64()),
+        # plain list<float> — the driver's embeddings schema
+        "embedding": pa.ListArray.from_arrays(offs, flat),
+    })
+
+
+def ensure_embeddings(tag: str, n_vecs: int, dim: int = 64) -> str:
+    out_dir = os.path.join(CACHE_ROOT,
+                           f"{tag}-emb-n{n_vecs}-d{dim}-v{VERSION}",
+                           "embeddings")
+    marker = os.path.join(out_dir, "_SUCCESS")
+    if os.path.exists(marker):
+        return out_dir
+    tmp_dir = out_dir + f".tmp.{os.getpid()}"
+    os.makedirs(tmp_dir, exist_ok=True)
+    table = generate_embeddings(n_vecs, dim)
+    n_files = max(4, min(32, n_vecs // 16_000))
+    step = (table.num_rows + n_files - 1) // n_files
+    for i in range(n_files):
+        part = table.slice(i * step, step)
+        if part.num_rows:
+            pq.write_table(part,
+                           os.path.join(tmp_dir, f"part-{i:04d}.parquet"),
+                           row_group_size=4096)
+    with open(os.path.join(tmp_dir, "_SUCCESS"), "w") as fh:
+        json.dump({"n_vecs": n_vecs, "dim": dim, "seed": SEED,
+                   "version": VERSION}, fh)
+    try:
+        os.rename(tmp_dir, out_dir)
+    except OSError:
+        if not os.path.exists(marker):
+            raise
+        import shutil
+        shutil.rmtree(tmp_dir, ignore_errors=True)
+    return out_dir
+
+
 # ---------------------------------------------------------------------------
 # bench-scale documents corpus (dedup / text-stage benchmarks)
 # ---------------------------------------------------------------------------
