@@ -80,10 +80,13 @@ def run_bench() -> dict:
     all_files = sorted(glob.glob(os.path.join(path, "*.parquet")))
     heavy_files = all_files[:max(1, len(all_files) // 4)]
 
-    # 4 blocks per CPU: with blocks == files (64) a 32-cpu run packs
-    # into 2 uneven waves and idles the tail — measured 6.4s -> 3.8s
-    # on the headline CFV just from finer read splitting
-    n_blocks = 4 * NUM_CPUS
+    # 4 blocks per CPU, floored at one block per file: with blocks ==
+    # files (64) a 32-cpu run packs into 2 uneven waves and idles the
+    # tail (6.4s -> 3.8s measured from finer splitting); conversely at
+    # LOW cpu counts 4xCPUs would COALESCE files into ~300MB blocks
+    # whose working sets thrash — the round-2 CFV 2->8 scaling gap:
+    # 2-cpu leg measured 51.8s at 8 blocks vs 25.9s at 64 (r3)
+    n_blocks = max(4 * NUM_CPUS, len(all_files))
 
     def rseq(files=None):
         return ray.data.read_parquet(files or all_files,
