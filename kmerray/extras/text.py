@@ -98,7 +98,8 @@ def quality_fn(batch: pd.DataFrame) -> pd.DataFrame:
     distinct_ratio = distinct / n
     stop_ratio = stop / n
     len_score = np.clip(n / 50.0, 0, 1) * np.clip(2 - n / 500.0, 0, 1)
-    batch = batch[["doc_id"]].copy()
+    keep = [c for c in ("doc_id", "lang") if c in batch.columns]
+    batch = batch[keep].copy()
     batch["quality"] = (0.5 * len_score + 0.25 * distinct_ratio.clip(0, 1)
                         + 0.25 * (stop_ratio * 5).clip(0, 1))
     return batch
@@ -169,6 +170,75 @@ def token_count_fn(batch: pd.DataFrame) -> pd.DataFrame:
 
 def token_count_pipeline(ds: "ray.data.Dataset") -> "ray.data.Dataset":
     return ds.map_batches(token_count_fn, batch_format="pandas")
+
+
+_GRAM_MIX = np.uint64(0x9E3779B97F4A7C15)
+
+
+def rep_stats_fn(batch: pd.DataFrame) -> pd.DataFrame:
+    """Gopher-style repetition signals per doc, fully vectorized:
+
+    - ``dup_word_frac``  = 1 - distinct_words / n_words
+    - ``top_2gram_frac`` = count of the most frequent word-2-gram /
+      total 2-grams (n_words - 1)
+
+    2-grams are keyed by mixing the two adjacent 64-bit word hashes
+    (``h1 * phi64 ^ h2`` — order-sensitive), same ~1e-14 collision
+    caveat as the quality score's distinct-word hashing."""
+    vals, offs = flat_words(batch["text"])
+    nrows = len(batch)
+    n = np.diff(offs).astype(np.int64)
+    rowid = np.repeat(np.arange(nrows), np.diff(offs))
+    wh = content_hash64(vals)
+    distinct = np.bincount(rowid[_segment_first_mask(rowid, wh)],
+                           minlength=nrows)
+    same_row = rowid[:-1] == rowid[1:]
+    g_row = rowid[:-1][same_row]
+    gk = (wh[:-1][same_row] * _GRAM_MIX) ^ wh[1:][same_row]
+    # run-length counts per (row, gram) on the lexsorted keys
+    order = np.lexsort((gk, g_row))
+    sr, sk = g_row[order], gk[order]
+    new = np.ones(len(sr), dtype=bool)
+    new[1:] = (sr[1:] != sr[:-1]) | (sk[1:] != sk[:-1])
+    starts = np.flatnonzero(new)
+    cnts = np.diff(np.append(starts, len(sr)))
+    top = np.zeros(nrows, dtype=np.int64)
+    np.maximum.at(top, sr[starts], cnts)
+    total = np.bincount(g_row, minlength=nrows)
+    out = batch[["doc_id"]].copy()
+    out["dup_word_frac"] = 1.0 - distinct / n
+    out["top_2gram_frac"] = np.where(total > 0,
+                                     top / np.maximum(total, 1), 0.0)
+    return out
+
+
+def rep_stats_pipeline(ds: "ray.data.Dataset") -> "ray.data.Dataset":
+    return ds.map_batches(rep_stats_fn, batch_format="pandas")
+
+
+def _df_partial(batch: pd.DataFrame) -> pd.DataFrame:
+    """Per-batch partial document frequency: distinct (doc, word) via
+    the segment-first mask, then a value_counts — the combiner that
+    keeps the word shuffle small (≤ vocab x n_blocks rows instead of
+    one row per token occurrence)."""
+    vals, offs = flat_words(batch["text"])
+    rowid = np.repeat(np.arange(len(batch)), np.diff(offs))
+    first = vals[_segment_first_mask(rowid, content_hash64(vals))]
+    words, cnt = np.unique(first.astype("U"), return_counts=True)
+    return pd.DataFrame({"word": words.astype(object),
+                         "df_part": cnt.astype(np.int64)})
+
+
+def df_counts_pipeline(ds: "ray.data.Dataset") -> "ray.data.Dataset":
+    """Corpus document frequency per word: partial per-batch combine,
+    then ONE small groupby over ≤ vocab x n_blocks partial rows."""
+    part = ds.map_batches(_df_partial, batch_format="pandas")
+    agg = part.groupby("word").sum("df_part")
+
+    def rename(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"word": b["word"],
+                             "df": b["sum(df_part)"].astype(np.int64)})
+    return agg.map_batches(rename, batch_format="pandas")
 
 
 def fingerprint_fn(batch: pd.DataFrame) -> pd.DataFrame:

@@ -347,6 +347,81 @@ def token_counts_sql() -> str:
 FROM documents"""
 
 
+def rep_stats_sql() -> str:
+    """Mirror of extras.text.rep_stats_fn: duplicate-word fraction and
+    top-2-gram fraction, same double operation order (int/int division
+    after DOUBLE casts)."""
+    return """WITH words AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+),
+stats AS (
+  SELECT doc_id, CAST(len(w) AS DOUBLE) AS n,
+         CAST(len(list_distinct(w)) AS DOUBLE) AS d
+  FROM words
+),
+grams AS (
+  SELECT doc_id, w[i] || ' ' || w[i+1] AS gram
+  FROM words,
+       LATERAL (SELECT unnest(generate_series(1, len(w) - 1)) AS i) g
+),
+gc AS (SELECT doc_id, gram, count(*) AS c FROM grams GROUP BY 1, 2),
+tp AS (SELECT doc_id, CAST(max(c) AS DOUBLE) AS mx,
+              CAST(sum(c) AS DOUBLE) AS tot
+       FROM gc GROUP BY 1)
+SELECT s.doc_id,
+  1.0 - d / n AS dup_word_frac,
+  coalesce(mx / tot, 0.0) AS top_2gram_frac
+FROM stats s LEFT JOIN tp ON s.doc_id = tp.doc_id"""
+
+
+def chunk_windows_sql(window: int = 32, stride: int = 16) -> str:
+    """Mirror of extras.chunking.chunk_windows_fn: generate_series
+    starts every `stride`, trailing partial windows kept, re-joined
+    window text compared exactly."""
+    return f"""WITH words AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+)
+SELECT doc_id,
+  CAST((i - 1) / {stride} AS BIGINT) AS win_id,
+  CAST(least({window}, len(w) - i + 1) AS BIGINT) AS n_win_tokens,
+  array_to_string(array_slice(w, i, least(i + {window} - 1, len(w))),
+                  ' ') AS win_text
+FROM words,
+     LATERAL (SELECT unnest(generate_series(1, len(w), {stride})) AS i) g"""
+
+
+def stop_filter_sql() -> str:
+    """Mirror of extras.chunking.stop_filter_fn (exact string
+    equality on the rebuilt text)."""
+    return f"""SELECT doc_id,
+  array_to_string(list_filter(string_split(text, ' '),
+                              x -> x NOT IN {STOPLIST_SQL}), ' ')
+    AS clean_text,
+  CAST(len(list_filter(string_split(text, ' '),
+                       x -> x IN {STOPLIST_SQL})) AS BIGINT) AS n_removed
+FROM documents"""
+
+
+def df_counts_sql() -> str:
+    return """SELECT word, CAST(count(*) AS BIGINT) AS df
+FROM (SELECT doc_id, unnest(list_distinct(string_split(text, ' ')))
+        AS word FROM documents)
+GROUP BY word"""
+
+
+def top_quality_per_lang_sql(k: int = 3) -> str:
+    """Grouped top-k over the bit-identical quality score: row_number
+    PARTITION BY lang ORDER BY quality DESC, doc_id — the same
+    (score DESC, tiebreak ASC) rule as extras.grouped.grouped_topk."""
+    return f"""WITH q AS ({quality_sql()})
+SELECT doc_id, lang, quality FROM (
+  SELECT q.doc_id, d.lang, q.quality,
+         row_number() OVER (PARTITION BY d.lang
+                            ORDER BY q.quality DESC, q.doc_id) AS rn
+  FROM q JOIN documents d ON q.doc_id = d.doc_id
+) WHERE rn <= {k}"""
+
+
 def dedup_exact_sql() -> str:
     return "SELECT min(doc_id) AS doc_id FROM documents GROUP BY text"
 

@@ -419,6 +419,12 @@ def oracle_registry(sf_dir: str = "/root/testdata/sf0.01") -> dict:
         "ann_topk_ivf": oracle.ann_topk_sql(ANN_QUERIES, ANN_K),
         "emb_near_dup": oracle.emb_near_dup_sql(EMB_DUP_THRESHOLD),
         "media_features": oracle.media_features_sql(_media_path()),
+        "rep_stats": oracle.rep_stats_sql(),
+        "chunk_windows": oracle.chunk_windows_sql(CHUNK_W, CHUNK_S),
+        "stop_filter": oracle.stop_filter_sql(),
+        "df_counts": oracle.df_counts_sql(),
+        "top_quality_per_lang": oracle.top_quality_per_lang_sql(
+            TOPK_PER_LANG),
     }
 
 
@@ -473,6 +479,45 @@ def q_quality(sf_dir: str):
 def q_lang_id(sf_dir: str):
     from .extras.text import lang_id_pipeline
     return lang_id_pipeline(_docs(sf_dir))
+
+
+CHUNK_W, CHUNK_S = 32, 16
+TOPK_PER_LANG = 3
+
+
+def q_rep_stats(sf_dir: str):
+    from .extras.text import rep_stats_pipeline
+    return rep_stats_pipeline(_docs(sf_dir))
+
+
+def q_chunk_windows(sf_dir: str):
+    from .extras.chunking import chunk_windows_pipeline
+    return chunk_windows_pipeline(_docs(sf_dir), window=CHUNK_W,
+                                  stride=CHUNK_S)
+
+
+def q_stop_filter(sf_dir: str):
+    from .extras.chunking import stop_filter_pipeline
+    return stop_filter_pipeline(_docs(sf_dir))
+
+
+def q_df_counts(sf_dir: str):
+    from .extras.text import df_counts_pipeline
+    return df_counts_pipeline(_docs(sf_dir))
+
+
+def q_top_quality_per_lang(sf_dir: str):
+    from .extras.grouped import grouped_topk
+    from .extras.text import quality_pipeline
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text", "lang"])
+    scored = quality_pipeline(ds)      # keeps lang (passthrough)
+    out = grouped_topk(scored, key="lang", score="quality",
+                       k=TOPK_PER_LANG, tiebreak="doc_id")
+
+    def cast(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch[["doc_id", "lang", "quality"]]
+    return out.map_batches(cast, batch_format="pandas")
 
 
 def q_dedup_exact(sf_dir: str):
@@ -651,4 +696,9 @@ def extras_registry() -> dict:
         "simhash_pairs": q_simhash_pairs,
         "simhash_recall": q_simhash_recall,
         "media_features": q_media_features,
+        "rep_stats": q_rep_stats,
+        "chunk_windows": q_chunk_windows,
+        "stop_filter": q_stop_filter,
+        "df_counts": q_df_counts,
+        "top_quality_per_lang": q_top_quality_per_lang,
     }

@@ -10,7 +10,9 @@ import pytest
 
 SF = "/root/testdata/sf0.001"
 FAST = ["kmer_counts_per_doc", "whole_seq_minimiser", "lag_lead",
-        "sessionize", "doc_stats", "dedup_exact", "emb_near_dup"]
+        "sessionize", "doc_stats", "dedup_exact", "emb_near_dup",
+        "rep_stats", "chunk_windows", "stop_filter", "df_counts",
+        "top_quality_per_lang"]
 
 pytestmark = pytest.mark.skipif(not os.path.exists(SF),
                                 reason="driver testdata unavailable")
