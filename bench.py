@@ -188,6 +188,13 @@ def run_bench() -> dict:
           lambda: simhash_near_dup_pairs(docs(), max_hamming=3).count())
     timed("doc_stats", lambda: doc_stats_pipeline(docs()).count())
 
+    # streaming chunking + repetition stats over the document corpus
+    from kmerray.extras.chunking import chunk_windows_pipeline
+    from kmerray.extras.text import rep_stats_pipeline
+    timed("chunk_windows", lambda: consume(chunk_windows_pipeline(
+        docs(), window=32, stride=16)))
+    timed("rep_stats", lambda: rep_stats_pipeline(docs()).count())
+
     # m2s inverted-index build (vectorized run-offset assembly, r3)
     from kmerray.pipelines.minpipe import m2s_pipeline
     timed("m2s_31_7", lambda: m2s_pipeline(
