@@ -422,6 +422,23 @@ SELECT doc_id, lang, quality FROM (
 ) WHERE rn <= {k}"""
 
 
+def events_hourly_sql(window_us: int = 3_600_000_000) -> str:
+    """Mirror of extras.events.tumbling_window_agg: integer-cents sums
+    are order-independent, so the aggregate hash-matches exactly."""
+    return f"""SELECT user_id,
+  CAST(floor(epoch_us(ts) / {window_us}) AS BIGINT) AS win,
+  CAST(count(*) AS BIGINT) AS n_events,
+  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+FROM events GROUP BY 1, 2"""
+
+
+def events_json_k_sql(field: str = "k") -> str:
+    return f"""SELECT event_id,
+  CAST(coalesce(nullif(regexp_extract(props, '"{field}": ([0-9]+)', 1),
+                       ''), '-1') AS BIGINT) AS {field}
+FROM events"""
+
+
 def dedup_exact_sql() -> str:
     return "SELECT min(doc_id) AS doc_id FROM documents GROUP BY text"
 

@@ -425,6 +425,8 @@ def oracle_registry(sf_dir: str = "/root/testdata/sf0.01") -> dict:
         "df_counts": oracle.df_counts_sql(),
         "top_quality_per_lang": oracle.top_quality_per_lang_sql(
             TOPK_PER_LANG),
+        "events_hourly": oracle.events_hourly_sql(),
+        "events_json_k": oracle.events_json_k_sql(),
     }
 
 
@@ -518,6 +520,24 @@ def q_top_quality_per_lang(sf_dir: str):
     def cast(batch: pd.DataFrame) -> pd.DataFrame:
         return batch[["doc_id", "lang", "quality"]]
     return out.map_batches(cast, batch_format="pandas")
+
+
+def q_events_hourly(sf_dir: str):
+    from .extras.events import tumbling_window_agg
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id", "ts", "value"])
+    out = tumbling_window_agg(ds)
+
+    def cast(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch[["user_id", "win", "n_events", "sum_cents"]]
+    return out.map_batches(cast, batch_format="pandas")
+
+
+def q_events_json_k(sf_dir: str):
+    from .extras.events import json_int_field
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_id", "props"])
+    return json_int_field(ds, "props", "k")
 
 
 def q_dedup_exact(sf_dir: str):
@@ -701,4 +721,6 @@ def extras_registry() -> dict:
         "stop_filter": q_stop_filter,
         "df_counts": q_df_counts,
         "top_quality_per_lang": q_top_quality_per_lang,
+        "events_hourly": q_events_hourly,
+        "events_json_k": q_events_json_k,
     }

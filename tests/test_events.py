@@ -1,0 +1,72 @@
+"""Tumbling-window aggregation + JSON field extraction over an
+events-shaped table: hand-computed windows, block invariance, missing
+fields."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+import ray
+
+from kmerray.extras.events import (HOUR_US, json_int_field,
+                                   tumbling_window_agg)
+
+
+@pytest.fixture(scope="module")
+def events_table():
+    base = 1_700_000_000_000_000        # epoch micros
+    rows = [
+        # user 1: two events same hour, one the next hour
+        (0, base + 10, 1, 1.25, '{"k": 7}'),
+        (1, base + 20, 1, 2.50, '{"k": 8}'),
+        (2, base + HOUR_US + 5, 1, 0.75, '{"k": 9}'),
+        # user 2: one event, props without k
+        (3, base + 30, 2, 10.00, '{"x": 1}'),
+    ]
+    return pa.table({
+        "event_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+        "user_id": pa.array([r[2] for r in rows], pa.int64()),
+        "value": pa.array([r[3] for r in rows], pa.float64()),
+        "props": pa.array([r[4] for r in rows]),
+    })
+
+
+def test_tumbling_window_agg(ray_session, events_table):
+    ds = ray.data.from_arrow(events_table)
+    out = (tumbling_window_agg(ds).to_pandas()
+           .sort_values(["user_id", "win"]).reset_index(drop=True))
+    base_win = 1_700_000_000_000_000 // HOUR_US
+    assert out["user_id"].tolist() == [1, 1, 2]
+    assert out["win"].tolist() == [base_win, base_win + 1, base_win]
+    assert out["n_events"].tolist() == [2, 1, 1]
+    assert out["sum_cents"].tolist() == [375, 75, 1000]
+
+
+def test_tumbling_window_block_invariant(ray_session):
+    rng = np.random.default_rng(3)
+    n = 500
+    t = pa.table({
+        "event_id": pa.array(np.arange(n), pa.int64()),
+        "ts": pa.array(
+            1_700_000_000_000_000
+            + rng.integers(0, 5 * HOUR_US, size=n), pa.timestamp("us")),
+        "user_id": pa.array(rng.integers(0, 20, size=n), pa.int64()),
+        "value": pa.array(np.round(rng.uniform(0, 100, n), 2)),
+        "props": pa.array(['{"k": 1}'] * n),
+    })
+    key = ["user_id", "win"]
+    a = (tumbling_window_agg(ray.data.from_arrow(t)).to_pandas()
+         .sort_values(key).reset_index(drop=True))
+    b = (tumbling_window_agg(ray.data.from_arrow(t).repartition(11))
+         .to_pandas().sort_values(key).reset_index(drop=True))
+    pd.testing.assert_frame_equal(a, b)
+    assert a["n_events"].sum() == n
+
+
+def test_json_int_field(ray_session, events_table):
+    ds = ray.data.from_arrow(events_table)
+    out = (json_int_field(ds).to_pandas()
+           .sort_values("event_id").reset_index(drop=True))
+    assert out["k"].tolist() == [7, 8, 9, -1]
