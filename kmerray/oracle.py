@@ -439,6 +439,42 @@ def events_json_k_sql(field: str = "k") -> str:
 FROM events"""
 
 
+def events_sessions_sql(gap_us: int = 6 * 3_600_000_000) -> str:
+    """Mirror of extras.events.sessionized_user_stats: gaps-and-islands
+    via lag + running sum, then session-level rollup.  Ties broken by
+    event_id on both sides; integer-cents sums keep it order-free."""
+    return f"""WITH o AS (
+  SELECT user_id, event_id, ts, value,
+    CASE WHEN lag(ts) OVER w IS NULL
+           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > {gap_us}
+         THEN 1 ELSE 0 END AS brk
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), s AS (
+  SELECT user_id, ts, value,
+    sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS UNBOUNDED PRECEDING) AS session_seq
+  FROM o
+)
+SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+  CAST(count(*) AS BIGINT) AS n_events,
+  CAST(max(epoch_us(ts)) - min(epoch_us(ts)) AS BIGINT) AS duration_us,
+  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+FROM s GROUP BY 1, 2"""
+
+
+def events_history_sql() -> str:
+    """Mirror of extras.events.user_history_features: strictly-before
+    (exclusive) running count and cents sum per user."""
+    return """SELECT event_id, user_id,
+  CAST(count(*) OVER w AS BIGINT) AS prior_n,
+  CAST(coalesce(sum(CAST(round(value * 100) AS BIGINT)) OVER w, 0)
+       AS BIGINT) AS prior_cents
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)"""
+
+
 def dedup_exact_sql() -> str:
     return "SELECT min(doc_id) AS doc_id FROM documents GROUP BY text"
 

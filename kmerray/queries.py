@@ -427,6 +427,8 @@ def oracle_registry(sf_dir: str = "/root/testdata/sf0.01") -> dict:
             TOPK_PER_LANG),
         "events_hourly": oracle.events_hourly_sql(),
         "events_json_k": oracle.events_json_k_sql(),
+        "events_sessions": oracle.events_sessions_sql(),
+        "events_history": oracle.events_history_sql(),
     }
 
 
@@ -538,6 +540,27 @@ def q_events_json_k(sf_dir: str):
     ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
                                columns=["event_id", "props"])
     return json_int_field(ds, "props", "k")
+
+
+def _events(sf_dir: str, cols):
+    return ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=cols)
+
+
+def q_events_sessions(sf_dir: str):
+    from .extras.events import sessionized_user_stats
+    out = sessionized_user_stats(
+        _events(sf_dir, ["event_id", "user_id", "ts", "value"]))
+
+    def cast(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch[["user_id", "session_seq", "n_events",
+                      "duration_us", "sum_cents"]]
+    return out.map_batches(cast, batch_format="pandas")
+
+
+def q_events_history(sf_dir: str):
+    from .extras.events import user_history_features
+    return user_history_features(
+        _events(sf_dir, ["event_id", "user_id", "ts", "value"]))
 
 
 def q_dedup_exact(sf_dir: str):
@@ -723,4 +746,6 @@ def extras_registry() -> dict:
         "top_quality_per_lang": q_top_quality_per_lang,
         "events_hourly": q_events_hourly,
         "events_json_k": q_events_json_k,
+        "events_sessions": q_events_sessions,
+        "events_history": q_events_history,
     }

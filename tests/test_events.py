@@ -10,7 +10,9 @@ import pytest
 import ray
 
 from kmerray.extras.events import (HOUR_US, json_int_field,
-                                   tumbling_window_agg)
+                                   sessionized_user_stats,
+                                   tumbling_window_agg,
+                                   user_history_features)
 
 
 @pytest.fixture(scope="module")
@@ -63,6 +65,67 @@ def test_tumbling_window_block_invariant(ray_session):
          .to_pandas().sort_values(key).reset_index(drop=True))
     pd.testing.assert_frame_equal(a, b)
     assert a["n_events"].sum() == n
+
+
+def test_sessionized_user_stats(ray_session):
+    base = 1_700_000_000_000_000
+    gap = HOUR_US
+    # user 1: events at 0, 10min, 2h (break), 2h10m -> two 2-event
+    # sessions; user 2: one event
+    t = pa.table({
+        "event_id": pa.array([0, 1, 2, 3, 4], pa.int64()),
+        "ts": pa.array([base, base + 600_000_000,
+                        base + 2 * HOUR_US,
+                        base + 2 * HOUR_US + 600_000_000,
+                        base + 5], pa.timestamp("us")),
+        "user_id": pa.array([1, 1, 1, 1, 2], pa.int64()),
+        "value": pa.array([1.00, 2.00, 3.00, 4.00, 5.00]),
+    })
+    out = (sessionized_user_stats(ray.data.from_arrow(t), gap_us=gap)
+           .to_pandas().sort_values(["user_id", "session_seq"])
+           .reset_index(drop=True))
+    assert out["user_id"].tolist() == [1, 1, 2]
+    assert out["session_seq"].tolist() == [1, 2, 1]
+    assert out["n_events"].tolist() == [2, 2, 1]
+    assert out["duration_us"].tolist() == [600_000_000, 600_000_000, 0]
+    assert out["sum_cents"].tolist() == [300, 700, 500]
+
+
+def test_user_history_features_exclusive(ray_session):
+    base = 1_700_000_000_000_000
+    t = pa.table({
+        "event_id": pa.array([0, 1, 2, 3], pa.int64()),
+        "ts": pa.array([base, base + 1, base + 2, base], pa.timestamp("us")),
+        "user_id": pa.array([7, 7, 7, 9], pa.int64()),
+        "value": pa.array([1.50, 2.00, 0.25, 9.00]),
+    })
+    out = (user_history_features(ray.data.from_arrow(t)).to_pandas()
+           .sort_values("event_id").reset_index(drop=True))
+    assert out["prior_n"].tolist() == [0, 1, 2, 0]
+    assert out["prior_cents"].tolist() == [0, 150, 350, 0]
+
+
+def test_events_window_ops_block_invariant(ray_session):
+    rng = np.random.default_rng(11)
+    n = 400
+    t = pa.table({
+        "event_id": pa.array(np.arange(n), pa.int64()),
+        "ts": pa.array(
+            1_700_000_000_000_000
+            + rng.integers(0, 40 * HOUR_US, size=n), pa.timestamp("us")),
+        "user_id": pa.array(rng.integers(0, 13, size=n), pa.int64()),
+        "value": pa.array(np.round(rng.uniform(0, 50, n), 2)),
+    })
+    for fn, key in [(sessionized_user_stats, ["user_id", "session_seq"]),
+                    (user_history_features, ["event_id"])]:
+        a = (fn(ray.data.from_arrow(t)).to_pandas()
+             .sort_values(key).reset_index(drop=True))
+        b = (fn(ray.data.from_arrow(t).repartition(9)).to_pandas()
+             .sort_values(key).reset_index(drop=True))
+        pd.testing.assert_frame_equal(a, b)
+    # sessions partition the events: counts add back up
+    s = sessionized_user_stats(ray.data.from_arrow(t)).to_pandas()
+    assert s["n_events"].sum() == n
 
 
 def test_json_int_field(ray_session, events_table):
