@@ -228,6 +228,30 @@ def run_bench() -> dict:
     timed("ann_ivf", lambda: ivf_topk(
         emb(), qids, qmat, cent, k=10, nprobe=8).count())
 
+    # windowed feature engineering over a bench-scale events table
+    # (Zipf-skewed users): tumbling aggregate, session rollup, PIT
+    # history features
+    from kmerray.extras.events import (sessionized_user_stats,
+                                       tumbling_window_agg,
+                                       user_history_features)
+    from kmerray.sources.synth import ensure_events
+    n_events = max(100_000, int(2_000_000 * sf / 0.1))
+    ev_path = ensure_events(f"bench-{os.path.basename(SF_DIR)}",
+                            n_events=n_events, n_users=n_events // 100)
+    ev_files = sorted(glob.glob(os.path.join(ev_path, "*.parquet")))
+
+    def events(cols):
+        return ray.data.read_parquet(ev_files, columns=cols,
+                                     override_num_blocks=n_blocks)
+    ev_cols = ["event_id", "user_id", "ts", "value"]
+    tumbling_window_agg(events(ev_cols).limit(2048)).count()  # warm
+    timed("events_hourly", lambda: tumbling_window_agg(
+        events(["user_id", "ts", "value"])).count())
+    timed("events_sessions", lambda: sessionized_user_stats(
+        events(ev_cols)).count())
+    timed("events_history", lambda: consume(user_history_features(
+        events(ev_cols))))
+
     ray.shutdown()
 
     return {

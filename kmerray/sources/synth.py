@@ -321,6 +321,70 @@ def generate_documents(n_docs: int, seed: int = SEED,
     })
 
 
+# ---------------------------------------------------------------------------
+# bench-scale events table (windowed feature-engineering benchmarks)
+# ---------------------------------------------------------------------------
+
+
+def generate_events(n_events: int, n_users: int,
+                    span_days: int = 30, seed: int = SEED) -> pa.Table:
+    """Deterministic events table mirroring the driver's schema
+    (event_id, ts, user_id, event_type, value, props); user activity is
+    Zipf-skewed so the session/history bucket shuffle sees hot keys."""
+    rng = np.random.default_rng([seed, n_events, 91])
+    base_us = 1_704_067_200_000_000            # 2024-01-01 epoch us
+    ts = base_us + rng.integers(0, span_days * 86_400_000_000,
+                                size=n_events)
+    pu = 1.0 / (np.arange(n_users, dtype=np.float64) + 5.0)
+    pu /= pu.sum()
+    user = rng.choice(n_users, size=n_events, p=pu).astype(np.int64)
+    etypes = np.array(["view", "click", "purchase", "signup", "error"],
+                      dtype=object)
+    value = np.round(rng.gamma(2.0, 25.0, size=n_events), 2)
+    ks = np.char.mod("%d", rng.integers(0, 100, size=n_events))
+    props = np.char.add(np.char.add('{"k": ', ks), "}")
+    return pa.table({
+        "event_id": pa.array(np.arange(n_events, dtype=np.int64),
+                             pa.int64()),
+        "ts": pa.array(ts, pa.timestamp("us")),
+        "user_id": pa.array(user, pa.int64()),
+        "event_type": pa.array(etypes[rng.integers(0, 5, n_events)]),
+        "value": pa.array(value, pa.float64()),
+        "props": pa.array(props.astype(object), pa.string()),
+    })
+
+
+def ensure_events(tag: str, n_events: int, n_users: int) -> str:
+    out_dir = os.path.join(CACHE_ROOT,
+                           f"{tag}-events-n{n_events}-u{n_users}"
+                           f"-v{VERSION}", "events")
+    marker = os.path.join(out_dir, "_SUCCESS")
+    if os.path.exists(marker):
+        return out_dir
+    tmp_dir = out_dir + f".tmp.{os.getpid()}"
+    os.makedirs(tmp_dir, exist_ok=True)
+    table = generate_events(n_events, n_users)
+    n_files = max(8, min(32, n_events // 64_000))
+    step = (table.num_rows + n_files - 1) // n_files
+    for i in range(n_files):
+        part = table.slice(i * step, step)
+        if part.num_rows:
+            pq.write_table(part,
+                           os.path.join(tmp_dir, f"part-{i:04d}.parquet"),
+                           row_group_size=16384)
+    with open(os.path.join(tmp_dir, "_SUCCESS"), "w") as fh:
+        json.dump({"n_events": n_events, "n_users": n_users,
+                   "seed": SEED, "version": VERSION}, fh)
+    try:
+        os.rename(tmp_dir, out_dir)
+    except OSError:
+        if not os.path.exists(marker):
+            raise
+        import shutil
+        shutil.rmtree(tmp_dir, ignore_errors=True)
+    return out_dir
+
+
 def ensure_documents(tag: str, n_docs: int, mean_words: int = 150) -> str:
     out_dir = os.path.join(CACHE_ROOT,
                            f"{tag}-docs-n{n_docs}-w{mean_words}"
