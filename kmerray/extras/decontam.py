@@ -1,0 +1,95 @@
+"""Train/eval decontamination over the `documents` table: flag every
+training doc that shares at least one word n-gram with a held-out
+eval set.
+
+This is the standard benchmark-contamination check a training-data
+pipeline runs before every training job (n-gram overlap against the
+eval suites).  The eval set here is carved deterministically out of
+the corpus itself (``doc_id % EVAL_MOD == EVAL_REM``) so the SQL
+oracle can rebuild it exactly; in production it would be read from
+its own table.
+
+Scale design: eval suites are SMALL relative to the corpus (MBs of
+benchmarks vs TBs of training text), so this is the canonical
+broadcast-semi-join — the distinct eval n-gram hash set is built
+once with a tiny aggregation, ``ray.put`` once, and every
+``map_batches`` task probes it with a sorted ``np.searchsorted``;
+the corpus itself streams through untouched (no shuffle at all).
+N-grams are keyed by mixing the adjacent 64-bit word hashes
+(``((h1*phi ^ h2)*phi) ^ h3``), same ~1e-14 collision caveat as the
+other gram operators; the oracle joins on the gram STRINGS, so a
+green hash-match also certifies collision-freeness on this corpus.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import ray
+
+import ray.data
+
+from .text import _GRAM_MIX, content_hash64, flat_words
+
+EVAL_MOD, EVAL_REM = 10, 7
+NGRAM = 3
+
+
+def _gram_keys(batch_texts, n: int = NGRAM):
+    """(row ids, 64-bit gram keys) for all within-row word n-grams."""
+    vals, offs = flat_words(batch_texts)
+    rowid = np.repeat(np.arange(len(offs) - 1), np.diff(offs))
+    wh = content_hash64(vals)
+    gk = wh.copy()
+    same = np.ones(len(wh), dtype=bool)
+    for j in range(1, n):
+        gk = (gk[:-1] * _GRAM_MIX) ^ wh[j:]
+        same = same[:-1] & (rowid[: len(wh) - j] == rowid[j:])
+    keep = same
+    return rowid[: len(gk)][keep], gk[keep]
+
+
+def _distinct_per_row(rowid: np.ndarray, keys: np.ndarray):
+    order = np.lexsort((keys, rowid))
+    sr, sk = rowid[order], keys[order]
+    first = np.ones(len(order), dtype=bool)
+    first[1:] = (sr[1:] != sr[:-1]) | (sk[1:] != sk[:-1])
+    return sr[first], sk[first]
+
+
+def eval_gram_hashes(ds: "ray.data.Dataset", n: int = NGRAM) -> np.ndarray:
+    """Sorted distinct n-gram hashes of the eval docs.  Per-batch
+    uniques ride a tiny collect (eval sets are small by design).
+    The eval mask is applied vectorized inside the batch fn (Ray's
+    `filter(expr=...)` can't express modulo)."""
+    def _grams(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b["doc_id"].to_numpy() % EVAL_MOD == EVAL_REM]
+        _, gk = _gram_keys(b["text"], n)
+        return pd.DataFrame({"gram": np.unique(gk)})
+
+    rows = ds.map_batches(_grams, batch_format="pandas").take_all()
+    return np.unique(np.array([r["gram"] for r in rows], dtype=np.uint64))
+
+
+def decontam_pipeline(ds: "ray.data.Dataset",
+                      n: int = NGRAM) -> "ray.data.Dataset":
+    """Per non-eval doc: how many of its DISTINCT n-grams appear in
+    the eval set, and the contaminated flag.
+
+    Output: ``(doc_id, n_hits:int64, contaminated:bool)``."""
+    eval_ref = ray.put(eval_gram_hashes(ds, n))
+
+    def _score(b: pd.DataFrame) -> pd.DataFrame:
+        ev = ray.get(eval_ref)
+        b = (b[b["doc_id"].to_numpy() % EVAL_MOD != EVAL_REM]
+             .reset_index(drop=True))
+        rowid, gk = _gram_keys(b["text"], n)
+        drow, dk = _distinct_per_row(rowid, gk)
+        pos = np.searchsorted(ev, dk)
+        hit = (pos < len(ev)) & (ev[np.minimum(pos, len(ev) - 1)] == dk)
+        hits = np.bincount(drow[hit], minlength=len(b)).astype(np.int64)
+        return pd.DataFrame({"doc_id": b["doc_id"],
+                             "n_hits": hits,
+                             "contaminated": hits > 0})
+
+    return ds.map_batches(_score, batch_format="pandas")

@@ -1,0 +1,62 @@
+"""Deterministic stratified sampling + train/val/test split over the
+`documents` table.
+
+Every row is routed by a content-independent, engine-portable hash of
+its doc_id — DuckDB's ``md5_number_lower(s)`` equals
+``int.from_bytes(md5(s).digest()[8:16], 'little')`` in Python, so the
+SQL oracle reproduces the exact keep/split decisions bit-for-bit.
+That portability is the whole point: a resharded / re-run / re-read
+corpus samples identically on any engine, which is what makes
+downsampling reproducible at 100 TB.
+
+Per-language keep rates (permille) model the usual "rebalance the
+language mix" step; the split hash uses a salted key so keep and
+split decisions are independent.
+
+Scale design: stateless ``map_batches`` — no shuffle, no driver
+state, streams at read speed.  The md5 itself is a per-row C call
+(hashlib) in a list comprehension; ~1 µs/row, the one non-array
+kernel in this module (a vectorized siphash would not match any SQL
+builtin — portability wins here).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+
+import ray.data
+
+# permille keep-rate per language (unlisted languages -> DEFAULT)
+RATES = {"en": 900, "de": 700, "fr": 500, "es": 300}
+DEFAULT_RATE = 100
+SPLIT_SALT = "#split"
+TRAIN_PCT, VAL_PCT = 90, 95  # <90 train, <95 val, else test
+
+
+def md5_lower64(strs) -> np.ndarray:
+    """DuckDB-compatible 64-bit hash: low half of md5, little-endian
+    (matches ``md5_number_lower``)."""
+    return np.array(
+        [int.from_bytes(hashlib.md5(s.encode()).digest()[8:16], "little")
+         for s in strs], dtype=np.uint64)
+
+
+def sample_split_fn(batch: pd.DataFrame) -> pd.DataFrame:
+    ids = batch["doc_id"].astype(str).to_numpy(dtype=object)
+    bucket = (md5_lower64(ids) % 1000).astype(np.int64)
+    rates = (batch["lang"].map(RATES).fillna(DEFAULT_RATE)
+             .to_numpy(dtype=np.int64))
+    keep = bucket < rates
+    out = batch.loc[keep, ["doc_id", "lang"]].reset_index(drop=True)
+    out["bucket"] = bucket[keep]
+    sb = md5_lower64(ids[keep] + SPLIT_SALT) % 100
+    out["split"] = np.select([sb < TRAIN_PCT, sb < VAL_PCT],
+                             ["train", "val"], default="test")
+    return out
+
+
+def sample_split_pipeline(ds: "ray.data.Dataset") -> "ray.data.Dataset":
+    return ds.map_batches(sample_split_fn, batch_format="pandas")

@@ -1,0 +1,134 @@
+"""Distributed ordered prefix-scan operators over the tokenized
+sequences table: global cumulative token counts + token-budget bin
+packing (`pack_bins`), and exact distributed quantiles of `n_tok`
+(`tok_quantiles`).
+
+Both are classic "wide" ops a training-data pipeline needs —
+sequence packing assigns each doc to a fixed token-budget shard in
+global doc_id order (the deterministic variant of greedy packing
+where the budget boundary may split a doc), and quantiles drive
+length-filter thresholds.
+
+Scale design (the point of this module):
+
+- ``pack_bins`` is the textbook distributed scan: range-bucket rows
+  by doc_id (boundaries from a tiny per-block sample), compute the
+  per-bucket token totals with a driver-combined per-batch partial
+  (NO row shuffle — each batch contributes a ≤B-row partial), take
+  the exclusive scan of the B bucket totals on the driver (B ints,
+  trivially small at any data size), then ONE bucket-keyed shuffle
+  where each group sorts locally and adds its bucket offset.  Rows
+  move across the cluster exactly once; the driver only ever sees
+  O(blocks + buckets) scalars.
+- ``tok_quantiles`` pre-aggregates per-batch value counts (n_tok has
+  small cardinality — bounded by max doc length), merges them with
+  one tiny groupby, and picks quantiles from the cumulative counts
+  on the driver.  The full table is never shuffled or collected.
+
+The bin rule is ``bin = (cum_tok - n_tok) // budget`` (bin of the
+doc's first token in the global concatenated stream) — exactly
+expressible in SQL as a window cumsum, which is the oracle.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+import ray.data
+
+
+def _sample_boundaries(ds: "ray.data.Dataset", n_buckets: int) -> np.ndarray:
+    """Range-bucket cut points from one sampled doc_id per block.
+
+    Any cut points give a CORRECT scan (they only shape bucket
+    sizes), so a coarse first-row-per-block sample is enough; the
+    collected sample is O(n_blocks) strings."""
+    heads = ds.map_batches(lambda b: b.head(1)[["doc_id"]],
+                           batch_format="pandas").take_all()
+    ids = np.sort(np.array([r["doc_id"] for r in heads], dtype=object))
+    if len(ids) <= 1 or n_buckets <= 1:
+        return np.array([], dtype=object)
+    picks = np.linspace(0, len(ids) - 1, n_buckets + 1)[1:-1]
+    return np.unique(ids[picks.astype(np.int64)])
+
+
+def pack_bins(ds: "ray.data.Dataset", budget: int,
+              n_buckets: int = 32) -> "ray.data.Dataset":
+    """Global inclusive prefix sum of ``n_tok`` in doc_id order, plus
+    the token-budget bin of each doc's first token.
+
+    Output: ``(doc_id, n_tok:int64, cum_tok:int64, bin:int64)``."""
+    bounds = _sample_boundaries(ds, n_buckets)
+
+    def bucket_of(doc_ids) -> np.ndarray:
+        return np.searchsorted(bounds, np.asarray(doc_ids, dtype=object),
+                               side="right").astype(np.int64)
+
+    # pass A: per-bucket token totals via driver-combined partials
+    # (each batch emits ≤ n_buckets rows; no data shuffle)
+    def _partial(b: pd.DataFrame) -> pd.DataFrame:
+        bk = bucket_of(b["doc_id"])
+        tot = np.bincount(bk, weights=b["n_tok"].to_numpy(),
+                          minlength=len(bounds) + 1).astype(np.int64)
+        nz = np.flatnonzero(tot)
+        return pd.DataFrame({"bucket": nz, "part": tot[nz]})
+
+    parts = ds.map_batches(_partial, batch_format="pandas").take_all()
+    totals = np.zeros(len(bounds) + 1, dtype=np.int64)
+    for r in parts:
+        totals[r["bucket"]] += r["part"]
+    offsets = np.concatenate(([0], np.cumsum(totals)[:-1]))
+
+    # pass B: one bucket-keyed shuffle; local sort + cumsum + offset
+    def _assign(b: pd.DataFrame) -> pd.DataFrame:
+        out = b[["doc_id"]].copy()
+        out["n_tok"] = b["n_tok"].astype(np.int64)
+        out["bucket"] = bucket_of(b["doc_id"])
+        return out
+
+    def _scan(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("doc_id", kind="mergesort").reset_index(drop=True)
+        base = int(offsets[int(g["bucket"].iloc[0])])
+        cum = base + np.cumsum(g["n_tok"].to_numpy())
+        return pd.DataFrame({
+            "doc_id": g["doc_id"],
+            "n_tok": g["n_tok"],
+            "cum_tok": cum,
+            "bin": (cum - g["n_tok"].to_numpy()) // budget,
+        })
+
+    keyed = ds.map_batches(_assign, batch_format="pandas")
+    return keyed.groupby("bucket").map_groups(_scan, batch_format="pandas")
+
+
+def tok_quantiles(ds: "ray.data.Dataset",
+                  qs=(0.25, 0.5, 0.75, 0.9, 0.99)) -> pd.DataFrame:
+    """Exact distributed quantiles of ``n_tok``.
+
+    Rank rule (mirrored in the SQL oracle): the quantile value for q
+    is the SMALLEST n_tok whose cumulative count ≥ ceil(q * total).
+    Both sides compute ``ceil`` on the same IEEE double product, so
+    the rank agrees bit-for-bit.
+
+    Output: ``(q:string, value:int64)`` — tiny, returned as pandas."""
+    def _vc(b: pd.DataFrame) -> pd.DataFrame:
+        v, c = np.unique(b["n_tok"].to_numpy(), return_counts=True)
+        return pd.DataFrame({"n_tok": v.astype(np.int64),
+                             "cnt": c.astype(np.int64)})
+
+    merged = (ds.map_batches(_vc, batch_format="pandas")
+                .groupby("n_tok").sum("cnt").take_all())
+    vals = np.array(sorted(r["n_tok"] for r in merged), dtype=np.int64)
+    cnts = np.array([r["sum(cnt)"] for r in
+                     sorted(merged, key=lambda r: r["n_tok"])],
+                    dtype=np.int64)
+    cum = np.cumsum(cnts)
+    total = int(cum[-1]) if len(cum) else 0
+    out_q, out_v = [], []
+    for q in qs:
+        rank = int(np.ceil(q * total))
+        idx = int(np.searchsorted(cum, rank, side="left"))
+        out_q.append(f"{q:g}")
+        out_v.append(int(vals[idx]))
+    return pd.DataFrame({"q": out_q, "value": np.array(out_v, np.int64)})

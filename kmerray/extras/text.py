@@ -250,3 +250,57 @@ def fingerprint_fn(batch: pd.DataFrame) -> pd.DataFrame:
 
 def fingerprint_pipeline(ds: "ray.data.Dataset") -> "ray.data.Dataset":
     return ds.map_batches(fingerprint_fn, batch_format="pandas")
+
+
+def _tf_explode(batch: pd.DataFrame) -> pd.DataFrame:
+    """One row per DISTINCT (doc, word) with its term frequency —
+    run-length counts on the lexsorted flat word array."""
+    vals, offs = flat_words(batch["text"])
+    rowid = np.repeat(np.arange(len(batch)), np.diff(offs))
+    svals = vals.astype("U")
+    order = np.lexsort((svals, rowid))
+    sr, sw = rowid[order], svals[order]
+    new = np.ones(len(sr), dtype=bool)
+    new[1:] = (sr[1:] != sr[:-1]) | (sw[1:] != sw[:-1])
+    starts = np.flatnonzero(new)
+    tf = np.diff(np.append(starts, len(sr))).astype(np.int64)
+    return pd.DataFrame({"doc_id": batch["doc_id"].to_numpy()[sr[starts]],
+                         "word": sw[starts].astype(object),
+                         "tf": tf})
+
+
+def tfidf_topk(ds: "ray.data.Dataset", n_docs: int,
+               k: int = 3) -> "ray.data.Dataset":
+    """Per-doc top-k terms by tf-idf (``tf * ln(n_docs/df)``), with
+    ties broken by word ASC.
+
+    Scale design: ONE word-keyed shuffle attaches df (each word
+    group's row count IS its document frequency, since the exploded
+    rows are distinct per (doc, word)) — no broadcast vocabulary, no
+    driver state; then the grouped_topk partial/merge keeps the
+    doc-keyed shuffle at O(k x docs x blocks).
+
+    Output columns are integers/strings only (``doc_id, word, tf,
+    df``): the float score is used for ORDERING, never emitted, so
+    last-ulp libm differences vs the SQL oracle's ``ln`` cannot
+    produce value mismatches (distinct (tf, df) pairs are separated
+    by far more than an ulp on this scoring surface; exact ties fall
+    to the word tiebreak in both engines)."""
+    from .grouped import grouped_topk
+
+    tf = ds.map_batches(_tf_explode, batch_format="pandas")
+
+    def _attach_df(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.copy()
+        g["df"] = np.int64(len(g))
+        g["score"] = g["tf"].to_numpy() * np.log(
+            float(n_docs) / g["df"].to_numpy())
+        return g
+
+    scored = tf.groupby("word").map_groups(_attach_df,
+                                           batch_format="pandas")
+    top = grouped_topk(scored, key="doc_id", score="score", k=k,
+                       tiebreak="word")
+    return top.map_batches(
+        lambda b: b[["doc_id", "word", "tf", "df"]],
+        batch_format="pandas")

@@ -642,3 +642,94 @@ def cgr_final_sql(path: str) -> str:
     (acc, v) -> (v + acc) / 2) AS y
 FROM {_seq(path)}
 WHERE len(tokens) > 0 AND list_max(tokens) <= 3"""
+
+
+def pack_bins_sql(path: str, budget: int) -> str:
+    """Mirror of extras.scan.pack_bins: window cumsum in doc_id
+    order; bin = first-token offset // budget."""
+    return f"""SELECT doc_id, n_tok, cum_tok,
+  (cum_tok - n_tok) // {budget} AS bin
+FROM (
+  SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok,
+    CAST(SUM(n_tok) OVER (ORDER BY doc_id
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      AS cum_tok
+  FROM {_seq(path)})"""
+
+
+def tok_quantiles_sql(path: str, qs=(0.25, 0.5, 0.75, 0.9, 0.99)) -> str:
+    """Mirror of extras.scan.tok_quantiles: smallest n_tok whose
+    cumulative count >= ceil(q * total), same IEEE double product."""
+    vals = ", ".join(f"('{q:g}', {q!r})" for q in qs)
+    return f"""WITH c AS (
+  SELECT n_tok, count(*) AS cnt FROM {_seq(path)} GROUP BY n_tok
+), s AS (
+  SELECT n_tok, SUM(cnt) OVER (ORDER BY n_tok) AS cum FROM c
+), t AS (SELECT SUM(cnt) AS total FROM c),
+qv(q, qf) AS (VALUES {vals})
+SELECT qv.q AS q, CAST(min(s.n_tok) AS BIGINT) AS value
+FROM qv, s, t WHERE s.cum >= ceil(qv.qf * t.total)
+GROUP BY qv.q"""
+
+
+def decontam_sql(n: int = 3, mod: int = 10, rem: int = 7) -> str:
+    """Mirror of extras.decontam: distinct word n-gram overlap of
+    each train doc (doc_id % mod != rem) vs the eval slice's gram
+    set, joined on the gram STRINGS (certifying the Ray side's
+    64-bit gram hashing collision-free on this corpus)."""
+    return f"""WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+), g AS (
+  SELECT DISTINCT doc_id,
+    array_to_string(array_slice(w, i, i + {n - 1}), ' ') AS gram
+  FROM w, LATERAL (SELECT unnest(generate_series(1, len(w) - {n - 1}))
+                   AS i) s
+), ev AS (SELECT DISTINCT gram FROM g WHERE doc_id % {mod} = {rem}),
+h AS (
+  SELECT g.doc_id, count(*) AS n_hits FROM g JOIN ev USING (gram)
+  WHERE g.doc_id % {mod} <> {rem} GROUP BY g.doc_id
+)
+SELECT d.doc_id, CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+       coalesce(h.n_hits, 0) > 0 AS contaminated
+FROM documents d LEFT JOIN h USING (doc_id)
+WHERE d.doc_id % {mod} <> {rem}"""
+
+
+def sample_split_sql() -> str:
+    """Mirror of extras.sampling.sample_split_fn: DuckDB
+    md5_number_lower == Python int.from_bytes(md5[8:16], 'little')."""
+    from .extras.sampling import (DEFAULT_RATE, RATES, SPLIT_SALT,
+                                  TRAIN_PCT, VAL_PCT)
+    rate_case = ("CASE lang "
+                 + " ".join(f"WHEN '{k}' THEN {v}"
+                            for k, v in RATES.items())
+                 + f" ELSE {DEFAULT_RATE} END")
+    h = "md5_number_lower(CAST(doc_id AS VARCHAR))"
+    hs = f"md5_number_lower(CAST(doc_id AS VARCHAR) || '{SPLIT_SALT}')"
+    return f"""SELECT doc_id, lang,
+  CAST({h} % 1000 AS BIGINT) AS bucket,
+  CASE WHEN {hs} % 100 < {TRAIN_PCT} THEN 'train'
+       WHEN {hs} % 100 < {VAL_PCT} THEN 'val'
+       ELSE 'test' END AS split
+FROM documents
+WHERE {h} % 1000 < {rate_case}"""
+
+
+def tfidf_topk_sql(k: int = 3) -> str:
+    """Mirror of extras.text.tfidf_topk: integer-only output; the
+    float score (tf * ln(N/df)) orders the row_number only."""
+    return f"""WITH tf AS (
+  SELECT doc_id, word, CAST(count(*) AS BIGINT) AS tf
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+        FROM documents)
+  GROUP BY doc_id, word
+), df AS (SELECT word, CAST(count(*) AS BIGINT) AS df FROM tf
+          GROUP BY word),
+n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents)
+SELECT doc_id, word, tf, df FROM (
+  SELECT tf.doc_id, tf.word, tf.tf, df.df,
+         row_number() OVER (PARTITION BY tf.doc_id
+                            ORDER BY tf.tf * ln(n.n / df.df) DESC,
+                                     tf.word) AS rn
+  FROM tf JOIN df USING (word), n
+) WHERE rn <= {k}"""

@@ -425,6 +425,11 @@ def oracle_registry(sf_dir: str = "/root/testdata/sf0.01") -> dict:
         "df_counts": oracle.df_counts_sql(),
         "top_quality_per_lang": oracle.top_quality_per_lang_sql(
             TOPK_PER_LANG),
+        "pack_bins": oracle.pack_bins_sql(path, PACK_BUDGET),
+        "tok_quantiles": oracle.tok_quantiles_sql(path),
+        "decontam": oracle.decontam_sql(),
+        "sample_split": oracle.sample_split_sql(),
+        "tfidf_topk": oracle.tfidf_topk_sql(TFIDF_K),
         "events_hourly": oracle.events_hourly_sql(),
         "events_json_k": oracle.events_json_k_sql(),
         "events_sessions": oracle.events_sessions_sql(),
@@ -721,8 +726,46 @@ def q_media_features(sf_dir: str):
     return out.map_batches(explode, batch_format="pyarrow")
 
 
+PACK_BUDGET = 4096
+TFIDF_K = 3
+
+
+def q_pack_bins(sf_dir: str):
+    from .extras.scan import pack_bins
+    return pack_bins(_seq(sf_dir, ["doc_id", "n_tok"]),
+                     budget=PACK_BUDGET)
+
+
+def q_tok_quantiles(sf_dir: str):
+    from .extras.scan import tok_quantiles
+    return tok_quantiles(_seq(sf_dir, ["n_tok"]))
+
+
+def q_decontam(sf_dir: str):
+    from .extras.decontam import decontam_pipeline
+    return decontam_pipeline(_docs(sf_dir))
+
+
+def q_sample_split(sf_dir: str):
+    from .extras.sampling import sample_split_pipeline
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "lang"])
+    return sample_split_pipeline(ds)
+
+
+def q_tfidf_topk(sf_dir: str):
+    from .extras.text import tfidf_topk
+    ds = _docs(sf_dir)
+    return tfidf_topk(ds, n_docs=ds.count(), k=TFIDF_K)
+
+
 def extras_registry() -> dict:
     return {
+        "pack_bins": q_pack_bins,
+        "tok_quantiles": q_tok_quantiles,
+        "decontam": q_decontam,
+        "sample_split": q_sample_split,
+        "tfidf_topk": q_tfidf_topk,
         "doc_stats": q_doc_stats,
         "token_counts": q_token_counts,
         "quality": q_quality,

@@ -1,0 +1,130 @@
+"""Distributed prefix-scan packing, exact quantiles, decontamination,
+deterministic sampling, tf-idf top-k — hand cases + block-boundary
+invariance (partial/merge and scan-offset paths must not depend on
+how rows land in blocks)."""
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+import ray
+
+from kmerray.extras.decontam import decontam_pipeline, eval_gram_hashes
+from kmerray.extras.sampling import md5_lower64, sample_split_fn
+from kmerray.extras.scan import pack_bins, tok_quantiles
+from kmerray.extras.text import tfidf_topk
+
+
+def _seqs(ids, n_toks):
+    return ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(ids, pa.string()),
+        "n_tok": pa.array(n_toks, pa.int32())}))
+
+
+def _docs(texts, ids=None):
+    ids = ids if ids is not None else list(range(len(texts)))
+    return ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(ids, pa.int64()),
+        "text": pa.array(texts)}))
+
+
+def test_pack_bins_hand(ray_session):
+    # budget 10; cum: 4, 11, 13, 22 -> first-token offsets 0,4,11,13
+    ds = _seqs(["a", "b", "c", "d"], [4, 7, 2, 9])
+    out = (pack_bins(ds, budget=10, n_buckets=2).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    assert out["cum_tok"].tolist() == [4, 11, 13, 22]
+    assert out["bin"].tolist() == [0, 0, 1, 1]
+
+
+def test_pack_bins_block_invariant(ray_session):
+    rng = np.random.default_rng(3)
+    n = 300
+    ids = [f"d{i:05d}" for i in rng.permutation(n)]
+    toks = rng.integers(1, 500, size=n)
+    a = (pack_bins(_seqs(ids, toks), 1000, n_buckets=7).to_pandas()
+         .sort_values("doc_id").reset_index(drop=True))
+    b = (pack_bins(_seqs(ids, toks).repartition(11), 1000, n_buckets=3)
+         .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(a, b)
+    # global invariant: cum_tok over sorted doc_id is the cumsum
+    assert a["cum_tok"].tolist() == np.cumsum(a["n_tok"]).tolist()
+
+
+def test_tok_quantiles_hand(ray_session):
+    ds = _seqs([f"d{i}" for i in range(10)], list(range(1, 11)))
+    out = tok_quantiles(ds, qs=(0.5, 0.9, 1.0))
+    got = dict(zip(out["q"], out["value"]))
+    # ceil(0.5*10)=5 -> value 5; ceil(0.9*10)=9; ceil(1.0*10)=10
+    assert got == {"0.5": 5, "0.9": 9, "1": 10}
+
+
+def test_decontam_hand(ray_session):
+    # doc 7 is the eval doc; doc 0 shares the gram "a b c",
+    # doc 1 shares nothing, doc 2 shares two distinct grams
+    texts = {7: "a b c d e", 0: "x a b c y", 1: "p q r s",
+             2: "a b c d q"}
+    ids = sorted(texts)
+    ds = _docs([texts[i] for i in ids], ids)
+    out = (decontam_pipeline(ds, n=3).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    assert out["doc_id"].tolist() == [0, 1, 2]
+    # doc0: {"x a b","a b c","b c y"} -> 1 hit
+    # doc2: {"a b c","b c d","c d q"} -> 2 hits
+    assert out["n_hits"].tolist() == [1, 0, 2]
+    assert out["contaminated"].tolist() == [True, False, True]
+
+
+def test_decontam_eval_set(ray_session):
+    ds = _docs(["a b c d", "e f g h"], [7, 17])
+    hashes = eval_gram_hashes(ds, n=3)
+    # both docs are eval docs (7%10==17%10==7): 2+2 distinct grams
+    assert len(hashes) == 4
+
+
+def test_sample_split_matches_duckdb_hash():
+    # the portable-hash contract underlying the oracle
+    import duckdb
+    ids = [str(i) for i in range(50)]
+    sql = duckdb.sql(
+        "SELECT md5_number_lower(CAST(x AS VARCHAR)) FROM "
+        "(SELECT unnest(range(50)) AS x)").fetchnumpy()
+    dv = list(sql.values())[0].astype(np.uint64)
+    assert np.array_equal(md5_lower64(ids), dv)
+
+
+def test_sample_split_fn_deterministic():
+    df = pd.DataFrame({"doc_id": np.arange(200, dtype=np.int64),
+                       "lang": ["en", "de", "fr", "es", "zh"] * 40})
+    a, b = sample_split_fn(df.copy()), sample_split_fn(df.copy())
+    pd.testing.assert_frame_equal(a, b)
+    assert set(a["split"]).issubset({"train", "val", "test"})
+    # en keeps more than zh (900 vs 100 permille) on any fair hash
+    counts = a.groupby("lang").size()
+    assert counts.get("en", 0) > counts.get("zh", 0)
+
+
+def test_tfidf_topk_hand(ray_session):
+    # 3 docs; "z" appears only in doc 0 -> highest idf there
+    ds = _docs(["z z common", "common common other", "other common x"])
+    out = (tfidf_topk(ds, n_docs=3, k=1).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    assert out.loc[0, "word"] == "z"
+    assert out.loc[0, "tf"] == 2 and out.loc[0, "df"] == 1
+    # "common" (df=3) scores ln(1)=0 -> never beats df<3 words
+    assert out.loc[1, "word"] == "other"
+
+
+def test_tfidf_block_invariant(ray_session):
+    rng = np.random.default_rng(11)
+    vocab = np.array(list("abcdefghijklmnop"))
+    texts = [" ".join(rng.choice(vocab, size=rng.integers(3, 30)))
+             for _ in range(60)]
+    a = (tfidf_topk(_docs(texts), 60, k=2).to_pandas()
+         .sort_values(["doc_id", "word"]).reset_index(drop=True))
+    b = (tfidf_topk(_docs(texts).repartition(9), 60, k=2).to_pandas()
+         .sort_values(["doc_id", "word"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(a, b)
