@@ -195,6 +195,32 @@ def run_bench() -> dict:
         docs(), window=32, stride=16)))
     timed("rep_stats", lambda: rep_stats_pipeline(docs()).count())
 
+    # r3 additions: decontamination probe, tf-idf double shuffle,
+    # md5-routed sampling over the document corpus; distributed
+    # prefix-scan packing over the full sequences corpus
+    from kmerray.extras.decontam import decontam_pipeline
+    from kmerray.extras.sampling import sample_split_pipeline
+    from kmerray.extras.scan import pack_bins
+    from kmerray.extras.text import tfidf_topk
+    timed("decontam", lambda: decontam_pipeline(docs()).count())
+    timed("tfidf_topk", lambda: tfidf_topk(
+        docs(), n_docs=n_bench_docs, k=3).count())
+
+    def _with_lang(b):
+        b = b.copy()
+        b["lang"] = np.array(["en", "de", "fr", "es", "zh"],
+                             dtype=object)[b["doc_id"].to_numpy() % 5]
+        return b
+    timed("sample_split", lambda: sample_split_pipeline(
+        docs().map_batches(_with_lang, batch_format="pandas")).count())
+
+    def _pack_run():
+        ds = ray.data.read_parquet(all_files,
+                                   columns=["doc_id", "n_tok"],
+                                   override_num_blocks=n_blocks)
+        return pack_bins(ds, budget=1 << 16).count()
+    timed("pack_bins", _pack_run)
+
     # m2s inverted-index build (vectorized run-offset assembly, r3)
     from kmerray.pipelines.minpipe import m2s_pipeline
     timed("m2s_31_7", lambda: m2s_pipeline(

@@ -67,8 +67,16 @@ def eval_gram_hashes(ds: "ray.data.Dataset", n: int = NGRAM) -> np.ndarray:
         _, gk = _gram_keys(b["text"], n)
         return pd.DataFrame({"gram": np.unique(gk)})
 
-    rows = ds.map_batches(_grams, batch_format="pandas").take_all()
-    return np.unique(np.array([r["gram"] for r in rows], dtype=np.uint64))
+    out = ds.map_batches(_grams, batch_format="pandas")
+    # arrow-block collect, NOT take_all(): Ray's per-row conversion is
+    # ~100x slower than a zero-copy block gather at this size
+    # (measured 225 s vs 1.4 s on 590k rows)
+    import pyarrow as pa
+    tabs = [t for t in ray.get(out.to_arrow_refs()) if t.num_rows]
+    if not tabs:
+        return np.array([], dtype=np.uint64)
+    return np.unique(
+        pa.concat_tables(tabs).column("gram").to_numpy().astype(np.uint64))
 
 
 def decontam_pipeline(ds: "ray.data.Dataset",

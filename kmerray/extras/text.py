@@ -269,16 +269,42 @@ def _tf_explode(batch: pd.DataFrame) -> pd.DataFrame:
                          "tf": tf})
 
 
-def tfidf_topk(ds: "ray.data.Dataset", n_docs: int,
-               k: int = 3) -> "ray.data.Dataset":
+def _topk_per_doc(df: pd.DataFrame, k: int) -> pd.DataFrame:
+    """Vectorized top-k rows per doc_id by (score DESC, word ASC):
+    one lexsort + segment-rank, no per-group pandas apply (a 50k-word
+    vocabulary makes per-group map_groups pathological — measured
+    ~80 s vs ~2 s bucketed on the 40k-doc bench corpus)."""
+    if not len(df):
+        return df
+    order = np.lexsort((df["word"].to_numpy(object),
+                        -df["score"].to_numpy(),
+                        df["doc_id"].to_numpy()))
+    sdoc = df["doc_id"].to_numpy()[order]
+    new = np.ones(len(order), dtype=bool)
+    new[1:] = sdoc[1:] != sdoc[:-1]
+    starts = np.flatnonzero(new)
+    rank = np.arange(len(order)) - np.repeat(starts, np.diff(
+        np.append(starts, len(order))))
+    return df.iloc[order[rank < k]].reset_index(drop=True)
+
+
+def tfidf_topk(ds: "ray.data.Dataset", n_docs: int, k: int = 3,
+               n_buckets: int = 64) -> "ray.data.Dataset":
     """Per-doc top-k terms by tf-idf (``tf * ln(n_docs/df)``), with
     ties broken by word ASC.
 
-    Scale design: ONE word-keyed shuffle attaches df (each word
-    group's row count IS its document frequency, since the exploded
-    rows are distinct per (doc, word)) — no broadcast vocabulary, no
-    driver state; then the grouped_topk partial/merge keeps the
-    doc-keyed shuffle at O(k x docs x blocks).
+    Scale design: both wide steps are HASH-BUCKETED shuffles with
+    vectorized group bodies (never one pandas group per word/doc —
+    map_groups over a 50k-word vocab or per-doc keys is a Python
+    loop in disguise):
+
+    1. word-bucket shuffle attaches df (within a bucket, each word's
+       row count IS its document frequency, since the exploded rows
+       are distinct per (doc, word)), factorize + bincount, and
+       already emits only the per-(doc, bucket) partial top-k —
+       ≤ k rows per doc per bucket leave the stage;
+    2. doc-bucket shuffle merges the partials with the same
+       vectorized segment-rank kernel.
 
     Output columns are integers/strings only (``doc_id, word, tf,
     df``): the float score is used for ORDERING, never emitted, so
@@ -286,21 +312,38 @@ def tfidf_topk(ds: "ray.data.Dataset", n_docs: int,
     produce value mismatches (distinct (tf, df) pairs are separated
     by far more than an ulp on this scoring surface; exact ties fall
     to the word tiebreak in both engines)."""
-    from .grouped import grouped_topk
-
     tf = ds.map_batches(_tf_explode, batch_format="pandas")
 
-    def _attach_df(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.copy()
-        g["df"] = np.int64(len(g))
-        g["score"] = g["tf"].to_numpy() * np.log(
-            float(n_docs) / g["df"].to_numpy())
-        return g
+    def _bucket_w(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["wb"] = (content_hash64(b["word"].to_numpy(object))
+                   % n_buckets).astype(np.int64)
+        return b
 
-    scored = tf.groupby("word").map_groups(_attach_df,
-                                           batch_format="pandas")
-    top = grouped_topk(scored, key="doc_id", score="score", k=k,
-                       tiebreak="word")
-    return top.map_batches(
+    def _attach_df(g: pd.DataFrame) -> pd.DataFrame:
+        codes, _ = pd.factorize(g["word"], sort=False)
+        dfreq = np.bincount(codes)[codes].astype(np.int64)
+        out = g[["doc_id", "word", "tf"]].copy()
+        out["df"] = dfreq
+        out["score"] = out["tf"].to_numpy() * np.log(
+            float(n_docs) / dfreq)
+        return _topk_per_doc(out, k)
+
+    scored = (tf.map_batches(_bucket_w, batch_format="pandas")
+                .groupby("wb").map_groups(_attach_df,
+                                          batch_format="pandas"))
+
+    def _bucket_d(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["db"] = (content_hash64(b["doc_id"].astype(str)
+                                  .to_numpy(dtype=object))
+                   % n_buckets).astype(np.int64)
+        return b
+
+    merged = (scored.map_batches(_bucket_d, batch_format="pandas")
+              .groupby("db").map_groups(
+                  lambda g: _topk_per_doc(g, k),
+                  batch_format="pandas"))
+    return merged.map_batches(
         lambda b: b[["doc_id", "word", "tf", "df"]],
         batch_format="pandas")
