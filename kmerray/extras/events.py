@@ -40,27 +40,42 @@ def _window_partial(batch: pa.Table, window_us: int) -> pa.Table:
     })
 
 
-def tumbling_window_agg(ds: "ray.data.Dataset",
-                        window_us: int = HOUR_US) -> "ray.data.Dataset":
+def tumbling_window_agg(ds: "ray.data.Dataset", window_us: int = HOUR_US,
+                        n_buckets: int = 64) -> "ray.data.Dataset":
     """Per (user_id, tumbling window): event count + exact value sum in
     cents.  Streaming-friendly: partials collapse inside each block,
-    the exchange is keyed on the composite (user, window) id and merged
-    by Ray's native hash aggregate (a ``map_groups`` here was measured
-    ~40x slower — per-group pandas overhead on 10k one-row groups);
-    user/window decode back out of the key afterwards."""
+    then the exchange is keyed on a HASH BUCKET of the composite
+    (user, window) id and merged by one vectorized pandas groupby per
+    bucket.  Two earlier shapes both lose: per-gkey ``map_groups``
+    pays per-group pandas overhead (~40x), and Ray's native
+    ``groupby(gkey).sum`` sort-aggregates on ~|groups| DISTINCT keys
+    (measured 10.4 s vs 1.5 s bucketed on 195k partials — hour
+    windows x Zipf users barely collapse, so the key stays near
+    input-sized).  Bucketing sorts on ``n_buckets`` values instead."""
     partial = ds.map_batches(lambda b: _window_partial(b, window_us),
                              batch_format="pyarrow", zero_copy_batch=True)
-    agg = partial.groupby("gkey").sum(["n_part", "cents_part"])
 
-    def decode(batch: pa.Table) -> pa.Table:
-        gkey = batch.column("gkey").to_numpy()
-        return pa.table({
-            "user_id": pa.array(gkey >> 32),
-            "win": pa.array(gkey & 0xFFFFFFFF),
-            "n_events": batch.column("sum(n_part)").cast(pa.int64()),
-            "sum_cents": batch.column("sum(cents_part)").cast(pa.int64()),
+    def add_bucket(b: pa.Table) -> pa.Table:
+        g = b.column("gkey").to_numpy().astype(np.uint64)
+        h = (g * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(33)
+        return b.append_column(
+            "gbkt", pa.array((h % np.uint64(n_buckets)).astype(np.int64)))
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        m = (g.groupby("gkey", as_index=False)
+              .agg(n_events=("n_part", "sum"),
+                   sum_cents=("cents_part", "sum")))
+        gkey = m["gkey"].to_numpy()
+        return pd.DataFrame({
+            "user_id": gkey >> 32,
+            "win": gkey & 0xFFFFFFFF,
+            "n_events": m["n_events"].astype(np.int64),
+            "sum_cents": m["sum_cents"].astype(np.int64),
         })
-    return agg.map_batches(decode, batch_format="pyarrow")
+
+    return (partial.map_batches(add_bucket, batch_format="pyarrow",
+                                zero_copy_batch=True)
+            .groupby("gbkt").map_groups(merge, batch_format="pandas"))
 
 
 SESSION_GAP_US = 6 * 3_600_000_000      # 6h inactivity ends a session
