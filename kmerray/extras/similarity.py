@@ -371,3 +371,49 @@ def cosine_near_dup_lsh(ds: "ray.data.Dataset", threshold: float = 0.4,
                                              batch_format="pandas")
     from .dedup import _pair_dedup
     return _pair_dedup(cand, n_buckets, ("a", "b"))
+
+
+def ivf_build_index(ds: "ray.data.Dataset", centroids: np.ndarray,
+                    out_path: str) -> str:
+    """Materialize the IVF index: assign each vector to its nearest
+    cosine cell and write hive-partitioned Parquet (one ``cell=N``
+    directory per cell).
+
+    This is what makes IVF sub-linear at scale: the on-the-fly
+    variant (:func:`ivf_topk`) still streams the WHOLE corpus per
+    query batch just to re-derive cell membership, so it can never
+    beat brute force; after this one-time build, a query run READS
+    only its probed cells' files (nprobe/n_centroids of the bytes)
+    — the pruning happens at the storage layer, before any task is
+    scheduled.  The layout is also the resumable-output shape: a
+    partial rebuild can skip finished cell directories."""
+    def assign(batch: pa.Table) -> pa.Table:
+        em = _normalize(_emb_matrix(batch))
+        cells = np.argmax(em @ centroids.T, axis=1).astype(np.int64)
+        return batch.append_column("cell", pa.array(cells))
+
+    (ds.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True)
+       .write_parquet(out_path, partition_cols=["cell"]))
+    return out_path
+
+
+def ivf_topk_indexed(index_path: str, query_ids: np.ndarray,
+                     query_mat: np.ndarray, centroids: np.ndarray,
+                     k: int = 10, nprobe: int = 4) -> "ray.data.Dataset":
+    """IVF top-k over a materialized cell-partitioned index: list the
+    probed cells' parquet files, read ONLY those, and score with the
+    same accept-map kernel as :func:`ivf_topk` (cell membership is
+    re-derived per batch with one tiny matmul — the partition column
+    lives in the directory name, not the row data)."""
+    import glob as _glob
+    qn = _normalize(query_mat)
+    probe = np.argsort(-(qn @ centroids.T), axis=1)[:, :nprobe]
+    cells = sorted({int(c) for row in probe for c in row})
+    files = [f for c in cells
+             for f in sorted(_glob.glob(f"{index_path}/cell={c}/*.parquet"))]
+    if not files:
+        raise FileNotFoundError(
+            f"no cell files under {index_path} for probed cells {cells}")
+    ds = ray.data.read_parquet(files)
+    return ivf_topk(ds, query_ids, query_mat, centroids, k=k,
+                    nprobe=nprobe)

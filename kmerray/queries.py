@@ -417,6 +417,7 @@ def oracle_registry(sf_dir: str = "/root/testdata/sf0.01") -> dict:
                                                             ND_THRESHOLD),
         "ann_topk": oracle.ann_topk_sql(ANN_QUERIES, ANN_K),
         "ann_topk_ivf": oracle.ann_topk_sql(ANN_QUERIES, ANN_K),
+        "ann_topk_ivf_indexed": oracle.ann_topk_sql(ANN_QUERIES, ANN_K),
         "emb_near_dup": oracle.emb_near_dup_sql(EMB_DUP_THRESHOLD),
         "media_features": oracle.media_features_sql(_media_path()),
         "rep_stats": oracle.rep_stats_sql(),
@@ -608,6 +609,29 @@ def q_ann_topk_ivf(sf_dir: str):
     return ivf_topk(ds, qids, qmat, cent, k=ANN_K, nprobe=len(cent))
 
 
+def q_ann_topk_ivf_indexed(sf_dir: str):
+    """Materialized-IVF path: one-time cell-partitioned index build
+    (cached per sf dir), then a query run that READS only probed
+    cells' files.  Run at full probe so it must reproduce the exact
+    top-k and share ann_topk's SQL oracle; the pruned regime
+    (nprobe << cells) is recall- and pruning-tested in pytest."""
+    import os
+    import pyarrow.parquet as pq
+    from .extras.similarity import (_emb_matrix, ivf_build_index,
+                                    ivf_topk_indexed, load_queries,
+                                    train_ivf_centroids)
+    path = f"{sf_dir}/embeddings.parquet"
+    qids, qmat = load_queries(path, ANN_QUERIES)
+    cent = train_ivf_centroids(_emb_matrix(pq.read_table(path)),
+                               n_centroids=16)
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    idx = f"/tmp/kmerray_data/ivf-index-{tag}-c16-v1"
+    if not os.path.isdir(idx) or not os.listdir(idx):
+        ivf_build_index(ray.data.read_parquet(path), cent, idx)
+    return ivf_topk_indexed(idx, qids, qmat, cent, k=ANN_K,
+                            nprobe=len(cent))
+
+
 def q_emb_near_dup(sf_dir: str):
     """Exact block-grid path (no full-matrix broadcast); block_rows
     sized so the sf0.01 table exercises a multi-block grid."""
@@ -774,6 +798,7 @@ def extras_registry() -> dict:
         "ngram_dupes": q_ngram_dupes,
         "ann_topk": q_ann_topk,
         "ann_topk_ivf": q_ann_topk_ivf,
+        "ann_topk_ivf_indexed": q_ann_topk_ivf_indexed,
         "emb_near_dup": q_emb_near_dup,
         "emb_near_dup_lsh": q_emb_near_dup_lsh,
         "minhash_candidates": q_minhash_candidates,
