@@ -13,6 +13,7 @@ shuffles and nothing is materialized.
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -112,3 +113,20 @@ def stop_filter_fn(batch: pa.Table,
 def stop_filter_pipeline(ds: "ray.data.Dataset") -> "ray.data.Dataset":
     return ds.map_batches(stop_filter_fn, batch_format="pyarrow",
                           zero_copy_batch=True)
+
+
+def normalize_text_fn(batch: pd.DataFrame) -> pd.DataFrame:
+    """Text normalization for training corpora: mask digit runs with
+    a sentinel token and count the masked runs.  One C-regex pass per
+    column (pandas ``str.replace``/``str.count`` — character-class
+    pattern, so Python re and DuckDB RE2 agree exactly); stateless
+    map_batches, streams at read speed."""
+    text = batch["text"]
+    out = batch[["doc_id"]].copy()
+    out["norm_text"] = text.str.replace(r"[0-9]+", "<NUM>", regex=True)
+    out["n_masked"] = text.str.count(r"[0-9]+").astype("int64")
+    return out
+
+
+def normalize_text_pipeline(ds: "ray.data.Dataset") -> "ray.data.Dataset":
+    return ds.map_batches(normalize_text_fn, batch_format="pandas")

@@ -747,3 +747,38 @@ def near_dup_survivors(ds: "ray.data.Dataset", n: int = 3,
         d = ray.get(drop_ref)
         return batch.loc[~batch["doc_id"].isin(d), ["doc_id"]]
     return ds.map_batches(survivors, batch_format="pandas")
+
+
+def exact_dedup_keep_best(ds: "ray.data.Dataset",
+                          n_buckets: int | None = None
+                          ) -> "ray.data.Dataset":
+    """Exact dedup that keeps the BEST row per distinct content —
+    highest quality score, ties to the smallest doc_id — instead of
+    first-seen.  This is the usual production rule (keep the cleanest
+    copy, drop mirrors).
+
+    Same shuffle shape as :func:`exact_dedup_survivors` (content-hash
+    bucket, vectorized per-bucket resolution on raw text equality);
+    the quality score is computed inline in the bucket-assign pass
+    (one extra vectorized kernel, no extra shuffle) and is the same
+    bit-exact score the `quality` oracle certifies."""
+    from .text import quality_fn
+    if n_buckets is None:
+        n_buckets = _auto_buckets(ds, floor=64)
+
+    def add_bucket(batch: pd.DataFrame) -> pd.DataFrame:
+        q = quality_fn(batch[["doc_id", "text"]].copy())
+        out = batch[["doc_id", "text"]].copy()
+        out["quality"] = q["quality"].to_numpy()
+        h = content_hash64(out["text"])
+        out["bucket"] = (h % np.uint64(n_buckets)).astype(np.int64)
+        return out
+
+    def survivors(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["text", "quality", "doc_id"],
+                          ascending=[True, False, True], kind="mergesort")
+        return g.groupby("text", sort=False).head(1)[["doc_id"]]
+
+    hashed = ds.map_batches(add_bucket, batch_format="pandas")
+    return hashed.groupby("bucket").map_groups(survivors,
+                                               batch_format="pandas")

@@ -733,3 +733,25 @@ SELECT doc_id, word, tf, df FROM (
                                      tf.word) AS rn
   FROM tf JOIN df USING (word), n
 ) WHERE rn <= {k}"""
+
+
+def normalize_text_sql() -> str:
+    """Mirror of extras.chunking.normalize_text_fn (character-class
+    regex, identical under Python re and DuckDB RE2)."""
+    return r"""SELECT doc_id,
+  regexp_replace(text, '[0-9]+', '<NUM>', 'g') AS norm_text,
+  CAST(len(regexp_extract_all(text, '[0-9]+')) AS BIGINT) AS n_masked
+FROM documents"""
+
+
+def dedup_keep_best_sql() -> str:
+    """Mirror of extras.dedup.exact_dedup_keep_best: one survivor per
+    distinct text, highest quality (bit-exact score) then smallest
+    doc_id."""
+    return f"""WITH q AS ({quality_sql()})
+SELECT doc_id FROM (
+  SELECT d.doc_id,
+         row_number() OVER (PARTITION BY d.text
+                            ORDER BY q.quality DESC, d.doc_id) AS rn
+  FROM documents d JOIN q USING (doc_id)
+) WHERE rn = 1"""

@@ -426,6 +426,8 @@ def oracle_registry(sf_dir: str = "/root/testdata/sf0.01") -> dict:
         "df_counts": oracle.df_counts_sql(),
         "top_quality_per_lang": oracle.top_quality_per_lang_sql(
             TOPK_PER_LANG),
+        "normalize_text": oracle.normalize_text_sql(),
+        "dedup_keep_best": oracle.dedup_keep_best_sql(),
         "pack_bins": oracle.pack_bins_sql(path, PACK_BUDGET),
         "tok_quantiles": oracle.tok_quantiles_sql(path),
         "decontam": oracle.decontam_sql(),
@@ -783,8 +785,20 @@ def q_tfidf_topk(sf_dir: str):
     return tfidf_topk(ds, n_docs=ds.count(), k=TFIDF_K)
 
 
+def q_normalize_text(sf_dir: str):
+    from .extras.chunking import normalize_text_pipeline
+    return normalize_text_pipeline(_docs(sf_dir))
+
+
+def q_dedup_keep_best(sf_dir: str):
+    from .extras.dedup import exact_dedup_keep_best
+    return exact_dedup_keep_best(_docs(sf_dir))
+
+
 def extras_registry() -> dict:
     return {
+        "normalize_text": q_normalize_text,
+        "dedup_keep_best": q_dedup_keep_best,
         "pack_bins": q_pack_bins,
         "tok_quantiles": q_tok_quantiles,
         "decontam": q_decontam,

@@ -128,3 +128,47 @@ def test_tfidf_block_invariant(ray_session):
     b = (tfidf_topk(_docs(texts).repartition(9), 60, k=2).to_pandas()
          .sort_values(["doc_id", "word"]).reset_index(drop=True))
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_normalize_text(ray_session):
+    from kmerray.extras.chunking import normalize_text_pipeline
+    ds = _docs(["w001 abc x9", "no digits here"])
+    out = (normalize_text_pipeline(ds).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    assert out["norm_text"].tolist() == ["w<NUM> abc x<NUM>",
+                                         "no digits here"]
+    assert out["n_masked"].tolist() == [2, 0]
+
+
+def test_dedup_keep_best_picks_highest_quality(ray_session):
+    from kmerray.extras.dedup import exact_dedup_keep_best
+    from kmerray.extras.text import quality_fn
+    import pandas as pd
+    # docs 0/2 share text A, docs 1/3 share text B; unique doc 4
+    texts = {0: "aa bb cc " * 30, 2: "aa bb cc " * 30,
+             1: "x y", 3: "x y", 4: "solo doc"}
+    texts = {k: v.strip() for k, v in texts.items()}
+    ids = sorted(texts)
+    ds = _docs([texts[i] for i in ids], ids)
+    got = sorted(exact_dedup_keep_best(ds, n_buckets=4)
+                 .to_pandas()["doc_id"])
+    q = quality_fn(pd.DataFrame({"doc_id": ids,
+                                 "text": [texts[i] for i in ids]}))
+    # equal text -> equal quality -> min doc_id wins each group
+    assert got == [0, 1, 4]
+    # sanity: the quality column is identical within each dup group
+    qv = dict(zip(q["doc_id"], q["quality"]))
+    assert qv[0] == qv[2] and qv[1] == qv[3]
+
+
+def test_dedup_keep_best_block_invariant(ray_session):
+    from kmerray.extras.dedup import exact_dedup_keep_best
+    rng = np.random.default_rng(5)
+    base = [" ".join(rng.choice(list("abcdef"), size=rng.integers(2, 20)))
+            for _ in range(40)]
+    texts = base + base[:15]          # 15 exact dups with higher ids
+    a = sorted(exact_dedup_keep_best(_docs(texts), n_buckets=8)
+               .to_pandas()["doc_id"])
+    b = sorted(exact_dedup_keep_best(_docs(texts).repartition(7),
+                                     n_buckets=3).to_pandas()["doc_id"])
+    assert a == b and len(a) == 40
