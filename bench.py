@@ -293,6 +293,12 @@ def run_bench() -> dict:
     timed("events_history", lambda: consume(user_history_features(
         events(ev_cols))))
 
+    # relational joins over the sf dir's TPC-H-shaped tables
+    # (lineitem |X| orders |X| customer co-partitioned shuffle joins)
+    from kmerray.queries import q_high_qty_orders, q_revenue_by_nation
+    timed("join_revenue", lambda: consume(q_revenue_by_nation(SF_DIR)))
+    timed("join_semi", lambda: consume(q_high_qty_orders(SF_DIR)))
+
     ray.shutdown()
 
     return {

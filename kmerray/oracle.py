@@ -755,3 +755,59 @@ SELECT doc_id FROM (
                             ORDER BY q.quality DESC, d.doc_id) AS rn
   FROM documents d JOIN q USING (doc_id)
 ) WHERE rn = 1"""
+
+
+# ---------------------------------------------------------------------------
+# relational joins (extras.relational) — TPC-H-shaped tables
+# ---------------------------------------------------------------------------
+
+_REV_E4 = ("CAST(round(l_extendedprice * 100) AS BIGINT)"
+           " * (100 - CAST(round(l_discount * 100) AS BIGINT))")
+
+
+def pricing_summary_sql() -> str:
+    """Mirror of extras.relational.pricing_summary.  All money sums
+    are integer cents / e-4 units (prices carry exactly 2 decimals,
+    so round() on both engines lands on the same integer regardless
+    of the half-even vs half-away tie rule)."""
+    return f"""SELECT l_returnflag, l_linestatus,
+  CAST(SUM(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
+  CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+    AS sum_base_cents,
+  CAST(SUM({_REV_E4}) AS BIGINT) AS sum_disc_e4,
+  COUNT(*) AS n_lines
+FROM lineitem
+GROUP BY l_returnflag, l_linestatus"""
+
+
+def revenue_by_nation_sql() -> str:
+    """Mirror of extras.relational.revenue_by_nation (lineitem |X|
+    orders |X| customer |X| nation, revenue in e-4 units)."""
+    return f"""SELECT n_name,
+  CAST(SUM({_REV_E4}) AS BIGINT) AS revenue_e4,
+  COUNT(*) AS n_lines
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+GROUP BY n_name"""
+
+
+def high_qty_orders_sql(min_qty: float) -> str:
+    """Mirror of extras.relational.high_qty_order_priorities (EXISTS
+    semi-join)."""
+    return f"""SELECT o_orderpriority, COUNT(*) AS n_orders
+FROM orders
+WHERE EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_quantity >= {min_qty})
+GROUP BY o_orderpriority"""
+
+
+def cust_no_big_order_sql(min_total: float) -> str:
+    """Mirror of extras.relational.customers_without_orders (NOT
+    EXISTS anti-join above a totalprice threshold)."""
+    return f"""SELECT c_custkey, c_mktsegment
+FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_totalprice >= {min_total})"""

@@ -433,6 +433,10 @@ def oracle_registry(sf_dir: str = "/root/testdata/sf0.01") -> dict:
         "decontam": oracle.decontam_sql(),
         "sample_split": oracle.sample_split_sql(),
         "tfidf_topk": oracle.tfidf_topk_sql(TFIDF_K),
+        "pricing_summary": oracle.pricing_summary_sql(),
+        "revenue_by_nation": oracle.revenue_by_nation_sql(),
+        "high_qty_orders": oracle.high_qty_orders_sql(JOIN_MIN_QTY),
+        "cust_no_big_order": oracle.cust_no_big_order_sql(JOIN_MIN_TOTAL),
         "events_hourly": oracle.events_hourly_sql(),
         "events_json_k": oracle.events_json_k_sql(),
         "events_sessions": oracle.events_sessions_sql(),
@@ -795,8 +799,58 @@ def q_dedup_keep_best(sf_dir: str):
     return exact_dedup_keep_best(_docs(sf_dir))
 
 
+JOIN_MIN_QTY = 45.0
+JOIN_MIN_TOTAL = 400000.0
+JOIN_BUCKETS = 64
+
+
+def _tbl(sf_dir: str, name: str, cols):
+    return ray.data.read_parquet(f"{sf_dir}/{name}.parquet", columns=cols)
+
+
+def q_pricing_summary(sf_dir: str):
+    from .extras.relational import pricing_summary
+    return pricing_summary(_tbl(sf_dir, "lineitem",
+                                ["l_returnflag", "l_linestatus",
+                                 "l_quantity", "l_extendedprice",
+                                 "l_discount"]))
+
+
+def q_revenue_by_nation(sf_dir: str):
+    import pyarrow.parquet as pq
+    from .extras.relational import revenue_by_nation
+    nation = pq.read_table(f"{sf_dir}/nation.parquet",
+                           columns=["n_nationkey", "n_name"])
+    return revenue_by_nation(
+        _tbl(sf_dir, "lineitem",
+             ["l_orderkey", "l_extendedprice", "l_discount"]),
+        _tbl(sf_dir, "orders", ["o_orderkey", "o_custkey"]),
+        _tbl(sf_dir, "customer", ["c_custkey", "c_nationkey"]),
+        nation, n_buckets=JOIN_BUCKETS)
+
+
+def q_high_qty_orders(sf_dir: str):
+    from .extras.relational import high_qty_order_priorities
+    return high_qty_order_priorities(
+        _tbl(sf_dir, "orders", ["o_orderkey", "o_orderpriority"]),
+        _tbl(sf_dir, "lineitem", ["l_orderkey", "l_quantity"]),
+        min_qty=JOIN_MIN_QTY, n_buckets=JOIN_BUCKETS)
+
+
+def q_cust_no_big_order(sf_dir: str):
+    from .extras.relational import customers_without_orders
+    return customers_without_orders(
+        _tbl(sf_dir, "customer", ["c_custkey", "c_mktsegment"]),
+        _tbl(sf_dir, "orders", ["o_custkey", "o_totalprice"]),
+        min_total=JOIN_MIN_TOTAL, n_buckets=JOIN_BUCKETS)
+
+
 def extras_registry() -> dict:
     return {
+        "pricing_summary": q_pricing_summary,
+        "revenue_by_nation": q_revenue_by_nation,
+        "high_qty_orders": q_high_qty_orders,
+        "cust_no_big_order": q_cust_no_big_order,
         "normalize_text": q_normalize_text,
         "dedup_keep_best": q_dedup_keep_best,
         "pack_bins": q_pack_bins,
