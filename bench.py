@@ -292,6 +292,9 @@ def run_bench() -> dict:
         events(ev_cols)).count())
     timed("events_history", lambda: consume(user_history_features(
         events(ev_cols))))
+    from kmerray.extras.events import rolling_user_features
+    timed("events_rolling", lambda: consume(rolling_user_features(
+        events(ev_cols))))
 
     # relational joins over the sf dir's TPC-H-shaped tables
     # (lineitem |X| orders |X| customer co-partitioned shuffle joins)

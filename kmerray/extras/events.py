@@ -178,6 +178,73 @@ def user_history_features(ds: "ray.data.Dataset",
         scan, batch_format="pandas")
 
 
+def rolling_user_features(ds: "ray.data.Dataset", n_prev: int = 3,
+                          range_us: int = HOUR_US,
+                          n_buckets: int = 32) -> "ray.data.Dataset":
+    """Per-event rolling-window features over each user's history,
+    both frame kinds of the standard SQL surface:
+
+    - ``roll_n`` / ``roll_cents``: ROWS BETWEEN n_prev PRECEDING AND
+      CURRENT ROW, ordered by (ts, event_id);
+    - ``tw_n`` / ``tw_cents``: RANGE BETWEEN range_us PRECEDING AND
+      CURRENT ROW, ordered by ts — peers (equal ts) are all included,
+      exactly the SQL RANGE-frame contract.
+
+    One user-hash shuffle, then everything is vectorized across ALL
+    users in the bucket at once: prefix sums + two searchsorted
+    probes.  The RANGE frame avoids a per-user Python loop by
+    embedding each user's timeline in a disjoint band of one sorted
+    int64 axis (``seg_id * span + (t - t_min)`` with
+    ``span > max(t) - min(t) + range_us``): band gaps exceed
+    ``range_us``, so a window probe can never cross into a neighbor
+    user's band.  Sums ride as integer cents (order-independent,
+    bit-exact vs the oracle)."""
+    def roll(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"])
+        m = len(g)
+        t = _epoch_us(g["ts"])
+        user = g["user_id"].to_numpy()
+        cents = np.round(g["value"].to_numpy() * 100.0).astype(np.int64)
+        idx = np.arange(m)
+        new_user = np.empty(m, dtype=bool)
+        new_user[0] = True
+        new_user[1:] = user[1:] != user[:-1]
+        seg_start = np.maximum.accumulate(np.where(new_user, idx, 0))
+        c = np.cumsum(cents)
+
+        def window_sum(hi: np.ndarray, lo: np.ndarray) -> np.ndarray:
+            return c[hi] - np.where(lo > 0, c[np.maximum(lo, 1) - 1], 0)
+
+        # ROWS frame: window start is max(segment start, i - n_prev)
+        j = np.maximum(seg_start, idx - n_prev)
+        roll_n = idx - j + 1
+        roll_cents = window_sum(idx, j)
+
+        # RANGE frame: banded-axis searchsorted (see docstring)
+        seg_id = np.cumsum(new_user) - 1
+        t0 = t - t.min()
+        span = np.int64(t0.max()) + np.int64(range_us) + 2
+        if (seg_id[-1] + 1) * span > np.iinfo(np.int64).max // 2:
+            raise OverflowError("banded range axis would overflow; "
+                                "raise n_buckets")
+        kt = seg_id * span + t0
+        lo = np.searchsorted(kt, kt - range_us, side="left")
+        hi = np.searchsorted(kt, kt, side="right") - 1
+        return pd.DataFrame({
+            "event_id": g["event_id"].astype(np.int64),
+            "user_id": g["user_id"].astype(np.int64),
+            "roll_n": roll_n.astype(np.int64),
+            "roll_cents": roll_cents,
+            "tw_n": (hi - lo + 1).astype(np.int64),
+            "tw_cents": window_sum(hi, lo),
+        })
+
+    bucketed = _with_user_bucket(
+        ds.select_columns(["event_id", "user_id", "ts", "value"]), n_buckets)
+    return bucketed.groupby("ubucket").map_groups(
+        roll, batch_format="pandas")
+
+
 def json_int_field(ds: "ray.data.Dataset", column: str = "props",
                    field: str = "k") -> "ray.data.Dataset":
     """Extract an integer JSON property with one C-regex pass per batch

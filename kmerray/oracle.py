@@ -475,6 +475,26 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)"""
 
 
+def events_rolling_sql(n_prev: int = 3,
+                       range_us: int = 3_600_000_000) -> str:
+    """Mirror of extras.events.rolling_user_features: both standard
+    window-frame kinds — ROWS n PRECEDING (ts, event_id order) and
+    RANGE interval PRECEDING (ts order, peers included)."""
+    return f"""SELECT event_id, user_id,
+  CAST(count(*) OVER wr AS BIGINT) AS roll_n,
+  CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER wr AS BIGINT)
+    AS roll_cents,
+  CAST(count(*) OVER wt AS BIGINT) AS tw_n,
+  CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER wt AS BIGINT)
+    AS tw_cents
+FROM events
+WINDOW wr AS (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS BETWEEN {n_prev} PRECEDING AND CURRENT ROW),
+       wt AS (PARTITION BY user_id ORDER BY ts
+              RANGE BETWEEN to_microseconds({range_us}) PRECEDING
+                    AND CURRENT ROW)"""
+
+
 def dedup_exact_sql() -> str:
     return "SELECT min(doc_id) AS doc_id FROM documents GROUP BY text"
 

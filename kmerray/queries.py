@@ -441,6 +441,7 @@ def oracle_registry(sf_dir: str = "/root/testdata/sf0.01") -> dict:
         "events_json_k": oracle.events_json_k_sql(),
         "events_sessions": oracle.events_sessions_sql(),
         "events_history": oracle.events_history_sql(),
+        "events_rolling": oracle.events_rolling_sql(),
     }
 
 
@@ -572,6 +573,12 @@ def q_events_sessions(sf_dir: str):
 def q_events_history(sf_dir: str):
     from .extras.events import user_history_features
     return user_history_features(
+        _events(sf_dir, ["event_id", "user_id", "ts", "value"]))
+
+
+def q_events_rolling(sf_dir: str):
+    from .extras.events import rolling_user_features
+    return rolling_user_features(
         _events(sf_dir, ["event_id", "user_id", "ts", "value"]))
 
 
@@ -884,4 +891,5 @@ def extras_registry() -> dict:
         "events_json_k": q_events_json_k,
         "events_sessions": q_events_sessions,
         "events_history": q_events_history,
+        "events_rolling": q_events_rolling,
     }

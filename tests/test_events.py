@@ -133,3 +133,58 @@ def test_json_int_field(ray_session, events_table):
     out = (json_int_field(ds).to_pandas()
            .sort_values("event_id").reset_index(drop=True))
     assert out["k"].tolist() == [7, 8, 9, -1]
+
+
+def test_rolling_user_features_hand_computed(ray_session):
+    from kmerray.extras.events import rolling_user_features
+    base = 1_700_000_000_000_000
+    # user 7: four events, last one >1h after the first two;
+    # user 9: two events at the SAME ts (RANGE peers must both count)
+    t = pa.table({
+        "event_id": pa.array([0, 1, 2, 3, 4, 5], pa.int64()),
+        "ts": pa.array([base, base + 10, base + HOUR_US + 20,
+                        base + HOUR_US + 30, base, base], pa.timestamp("us")),
+        "user_id": pa.array([7, 7, 7, 7, 9, 9], pa.int64()),
+        "value": pa.array([1.00, 2.00, 4.00, 8.00, 0.50, 0.25]),
+    })
+    out = (rolling_user_features(ray.data.from_arrow(t), n_prev=1)
+           .to_pandas().sort_values("event_id").reset_index(drop=True))
+    # ROWS 1 PRECEDING: pairwise sums within user, event_id tiebreak
+    assert out["roll_n"].tolist() == [1, 2, 2, 2, 1, 2]
+    assert out["roll_cents"].tolist() == [100, 300, 600, 1200, 50, 75]
+    # RANGE 1h PRECEDING: event 2 is 1h+20us after event 0 -> only
+    # event 1 (1h+10us? no: +10us -> within 1h of event 2) ... compute:
+    # ev2 at base+1h+20: window [base+20, base+1h+20] -> excludes ev0
+    # (base) and ev1 (base+10) -> n=1.  ev3 at base+1h+30: window
+    # [base+30, ...] -> includes ev2 only -> n=2.
+    assert out["tw_n"].tolist() == [1, 2, 1, 2, 2, 2]
+    assert out["tw_cents"].tolist() == [100, 300, 400, 1200, 75, 75]
+
+
+def test_rolling_user_features_block_invariant(ray_session):
+    from kmerray.extras.events import rolling_user_features
+    rng = np.random.default_rng(23)
+    n = 500
+    t = pa.table({
+        "event_id": pa.array(np.arange(n), pa.int64()),
+        "ts": pa.array(
+            1_700_000_000_000_000
+            + rng.integers(0, 30 * HOUR_US, size=n), pa.timestamp("us")),
+        "user_id": pa.array(rng.integers(0, 11, size=n), pa.int64()),
+        "value": pa.array(np.round(rng.uniform(0, 50, n), 2)),
+    })
+    a = (rolling_user_features(ray.data.from_arrow(t)).to_pandas()
+         .sort_values("event_id").reset_index(drop=True))
+    b = (rolling_user_features(ray.data.from_arrow(t).repartition(7),
+                               n_buckets=5).to_pandas()
+         .sort_values("event_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(a, b)
+    # pandas cross-check for the ROWS frame
+    df = t.to_pandas().sort_values(["user_id", "ts", "event_id"])
+    cents = np.round(df["value"].to_numpy() * 100).astype(np.int64)
+    df["cents"] = cents
+    exp = (df.groupby("user_id")["cents"]
+           .rolling(4, min_periods=1).sum().reset_index(level=0))
+    df["exp_roll"] = exp["cents"].astype(np.int64)
+    m = a.merge(df[["event_id", "exp_roll"]], on="event_id")
+    assert (m["roll_cents"] == m["exp_roll"]).all()
