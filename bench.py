@@ -203,6 +203,9 @@ def run_bench() -> dict:
     from kmerray.extras.scan import pack_bins
     from kmerray.extras.text import tfidf_topk
     timed("decontam", lambda: decontam_pipeline(docs()).count())
+    from kmerray.extras.text import bigram_stats
+    timed("bigram_stats", lambda: bigram_stats(
+        docs(), min_count=5).count())
     timed("tfidf_topk", lambda: tfidf_topk(
         docs(), n_docs=n_bench_docs, k=3).count())
 

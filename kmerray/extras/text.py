@@ -354,3 +354,127 @@ def tfidf_topk(ds: "ray.data.Dataset", n_docs: int, k: int = 3,
         lambda b: b.select(["doc_id", "word", "tf", "df"])
         if isinstance(b, pa.Table) else b[["doc_id", "word", "tf", "df"]],
         batch_format="pyarrow")
+
+
+def _bigram_partial(batch: pd.DataFrame, n_buckets: int) -> pa.Table:
+    """Per-batch partial bigram counts (adjacent word pairs within a
+    doc), pre-collapsed so the shuffle moves one row per distinct pair
+    per block — the combiner that makes Zipf-hot collocations cheap."""
+    vals, offs = flat_words(batch["text"])
+    rowid = np.repeat(np.arange(len(batch)), np.diff(offs))
+    same = rowid[:-1] == rowid[1:]
+    d = pd.DataFrame({"w1": vals[:-1][same], "w2": vals[1:][same]})
+    agg = d.groupby(["w1", "w2"], as_index=False).size()
+    gb = ((content_hash64(agg["w1"].to_numpy(object)) * _GRAM_MIX)
+          ^ content_hash64(agg["w2"].to_numpy(object))) % n_buckets
+    return pa.table({
+        "w1": pa.array(agg["w1"].to_numpy(object), pa.string()),
+        "w2": pa.array(agg["w2"].to_numpy(object), pa.string()),
+        "c": pa.array(agg["size"].to_numpy(np.int64)),
+        "gb": pa.array(gb.astype(np.int64)),
+    })
+
+
+def _unigram_partial(batch: pd.DataFrame, n_buckets: int) -> pa.Table:
+    """Per-batch partial token counts (every occurrence, not df)."""
+    vals, offs = flat_words(batch["text"])
+    words, cnt = np.unique(vals.astype("U"), return_counts=True)
+    words = words.astype(object)
+    return pa.table({
+        "word": pa.array(words, pa.string()),
+        "c": pa.array(cnt.astype(np.int64)),
+        "wb": pa.array((content_hash64(words) % n_buckets)
+                       .astype(np.int64)),
+    })
+
+
+def bigram_stats(ds: "ray.data.Dataset", min_count: int = 5,
+                 n_buckets: int = 64) -> "ray.data.Dataset":
+    """Collocation statistics: every adjacent word bigram with corpus
+    count >= min_count, carrying the exact unigram counts of both
+    words — the integer-exact surface under PMI
+    (``ln(c12 * N / (c1 * c2))`` is derivable downstream; emitting
+    only integers keeps the result bit-comparable across engines).
+
+    Scale design — three hash-bucketed exchanges, no broadcast of the
+    vocabulary (which grows with the corpus at 100 TB):
+
+    1. bigram partials merge on a pair-hash bucket to exact ``c12``;
+       the ``min_count`` filter runs HERE, before any join, so the
+       long Zipf tail never reaches the attach stages;
+    2. survivors are routed by ``hash(w1)`` and unioned with the
+       unigram partials routed the same way — each bucket aggregates
+       its own slice of the vocabulary and attaches ``c1`` with a
+       vectorized map;
+    3. same again keyed on ``hash(w2)`` for ``c2``.
+
+    The unigram partial stream is consumed by both attach stages
+    (two pruned passes over the text column — cheaper than persisting
+    a vocabulary-sized side table on the driver)."""
+    bi = ds.map_batches(lambda b: _bigram_partial(b, n_buckets),
+                        batch_format="pandas")
+
+    def merge_pairs(g: pd.DataFrame) -> pa.Table:
+        m = g.groupby(["w1", "w2"], as_index=False)["c"].sum()
+        m = m[m["c"] >= min_count]
+        b1 = content_hash64(m["w1"].to_numpy(object)) % n_buckets
+        return pa.table({
+            "w1": pa.array(m["w1"].to_numpy(object), pa.string()),
+            "w2": pa.array(m["w2"].to_numpy(object), pa.string()),
+            "c12": pa.array(m["c"].to_numpy(np.int64)),
+            "ab": pa.array(b1.astype(np.int64)),
+        })
+
+    pairs = bi.groupby("gb").map_groups(merge_pairs, batch_format="pandas")
+
+    def _attach(uni_key: str, out_col: str, next_key: str | None):
+        """In-bucket unigram aggregation + vectorized count attach."""
+        def fn(g: pd.DataFrame) -> pa.Table:
+            is_uni = g["w2"].isna()
+            counts = (g.loc[is_uni].groupby("w1")["c12"].sum())
+            m = g.loc[~is_uni].copy()
+            m[out_col] = m[uni_key].map(counts).astype(np.int64)
+            cols = {
+                "w1": pa.array(m["w1"].to_numpy(object), pa.string()),
+                "w2": pa.array(m["w2"].to_numpy(object), pa.string()),
+                "c12": pa.array(m["c12"].to_numpy(np.int64)),
+            }
+            if "c1" in m.columns:
+                cols["c1"] = pa.array(m["c1"].to_numpy(np.int64))
+            cols[out_col] = pa.array(m[out_col].to_numpy(np.int64))
+            if next_key is not None:
+                nb = content_hash64(m[next_key].to_numpy(object)) % n_buckets
+                cols["ab"] = pa.array(nb.astype(np.int64))
+            return pa.table(cols)
+        return fn
+
+    def uni_as():
+        """Unigram partials disguised in the pair schema (w2 = null
+        marks the side) so one union + groupby co-locates them with
+        the pair rows that need them."""
+        uni = ds.map_batches(lambda b: _unigram_partial(b, n_buckets),
+                             batch_format="pandas")
+
+        def shape(b: pa.Table) -> pa.Table:
+            return pa.table({
+                "w1": b.column("word"),
+                "w2": pa.nulls(b.num_rows, pa.string()),
+                "c12": b.column("c"),
+                "ab": b.column("wb"),
+            })
+        return uni.map_batches(shape, batch_format="pyarrow",
+                               zero_copy_batch=True)
+
+    j1 = pairs.union(uni_as()).groupby("ab").map_groups(
+        _attach("w1", "c1", next_key="w2"), batch_format="pandas")
+
+    def pad_c1(b: pa.Table) -> pa.Table:
+        return b.append_column("c1", pa.nulls(b.num_rows, pa.int64())) \
+            .select(["w1", "w2", "c12", "c1", "ab"])
+
+    uni2 = uni_as().map_batches(pad_c1, batch_format="pyarrow",
+                                    zero_copy_batch=True)
+    j2 = j1.select_columns(["w1", "w2", "c12", "c1", "ab"]).union(uni2) \
+        .groupby("ab").map_groups(_attach("w2", "c2", next_key=None),
+                                  batch_format="pandas")
+    return j2.select_columns(["w1", "w2", "c12", "c1", "c2"])

@@ -495,6 +495,24 @@ WINDOW wr AS (PARTITION BY user_id ORDER BY ts, event_id
                     AND CURRENT ROW)"""
 
 
+def bigram_stats_sql(min_count: int = 5) -> str:
+    """Mirror of extras.text.bigram_stats: adjacent-bigram counts with
+    both unigram counts attached (the integer surface under PMI)."""
+    return f"""WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+), bi AS (
+  SELECT ws[i] AS w1, ws[i + 1] AS w2, CAST(count(*) AS BIGINT) AS c12
+  FROM w, LATERAL (SELECT unnest(generate_series(1, len(ws) - 1)) AS i) g
+  GROUP BY 1, 2 HAVING count(*) >= {min_count}
+), uni AS (
+  SELECT ws[i] AS w, CAST(count(*) AS BIGINT) AS c
+  FROM w, LATERAL (SELECT unnest(generate_series(1, len(ws))) AS i) g
+  GROUP BY 1
+)
+SELECT w1, w2, c12, u1.c AS c1, u2.c AS c2
+FROM bi JOIN uni u1 ON bi.w1 = u1.w JOIN uni u2 ON bi.w2 = u2.w"""
+
+
 def dedup_exact_sql() -> str:
     return "SELECT min(doc_id) AS doc_id FROM documents GROUP BY text"
 

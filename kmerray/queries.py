@@ -442,6 +442,7 @@ def oracle_registry(sf_dir: str = "/root/testdata/sf0.01") -> dict:
         "events_sessions": oracle.events_sessions_sql(),
         "events_history": oracle.events_history_sql(),
         "events_rolling": oracle.events_rolling_sql(),
+        "bigram_stats": oracle.bigram_stats_sql(BIGRAM_MIN_COUNT),
     }
 
 
@@ -580,6 +581,14 @@ def q_events_rolling(sf_dir: str):
     from .extras.events import rolling_user_features
     return rolling_user_features(
         _events(sf_dir, ["event_id", "user_id", "ts", "value"]))
+
+
+BIGRAM_MIN_COUNT = 5
+
+
+def q_bigram_stats(sf_dir: str):
+    from .extras.text import bigram_stats
+    return bigram_stats(_docs(sf_dir), min_count=BIGRAM_MIN_COUNT)
 
 
 def q_dedup_exact(sf_dir: str):
@@ -892,4 +901,5 @@ def extras_registry() -> dict:
         "events_sessions": q_events_sessions,
         "events_history": q_events_history,
         "events_rolling": q_events_rolling,
+        "bigram_stats": q_bigram_stats,
     }

@@ -450,3 +450,40 @@ def test_ivf_indexed_prunes_and_matches(ray_session, emb_table, tmp_path):
         assert q in mine
         recalls.append(len(mine & set(oracle[q])) / 10)
     assert np.mean(recalls) >= 0.5
+
+
+def test_bigram_stats_hand_computed(ray_session):
+    from kmerray.extras.text import bigram_stats
+    docs = pa.table({
+        "doc_id": pa.array([0, 1, 2], pa.int64()),
+        "text": pa.array(["a b a b c", "a b x", "b a b"], pa.string()),
+    })
+    out = (bigram_stats(ray.data.from_arrow(docs), min_count=2,
+                        n_buckets=4).to_pandas()
+           .sort_values(["w1", "w2"]).reset_index(drop=True))
+    # bigrams: a-b x4 (doc0 x2, doc1, doc2), b-a x2 (doc0, doc2),
+    # b-c x1, b-x x1 -> survivors at min_count=2: (a,b,4), (b,a,2)
+    assert out["w1"].tolist() == ["a", "b"]
+    assert out["w2"].tolist() == ["b", "a"]
+    assert out["c12"].tolist() == [4, 2]
+    # unigram counts: a=4, b=5
+    assert out["c1"].tolist() == [4, 5]
+    assert out["c2"].tolist() == [5, 4]
+
+
+def test_bigram_stats_block_invariant(ray_session):
+    from kmerray.extras.text import bigram_stats
+    rng = np.random.default_rng(3)
+    vocab = np.array(list("abcdefgh"), dtype=object)
+    texts = [" ".join(rng.choice(vocab, size=rng.integers(2, 30)))
+             for _ in range(60)]
+    docs = pa.table({"doc_id": pa.array(np.arange(60), pa.int64()),
+                     "text": pa.array(texts, pa.string())})
+    key = ["w1", "w2"]
+    a = (bigram_stats(ray.data.from_arrow(docs), min_count=3)
+         .to_pandas().sort_values(key).reset_index(drop=True))
+    b = (bigram_stats(ray.data.from_arrow(docs).repartition(11),
+                      min_count=3, n_buckets=7)
+         .to_pandas().sort_values(key).reset_index(drop=True))
+    pd.testing.assert_frame_equal(a, b)
+    assert len(a) > 0 and (a["c12"] >= 3).all()
