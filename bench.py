@@ -304,6 +304,8 @@ def run_bench() -> dict:
     from kmerray.queries import q_high_qty_orders, q_revenue_by_nation
     timed("join_revenue", lambda: consume(q_revenue_by_nation(SF_DIR)))
     timed("join_semi", lambda: consume(q_high_qty_orders(SF_DIR)))
+    from kmerray.queries import q_shipping_priority
+    timed("join_q3_topk", lambda: consume(q_shipping_priority(SF_DIR)))
 
     ray.shutdown()
 

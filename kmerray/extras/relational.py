@@ -351,3 +351,164 @@ def customers_without_orders(customer, orders,
         left_fields=[("c_custkey", pa.int64()),
                      ("c_mktsegment", pa.string())],
         right_fields=[("c_custkey", pa.int64())])
+
+
+def shipping_priority(customer, orders, lineitem,
+                      segment: str = "BUILDING",
+                      cutoff_us: int = 896_659_200_000_000,  # 1998-06-01
+                      k: int = 10,
+                      n_buckets: int = 64) -> "ray.data.Dataset":
+    """TPC-H Q3 shape: top-k unshipped orders by revenue for one
+    market segment (orders placed before the cutoff, line items
+    shipped after it) — the multi-join + aggregate + global top-k
+    composition.
+
+    Two exchanges, matching the two join keys:
+
+    1. custkey: segment customers reduce to per-block distinct keys
+       and SEMI-join the date-filtered orders (shuffle, not
+       broadcast — the segment slice grows with SF);
+    2. orderkey: lineitem revenue partials (filtered + pre-summed per
+       block) union the surviving orders; each bucket merges to EXACT
+       per-order revenue and keeps only its local top-k, so the final
+       global re-rank sees <= k x n_buckets rows.
+
+    Revenue rides as integer e4 (cents x (100 - discount_pct)) —
+    order-independent, bit-exact vs the SQL oracle."""
+    def cust_keys(b: pa.Table) -> pa.Table:
+        sel = pc.equal(b.column("c_mktsegment"), segment)
+        keys = b.filter(sel).column("c_custkey").to_numpy()
+        return pa.table({"o_custkey": np.unique(keys).astype(np.int64)})
+
+    keys = customer.map_batches(cust_keys, batch_format="pyarrow",
+                                zero_copy_batch=True)
+
+    def ord_filter(b: pa.Table) -> pa.Table:
+        date_us = b.column("o_orderdate").cast(pa.timestamp("us")) \
+            .cast(pa.int64())
+        t = b.filter(pc.less(date_us, cutoff_us))
+        return pa.table({
+            "o_orderkey": t.column("o_orderkey"),
+            "o_custkey": t.column("o_custkey"),
+            "o_date_us": t.column("o_orderdate").cast(pa.timestamp("us"))
+                          .cast(pa.int64()),
+            "o_orderpriority": t.column("o_orderpriority"),
+        })
+
+    sel_orders = shuffle_join(
+        orders.map_batches(ord_filter, batch_format="pyarrow",
+                           zero_copy_batch=True),
+        keys, on="o_custkey", how="semi", n_buckets=n_buckets,
+        left_fields=[("o_orderkey", pa.int64()), ("o_custkey", pa.int64()),
+                     ("o_date_us", pa.int64()),
+                     ("o_orderpriority", pa.string())],
+        right_fields=[("o_custkey", pa.int64())])
+
+    def li_partial(b: pd.DataFrame) -> pa.Table:
+        ship = b["l_shipdate"].to_numpy().astype("datetime64[us]") \
+            .astype(np.int64)
+        b = b[ship > cutoff_us]
+        price_c = _cents(b["l_extendedprice"].to_numpy())
+        disc_pct = _cents(b["l_discount"].to_numpy())
+        d = pd.DataFrame({"o_orderkey": b["l_orderkey"].astype(np.int64),
+                          "revenue_e4": price_c * (100 - disc_pct)})
+        agg = d.groupby("o_orderkey", as_index=False).sum()
+        return pa.table({
+            "o_orderkey": pa.array(agg["o_orderkey"].to_numpy(np.int64)),
+            "revenue_e4": pa.array(agg["revenue_e4"].to_numpy(np.int64)),
+            "o_date_us": pa.nulls(len(agg), pa.int64()),
+            "o_orderpriority": pa.nulls(len(agg), pa.string()),
+            "side": pa.array(np.zeros(len(agg), dtype=np.int8)),
+            "obucket": pa.array(_bucket_of(
+                agg["o_orderkey"].to_numpy(np.int64), n_buckets)),
+        })
+
+    def ord_tag(b: pa.Table) -> pa.Table:
+        keys_arr = b.column("o_orderkey").to_numpy().astype(np.int64)
+        return pa.table({
+            "o_orderkey": b.column("o_orderkey"),
+            "revenue_e4": pa.nulls(b.num_rows, pa.int64()),
+            "o_date_us": b.column("o_date_us"),
+            "o_orderpriority": b.column("o_orderpriority"),
+            "side": pa.array(np.ones(b.num_rows, dtype=np.int8)),
+            "obucket": pa.array(_bucket_of(keys_arr, n_buckets)),
+        })
+
+    tagged = lineitem.map_batches(li_partial, batch_format="pandas").union(
+        sel_orders.select_columns(
+            ["o_orderkey", "o_date_us", "o_orderpriority"])
+        .map_batches(ord_tag, batch_format="pyarrow", zero_copy_batch=True))
+
+    def topk(df: pd.DataFrame) -> pd.DataFrame:
+        order = np.lexsort((df["o_orderkey"].to_numpy(),
+                            -df["revenue_e4"].to_numpy()))
+        return df.iloc[order[:k]].reset_index(drop=True)
+
+    def merge(g: pa.Table) -> pd.DataFrame:
+        is_li = pc.equal(g.column("side"), pa.scalar(0, pa.int8()))
+        li = g.filter(is_li).select(["o_orderkey", "revenue_e4"]) \
+            .to_pandas().groupby("o_orderkey", as_index=False).sum()
+        od = g.filter(pc.invert(is_li)).select(
+            ["o_orderkey", "o_date_us", "o_orderpriority"]).to_pandas()
+        return topk(od.merge(li, on="o_orderkey", how="inner"))
+
+    local = tagged.groupby("obucket").map_groups(merge,
+                                                 batch_format="pyarrow")
+    return local.repartition(1).map_batches(topk, batch_format="pandas")
+
+
+def customer_order_rollup(customer, orders,
+                          n_buckets: int = 64) -> "ray.data.Dataset":
+    """LEFT OUTER join shape: every customer with order count and
+    exact total cents — zero for customers who never ordered.  ONE
+    custkey-bucketed exchange: order partials (pre-summed per block)
+    union the customer rows; each bucket aggregates its partials and
+    left-merges, so no driver state and nothing broadcast."""
+    def ord_partial(b: pd.DataFrame) -> pa.Table:
+        d = pd.DataFrame({
+            "c_custkey": b["o_custkey"].astype(np.int64),
+            "n_part": np.ones(len(b), dtype=np.int64),
+            "cents_part": _cents(b["o_totalprice"].to_numpy()),
+        })
+        agg = d.groupby("c_custkey", as_index=False).sum()
+        return pa.table({
+            "c_custkey": pa.array(agg["c_custkey"].to_numpy(np.int64)),
+            "c_mktsegment": pa.nulls(len(agg), pa.string()),
+            "n_part": pa.array(agg["n_part"].to_numpy(np.int64)),
+            "cents_part": pa.array(agg["cents_part"].to_numpy(np.int64)),
+            "side": pa.array(np.zeros(len(agg), dtype=np.int8)),
+            "cbucket": pa.array(_bucket_of(
+                agg["c_custkey"].to_numpy(np.int64), n_buckets)),
+        })
+
+    def cust_tag(b: pa.Table) -> pa.Table:
+        keys = b.column("c_custkey").to_numpy().astype(np.int64)
+        return pa.table({
+            "c_custkey": b.column("c_custkey"),
+            "c_mktsegment": b.column("c_mktsegment"),
+            "n_part": pa.nulls(b.num_rows, pa.int64()),
+            "cents_part": pa.nulls(b.num_rows, pa.int64()),
+            "side": pa.array(np.ones(b.num_rows, dtype=np.int8)),
+            "cbucket": pa.array(_bucket_of(keys, n_buckets)),
+        })
+
+    tagged = orders.map_batches(ord_partial, batch_format="pandas").union(
+        customer.map_batches(cust_tag, batch_format="pyarrow",
+                             zero_copy_batch=True))
+
+    def merge(g: pa.Table) -> pd.DataFrame:
+        is_ord = pc.equal(g.column("side"), pa.scalar(0, pa.int8()))
+        o = g.filter(is_ord).select(["c_custkey", "n_part", "cents_part"]) \
+            .to_pandas().groupby("c_custkey", as_index=False).sum()
+        c = g.filter(pc.invert(is_ord)).select(
+            ["c_custkey", "c_mktsegment"]).to_pandas()
+        m = c.merge(o, on="c_custkey", how="left")
+        return pd.DataFrame({
+            "c_custkey": m["c_custkey"].astype(np.int64),
+            "c_mktsegment": m["c_mktsegment"],
+            "n_orders": m["n_part"].fillna(0).astype(np.int64),
+            "sum_cents": m["cents_part"].fillna(0).astype(np.int64),
+        })
+
+    return tagged.groupby("cbucket").map_groups(merge,
+                                                batch_format="pyarrow")

@@ -849,3 +849,36 @@ FROM customer c
 WHERE NOT EXISTS (SELECT 1 FROM orders o
                   WHERE o.o_custkey = c.c_custkey
                     AND o.o_totalprice >= {min_total})"""
+
+
+def shipping_priority_sql(segment: str = "BUILDING",
+                          cutoff: str = "1998-06-01",
+                          k: int = 10) -> str:
+    """Mirror of extras.relational.shipping_priority (TPC-H Q3 shape,
+    integer-e4 revenue, (revenue DESC, orderkey ASC) top-k)."""
+    return f"""SELECT o.o_orderkey, epoch_us(o.o_orderdate) AS o_date_us,
+  o.o_orderpriority,
+  CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+           * (100 - CAST(round(l.l_discount * 100) AS BIGINT)))
+       AS BIGINT) AS revenue_e4
+FROM customer c
+JOIN orders o ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = '{segment}'
+  AND o.o_orderdate < TIMESTAMP '{cutoff}'
+  AND l.l_shipdate > TIMESTAMP '{cutoff}'
+GROUP BY 1, 2, 3
+ORDER BY revenue_e4 DESC, o.o_orderkey
+LIMIT {k}"""
+
+
+def cust_order_rollup_sql() -> str:
+    """Mirror of extras.relational.customer_order_rollup (LEFT OUTER
+    join: customers with zero orders appear with zero counts)."""
+    return """SELECT c.c_custkey, c.c_mktsegment,
+  CAST(coalesce(o.n, 0) AS BIGINT) AS n_orders,
+  CAST(coalesce(o.s, 0) AS BIGINT) AS sum_cents
+FROM customer c LEFT JOIN (
+  SELECT o_custkey, count(*) AS n,
+         sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS s
+  FROM orders GROUP BY 1) o ON c.c_custkey = o.o_custkey"""

@@ -443,6 +443,8 @@ def oracle_registry(sf_dir: str = "/root/testdata/sf0.01") -> dict:
         "events_history": oracle.events_history_sql(),
         "events_rolling": oracle.events_rolling_sql(),
         "bigram_stats": oracle.bigram_stats_sql(BIGRAM_MIN_COUNT),
+        "shipping_priority": oracle.shipping_priority_sql(),
+        "cust_order_rollup": oracle.cust_order_rollup_sql(),
     }
 
 
@@ -861,6 +863,25 @@ def q_cust_no_big_order(sf_dir: str):
         min_total=JOIN_MIN_TOTAL, n_buckets=JOIN_BUCKETS)
 
 
+def q_shipping_priority(sf_dir: str):
+    from .extras.relational import shipping_priority
+    return shipping_priority(
+        _tbl(sf_dir, "customer", ["c_custkey", "c_mktsegment"]),
+        _tbl(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate",
+                                "o_orderpriority"]),
+        _tbl(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice",
+                                  "l_discount", "l_shipdate"]),
+        n_buckets=JOIN_BUCKETS)
+
+
+def q_cust_order_rollup(sf_dir: str):
+    from .extras.relational import customer_order_rollup
+    return customer_order_rollup(
+        _tbl(sf_dir, "customer", ["c_custkey", "c_mktsegment"]),
+        _tbl(sf_dir, "orders", ["o_custkey", "o_totalprice"]),
+        n_buckets=JOIN_BUCKETS)
+
+
 def extras_registry() -> dict:
     return {
         "pricing_summary": q_pricing_summary,
@@ -902,4 +923,6 @@ def extras_registry() -> dict:
         "events_history": q_events_history,
         "events_rolling": q_events_rolling,
         "bigram_stats": q_bigram_stats,
+        "shipping_priority": q_shipping_priority,
+        "cust_order_rollup": q_cust_order_rollup,
     }
