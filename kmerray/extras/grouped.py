@@ -18,17 +18,18 @@ import ray.data
 
 
 def _topk_per_key(df: pd.DataFrame, key: str, score: str, k: int,
-                  tiebreak: str) -> pd.DataFrame:
+                  tiebreak: str, ascending: bool = False) -> pd.DataFrame:
     df = df.sort_values([key, score, tiebreak],
-                        ascending=[True, False, True], kind="mergesort")
+                        ascending=[True, ascending, True], kind="mergesort")
     return df.groupby(key, sort=False).head(k).reset_index(drop=True)
 
 
 def grouped_topk(ds: "ray.data.Dataset", key: str, score: str,
-                 k: int, tiebreak: str) -> "ray.data.Dataset":
+                 k: int, tiebreak: str,
+                 ascending: bool = False) -> "ray.data.Dataset":
     partial = ds.map_batches(
-        lambda b: _topk_per_key(b, key, score, k, tiebreak),
+        lambda b: _topk_per_key(b, key, score, k, tiebreak, ascending),
         batch_format="pandas")
     return partial.groupby(key).map_groups(
-        lambda g: _topk_per_key(g, key, score, k, tiebreak),
+        lambda g: _topk_per_key(g, key, score, k, tiebreak, ascending),
         batch_format="pandas")

@@ -60,3 +60,30 @@ def sample_split_fn(batch: pd.DataFrame) -> pd.DataFrame:
 
 def sample_split_pipeline(ds: "ray.data.Dataset") -> "ray.data.Dataset":
     return ds.map_batches(sample_split_fn, batch_format="pandas")
+
+
+def group_sample(ds: "ray.data.Dataset", key: str = "lang",
+                 n: int = 20) -> "ray.data.Dataset":
+    """Deterministic per-group sample: the first ``n`` rows of each
+    group in portable-md5 order (hash of doc_id, doc_id tiebreak).
+
+    Unlike a random ``ds.groupby().map_groups(sample)``, the selection
+    is content-independent and engine-portable — resharding, re-running
+    or re-reading the corpus picks the SAME rows, and any SQL engine
+    can reproduce the choice (that reproducibility is what makes a
+    100-TB eval-slice defensible).  Scale shape: per-block partial
+    head-n per group, then one group merge — the grouped_topk
+    combiner, so the shuffle carries at most n rows per group per
+    block."""
+    from .grouped import grouped_topk
+
+    def add_hash(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[["doc_id", key]].copy()
+        b["_h"] = md5_lower64(b["doc_id"].astype(str).to_numpy(object))
+        return b
+
+    out = grouped_topk(ds.map_batches(add_hash, batch_format="pandas"),
+                       key=key, score="_h", k=n, tiebreak="doc_id",
+                       ascending=True)
+    return out.map_batches(lambda b: b[["doc_id", key]],
+                           batch_format="pandas")

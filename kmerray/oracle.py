@@ -882,3 +882,14 @@ FROM customer c LEFT JOIN (
   SELECT o_custkey, count(*) AS n,
          sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS s
   FROM orders GROUP BY 1) o ON c.c_custkey = o.o_custkey"""
+
+
+def group_sample_sql(n: int = 20) -> str:
+    """Mirror of extras.sampling.group_sample: first n rows per lang in
+    (md5_number_lower(doc_id), doc_id) order."""
+    return f"""SELECT doc_id, lang FROM (
+  SELECT doc_id, lang,
+    row_number() OVER (
+      PARTITION BY lang
+      ORDER BY md5_number_lower(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+  FROM documents) WHERE rn <= {n}"""

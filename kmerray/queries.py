@@ -445,6 +445,7 @@ def oracle_registry(sf_dir: str = "/root/testdata/sf0.01") -> dict:
         "bigram_stats": oracle.bigram_stats_sql(BIGRAM_MIN_COUNT),
         "shipping_priority": oracle.shipping_priority_sql(),
         "cust_order_rollup": oracle.cust_order_rollup_sql(),
+        "group_sample": oracle.group_sample_sql(GROUP_SAMPLE_N),
     }
 
 
@@ -863,6 +864,16 @@ def q_cust_no_big_order(sf_dir: str):
         min_total=JOIN_MIN_TOTAL, n_buckets=JOIN_BUCKETS)
 
 
+GROUP_SAMPLE_N = 20
+
+
+def q_group_sample(sf_dir: str):
+    from .extras.sampling import group_sample
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "lang"])
+    return group_sample(ds, key="lang", n=GROUP_SAMPLE_N)
+
+
 def q_shipping_priority(sf_dir: str):
     from .extras.relational import shipping_priority
     return shipping_priority(
@@ -925,4 +936,5 @@ def extras_registry() -> dict:
         "bigram_stats": q_bigram_stats,
         "shipping_priority": q_shipping_priority,
         "cust_order_rollup": q_cust_order_rollup,
+        "group_sample": q_group_sample,
     }

@@ -172,3 +172,28 @@ def test_dedup_keep_best_block_invariant(ray_session):
     b = sorted(exact_dedup_keep_best(_docs(texts).repartition(7),
                                      n_buckets=3).to_pandas()["doc_id"])
     assert a == b and len(a) == 40
+
+
+def test_group_sample_deterministic_and_block_invariant(ray_session):
+    from kmerray.extras.sampling import group_sample, md5_lower64
+    rng = np.random.default_rng(5)
+    n = 300
+    docs = pd.DataFrame({
+        "doc_id": np.arange(n, dtype=np.int64),
+        "lang": np.array(["en", "de", "fr"], dtype=object)[
+            rng.integers(0, 3, n)],
+    })
+    a = (group_sample(ray.data.from_pandas(docs), n=7).to_pandas()
+         .sort_values(["lang", "doc_id"]).reset_index(drop=True))
+    b = (group_sample(ray.data.from_pandas(docs).repartition(13), n=7)
+         .to_pandas().sort_values(["lang", "doc_id"])
+         .reset_index(drop=True))
+    pd.testing.assert_frame_equal(a, b)
+    assert (a.groupby("lang").size() == 7).all()
+    # matches a driver-side recomputation of the md5 order
+    docs = docs.copy()
+    docs["_h"] = md5_lower64(docs["doc_id"].astype(str).to_numpy(object))
+    exp = (docs.sort_values(["lang", "_h", "doc_id"])
+           .groupby("lang").head(7))
+    assert set(map(tuple, a[["doc_id", "lang"]].to_numpy())) \
+        == set(map(tuple, exp[["doc_id", "lang"]].to_numpy()))
