@@ -257,6 +257,10 @@ def run_bench() -> dict:
     timed("ann_ivf", lambda: ivf_topk(
         emb(), qids, qmat, cent, k=10, nprobe=8).count())
 
+    # distributed PCA: moment-pass reduction + broadcast projection
+    from kmerray.extras.decomp import pca_pipeline
+    timed("pca_project", lambda: pca_pipeline(emb(), 8).count())
+
     # materialized IVF: one-time cell-partitioned build (cached,
     # untimed — amortized across query runs), then a pruned-regime
     # probe (8 queries x nprobe 4 -> ~1/3 of cells) that reads only

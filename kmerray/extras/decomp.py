@@ -1,0 +1,98 @@
+"""Distributed PCA over an embedding column — the dimensionality-
+reduction stage of a feature-engineering pipeline, expressed as the
+classic two-pass moment reduction:
+
+1. *moment pass*: each block emits ONE row of sufficient statistics
+   (count, column sums, X^T X flattened) — d^2 + d + 1 doubles per
+   block regardless of block size, so the driver-side combine is
+   O(n_blocks), never O(rows);
+2. the driver assembles the covariance (exact centering via
+   ``XtX/n - mean mean^T`` scaled to the unbiased estimator), runs a
+   d x d ``eigh`` (d is the embedding width — tiny), and fixes each
+   component's sign deterministically (the max-|loading| coordinate is
+   made positive, ties to the lowest index);
+3. *projection pass*: components ride ``ray.put`` once and every
+   block projects with one matmul.
+
+Nothing about the corpus size reaches the driver except n_blocks
+moment rows; at 100 TB the moment pass is a streaming reduction and
+the projection is embarrassingly parallel.
+
+No SQL oracle (eigendecomposition is not SQL-expressible); parity is
+pytest-gated against a single-process numpy PCA on the same rows.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+import ray.data
+
+from .similarity import _emb_matrix
+
+
+def _moment_partial(batch: pa.Table) -> pa.Table:
+    x = _emb_matrix(batch)
+    return pa.table({
+        "n": pa.array([x.shape[0]], pa.int64()),
+        "s": pa.array([x.sum(axis=0)], pa.list_(pa.float64())),
+        "xtx": pa.array([(x.T @ x).ravel()], pa.list_(pa.float64())),
+    })
+
+
+def fit_pca(ds: "ray.data.Dataset", n_components: int):
+    """(mean, components) — components is (d, p), columns ordered by
+    descending eigenvalue, sign-fixed."""
+    parts = ds.map_batches(_moment_partial, batch_format="pyarrow",
+                           zero_copy_batch=True).take_all()
+    n = sum(p["n"] for p in parts)
+    s = np.sum([np.asarray(p["s"]) for p in parts], axis=0)
+    d = len(s)
+    xtx = np.sum([np.asarray(p["xtx"]) for p in parts], axis=0) \
+        .reshape(d, d)
+    mean = s / n
+    cov = (xtx - n * np.outer(mean, mean)) / (n - 1)
+    evals, evecs = np.linalg.eigh(cov)
+    order = np.argsort(evals)[::-1][:n_components]
+    w = evecs[:, order]
+    # deterministic sign: max-|loading| coordinate positive
+    flip = w[np.argmax(np.abs(w), axis=0), np.arange(w.shape[1])] < 0
+    w[:, flip] *= -1.0
+    return mean, w
+
+
+def pca_project(ds: "ray.data.Dataset", mean: np.ndarray,
+                components: np.ndarray,
+                concurrency=(1, 8)) -> "ray.data.Dataset":
+    """(vec_id, proj list<double>) — centered projection onto the
+    fitted components, broadcast once via ``ray.put``.
+
+    ``concurrency`` is an autoscaling (min, max) range: a FIXED pool
+    can reserve every CPU on a small cluster and starve the upstream
+    read (observed as a scheduling stall on a 4-CPU test session)."""
+    ref = ray.put((mean, components))
+
+    class Project:
+        def __init__(self):
+            self.mean, self.w = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            x = _emb_matrix(batch)
+            proj = (x - self.mean) @ self.w
+            offs = np.arange(0, proj.size + 1, proj.shape[1],
+                             dtype=np.int32)
+            arr = pa.ListArray.from_arrays(pa.array(offs),
+                                           pa.array(proj.ravel()))
+            return pa.table({"vec_id": batch.column("vec_id"),
+                             "proj": arr})
+
+    return ds.map_batches(Project, concurrency=concurrency,
+                          batch_format="pyarrow", zero_copy_batch=True)
+
+
+def pca_pipeline(ds: "ray.data.Dataset",
+                 n_components: int = 8) -> "ray.data.Dataset":
+    mean, w = fit_pca(ds, n_components)
+    return pca_project(ds, mean, w)

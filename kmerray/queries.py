@@ -865,6 +865,17 @@ def q_cust_no_big_order(sf_dir: str):
 
 
 GROUP_SAMPLE_N = 20
+PCA_COMPONENTS = 8
+
+
+def q_pca_project(sf_dir: str):
+    """Distributed PCA projection (rows-only: eigendecomposition is
+    not SQL-expressible; numpy parity is pytest-gated in
+    tests/test_extras.py)."""
+    from .extras.decomp import pca_pipeline
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                               columns=["vec_id", "embedding"])
+    return pca_pipeline(ds, n_components=PCA_COMPONENTS)
 
 
 def q_group_sample(sf_dir: str):
@@ -937,4 +948,5 @@ def extras_registry() -> dict:
         "shipping_priority": q_shipping_priority,
         "cust_order_rollup": q_cust_order_rollup,
         "group_sample": q_group_sample,
+        "pca_project": q_pca_project,
     }

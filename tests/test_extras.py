@@ -487,3 +487,37 @@ def test_bigram_stats_block_invariant(ray_session):
          .to_pandas().sort_values(key).reset_index(drop=True))
     pd.testing.assert_frame_equal(a, b)
     assert len(a) > 0 and (a["c12"] >= 3).all()
+
+
+def test_pca_matches_numpy(ray_session):
+    from kmerray.extras.decomp import fit_pca, pca_pipeline
+    rng = np.random.default_rng(19)
+    n, d, p = 400, 12, 4
+    # anisotropic cloud so the spectrum is well-separated
+    basis = rng.normal(size=(d, d))
+    x = (rng.normal(size=(n, d)) * np.linspace(5, 0.1, d)) @ basis \
+        + rng.normal(size=d) * 3
+    offs = np.arange(0, n * d + 1, d, dtype=np.int32)
+    emb = pa.ListArray.from_arrays(pa.array(offs),
+                                   pa.array(x.ravel().astype(np.float32)))
+    t = pa.table({"vec_id": pa.array(np.arange(n), pa.int64()),
+                  "embedding": emb})
+    ds = ray.data.from_arrow(t).repartition(7)
+    mean, w = fit_pca(ds, p)
+    xf = x.astype(np.float32).astype(np.float64)  # storage round-trip
+    assert np.allclose(mean, xf.mean(axis=0), atol=1e-9)
+    # single-process reference with identical sign rule
+    cov = np.cov(xf, rowvar=False)
+    evals, evecs = np.linalg.eigh(cov)
+    order = np.argsort(evals)[::-1][:p]
+    ref = evecs[:, order]
+    flip = ref[np.argmax(np.abs(ref), axis=0), np.arange(p)] < 0
+    ref[:, flip] *= -1.0
+    assert np.allclose(w, ref, atol=1e-8)
+    out = pca_pipeline(ds, p).to_pandas().sort_values("vec_id")
+    proj = np.vstack(out["proj"].to_numpy())
+    assert proj.shape == (n, p)
+    assert np.allclose(proj, (xf - xf.mean(axis=0)) @ ref, atol=1e-7)
+    # projected coordinates are decorrelated with variance = eigenvalue
+    pv = np.cov(proj, rowvar=False)
+    assert np.allclose(pv, np.diag(np.sort(evals)[::-1][:p]), atol=1e-6)
