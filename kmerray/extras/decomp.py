@@ -96,3 +96,95 @@ def pca_pipeline(ds: "ray.data.Dataset",
                  n_components: int = 8) -> "ray.data.Dataset":
     mean, w = fit_pca(ds, n_components)
     return pca_project(ds, mean, w)
+
+
+def _bottom_ids_table(ds: "ray.data.Dataset", c: int) -> pa.Table:
+    """The c rows with the LOWEST vec_id — a reshard-stable,
+    content-independent init set (per-block partial bottom-c, then one
+    tiny merge; never a global sort)."""
+    def bottom(b: pa.Table) -> pa.Table:
+        ids = b.column("vec_id").to_numpy()
+        take = np.argsort(ids, kind="stable")[:c]
+        return b.take(pa.array(np.sort(take)))
+    part = ds.map_batches(bottom, batch_format="pyarrow",
+                          zero_copy_batch=True)
+    rows = part.take_all()      # <= c rows per block, merged below
+    t = pa.Table.from_pylist(rows)
+    ids = np.asarray(t.column("vec_id").to_pylist())
+    take = np.argsort(ids, kind="stable")[:c]
+    return t.take(pa.array(np.sort(take)))
+
+
+def kmeans_fit(ds: "ray.data.Dataset", n_clusters: int = 8,
+               iters: int = 5) -> np.ndarray:
+    """Distributed Lloyd's k-means over the embedding column.
+
+    Deterministic init (the ``n_clusters`` lowest vec_ids), then
+    ``iters`` synchronous rounds: each block emits ONE sufficient-
+    statistics row (per-cluster counts + vector sums — O(k x d)
+    doubles regardless of block size), the driver combines and
+    updates.  Ties in the distance argmin go to the lowest cluster
+    index; empty clusters keep their previous centroid.  At 100 TB
+    each round is one streaming pass; nothing but k x d floats ever
+    sits on the driver."""
+    init = _bottom_ids_table(ds.select_columns(["vec_id", "embedding"]),
+                             n_clusters)
+    cent = np.asarray(init.column("embedding").to_pylist(),
+                      dtype=np.float64)
+
+    for _ in range(iters):
+        ref = ray.put(cent)
+
+        def moment(batch: pa.Table) -> pa.Table:
+            c = ray.get(ref)
+            x = _emb_matrix(batch)
+            d2 = (x * x).sum(axis=1)[:, None] - 2.0 * (x @ c.T) \
+                + (c * c).sum(axis=1)
+            a = np.argmin(d2, axis=1)
+            sums = np.zeros_like(c)
+            np.add.at(sums, a, x)
+            counts = np.bincount(a, minlength=len(c)).astype(np.int64)
+            return pa.table({
+                "counts": pa.array([counts], pa.list_(pa.int64())),
+                "sums": pa.array([sums.ravel()], pa.list_(pa.float64())),
+            })
+
+        parts = ds.map_batches(moment, batch_format="pyarrow",
+                               zero_copy_batch=True).take_all()
+        counts = np.sum([np.asarray(p["counts"]) for p in parts], axis=0)
+        sums = np.sum([np.asarray(p["sums"]) for p in parts],
+                      axis=0).reshape(cent.shape)
+        nonempty = counts > 0
+        cent = cent.copy()
+        cent[nonempty] = sums[nonempty] / counts[nonempty, None]
+    return cent
+
+
+def kmeans_assign(ds: "ray.data.Dataset",
+                  centroids: np.ndarray) -> "ray.data.Dataset":
+    """(vec_id, cluster) — nearest (Euclidean) centroid per row, the
+    centroid matrix broadcast once into an autoscaling actor pool."""
+    ref = ray.put(centroids)
+
+    class Assign:
+        def __init__(self):
+            self.c = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            x = _emb_matrix(batch)
+            d2 = (x * x).sum(axis=1)[:, None] - 2.0 * (x @ self.c.T) \
+                + (self.c * self.c).sum(axis=1)
+            return pa.table({
+                "vec_id": batch.column("vec_id"),
+                "cluster": pa.array(np.argmin(d2, axis=1)
+                                    .astype(np.int64)),
+            })
+
+    return ds.map_batches(Assign, concurrency=(1, 8),
+                          batch_format="pyarrow", zero_copy_batch=True)
+
+
+def kmeans_pipeline(ds: "ray.data.Dataset", n_clusters: int = 8,
+                    iters: int = 5) -> "ray.data.Dataset":
+    cent = kmeans_fit(ds, n_clusters, iters)
+    return kmeans_assign(ds, cent)

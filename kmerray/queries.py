@@ -885,6 +885,19 @@ def q_group_sample(sf_dir: str):
     return group_sample(ds, key="lang", n=GROUP_SAMPLE_N)
 
 
+KMEANS_K = 8
+
+
+def q_kmeans_assign(sf_dir: str):
+    """Distributed Lloyd's k-means assignment (rows-only: the
+    iterative fit is not SQL-expressible; single-process numpy parity
+    is pytest-gated in tests/test_extras.py)."""
+    from .extras.decomp import kmeans_pipeline
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                               columns=["vec_id", "embedding"])
+    return kmeans_pipeline(ds, n_clusters=KMEANS_K, iters=5)
+
+
 def q_shipping_priority(sf_dir: str):
     from .extras.relational import shipping_priority
     return shipping_priority(
@@ -949,4 +962,5 @@ def extras_registry() -> dict:
         "cust_order_rollup": q_cust_order_rollup,
         "group_sample": q_group_sample,
         "pca_project": q_pca_project,
+        "kmeans_assign": q_kmeans_assign,
     }

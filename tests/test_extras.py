@@ -521,3 +521,53 @@ def test_pca_matches_numpy(ray_session):
     # projected coordinates are decorrelated with variance = eigenvalue
     pv = np.cov(proj, rowvar=False)
     assert np.allclose(pv, np.diag(np.sort(evals)[::-1][:p]), atol=1e-6)
+
+
+def _blob_table(n=240, d=8, k=3, seed=31):
+    rng = np.random.default_rng(seed)
+    centers = rng.normal(size=(k, d)) * 20
+    x = np.vstack([centers[i % k] + rng.normal(size=d)
+                   for i in range(n)]).astype(np.float32)
+    offs = np.arange(0, n * d + 1, d, dtype=np.int32)
+    emb = pa.ListArray.from_arrays(pa.array(offs), pa.array(x.ravel()))
+    return pa.table({"vec_id": pa.array(np.arange(n), pa.int64()),
+                     "embedding": emb}), x.astype(np.float64)
+
+
+def test_kmeans_matches_single_process(ray_session):
+    from kmerray.extras.decomp import kmeans_fit, kmeans_pipeline
+    t, x = _blob_table()
+    ds = ray.data.from_arrow(t).repartition(9)
+    k, iters = 3, 5
+    cent = kmeans_fit(ds, n_clusters=k, iters=iters)
+    # single-process Lloyd with the identical init (lowest vec_ids)
+    ref = x[:k].copy()
+    for _ in range(iters):
+        d2 = ((x[:, None, :] - ref[None]) ** 2).sum(axis=2)
+        a = np.argmin(d2, axis=1)
+        for c in range(k):
+            if (a == c).any():
+                ref[c] = x[a == c].mean(axis=0)
+    # well-separated blobs: centroids agree to float tolerance and
+    # the assignment is identical
+    order = np.argsort(ref[:, 0])
+    assert np.allclose(np.sort(cent[:, 0]), ref[order][:, 0], atol=1e-6)
+    out = (kmeans_pipeline(ds, n_clusters=k, iters=iters).to_pandas()
+           .sort_values("vec_id").reset_index(drop=True))
+    d2 = ((x[:, None, :] - cent[None]) ** 2).sum(axis=2)
+    assert out["cluster"].to_numpy().tolist() \
+        == np.argmin(d2, axis=1).tolist()
+    # blobs recovered: every planted group lands in one cluster
+    planted = np.arange(len(x)) % 3
+    for g in range(3):
+        assert out.loc[planted == g, "cluster"].nunique() == 1
+
+
+def test_kmeans_block_invariant(ray_session):
+    from kmerray.extras.decomp import kmeans_pipeline
+    t, _ = _blob_table(seed=37)
+    a = (kmeans_pipeline(ray.data.from_arrow(t), 3, 4).to_pandas()
+         .sort_values("vec_id").reset_index(drop=True))
+    b = (kmeans_pipeline(ray.data.from_arrow(t).repartition(13), 3, 4)
+         .to_pandas().sort_values("vec_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(a, b)
