@@ -259,3 +259,32 @@ def json_int_field(ds: "ray.data.Dataset", column: str = "props",
             field: got.fillna(-1).astype(np.int64),
         })
     return ds.map_batches(extract, batch_format="pandas")
+
+
+def drop_consecutive_dups(ds: "ray.data.Dataset",
+                          n_buckets: int = 32) -> "ray.data.Dataset":
+    """Consecutive-duplicate event filter: keep an event iff it is the
+    user's first or its value (in exact cents) differs from the
+    previous event's — the lag-compare compaction every event stream
+    gets before feature extraction.  One user-hash shuffle, vectorized
+    across the bucket."""
+    def keep(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"])
+        user = g["user_id"].to_numpy()
+        cents = np.round(g["value"].to_numpy() * 100.0).astype(np.int64)
+        first = np.empty(len(g), dtype=bool)
+        first[0] = True
+        first[1:] = user[1:] != user[:-1]
+        changed = np.empty(len(g), dtype=bool)
+        changed[0] = True
+        changed[1:] = cents[1:] != cents[:-1]
+        m = first | changed
+        return pd.DataFrame({
+            "event_id": g["event_id"].to_numpy()[m],
+            "user_id": user[m],
+        })
+
+    bucketed = _with_user_bucket(
+        ds.select_columns(["event_id", "user_id", "ts", "value"]), n_buckets)
+    return bucketed.groupby("ubucket").map_groups(keep,
+                                                  batch_format="pandas")

@@ -132,3 +132,82 @@ def tok_quantiles(ds: "ray.data.Dataset",
         out_q.append(f"{q:g}")
         out_v.append(int(vals[idx]))
     return pd.DataFrame({"q": out_q, "value": np.array(out_v, np.int64)})
+
+
+def _ntile_of(rank0: np.ndarray, total: int, tiles: int) -> np.ndarray:
+    """SQL ntile(): the first ``total % tiles`` tiles get one extra
+    row.  rank0 is the 0-based global rank."""
+    size, rem = divmod(total, tiles)
+    cut = rem * (size + 1)
+    small = rank0 < cut
+    tile = np.empty(len(rank0), dtype=np.int64)
+    tile[small] = rank0[small] // (size + 1) + 1
+    if size > 0:
+        tile[~small] = rem + (rank0[~small] - cut) // size + 1
+    else:
+        tile[~small] = 0      # unreachable: total >= tiles when size==0
+    return tile
+
+
+def rank_by_len(ds: "ray.data.Dataset", tiles: int = 10,
+                n_buckets: int = 32) -> "ray.data.Dataset":
+    """Global ORDER BY rank without a global sort: every doc's 1-based
+    rank under ``ORDER BY (n_tok, doc_id)`` plus its SQL ``ntile``
+    bucket — the distributed ranking shape behind length-percentile
+    filters and curriculum bucketing.
+
+    Same two-pass scan as :func:`pack_bins`, range-keyed on the VALUE
+    instead of the id: bucket boundaries from a per-block n_tok
+    sample (ties land in one bucket by construction, so bucket order
+    is total), per-bucket row counts driver-scanned (B scalars), then
+    ONE bucket-keyed shuffle where each bucket sorts locally by
+    (n_tok, doc_id) and adds its rank offset.  Rows cross the cluster
+    exactly once; no stage ever holds more than a bucket.
+
+    Output: ``(doc_id, n_tok:int64, rnk:int64, tile:int64)``."""
+    heads = ds.map_batches(lambda b: b.head(1)[["n_tok"]],
+                           batch_format="pandas").take_all()
+    vals = np.sort(np.array([r["n_tok"] for r in heads], dtype=np.int64))
+    if len(vals) > 1 and n_buckets > 1:
+        picks = np.linspace(0, len(vals) - 1, n_buckets + 1)[1:-1]
+        bounds = np.unique(vals[picks.astype(np.int64)])
+    else:
+        bounds = np.array([], dtype=np.int64)
+
+    def bucket_of(n_tok: np.ndarray) -> np.ndarray:
+        return np.searchsorted(bounds, n_tok, side="right") \
+            .astype(np.int64)
+
+    def _counts(b: pd.DataFrame) -> pd.DataFrame:
+        bk = bucket_of(b["n_tok"].to_numpy())
+        tot = np.bincount(bk, minlength=len(bounds) + 1).astype(np.int64)
+        nz = np.flatnonzero(tot)
+        return pd.DataFrame({"bucket": nz, "part": tot[nz]})
+
+    parts = ds.map_batches(_counts, batch_format="pandas").take_all()
+    totals = np.zeros(len(bounds) + 1, dtype=np.int64)
+    for r in parts:
+        totals[r["bucket"]] += r["part"]
+    offsets = np.concatenate(([0], np.cumsum(totals)[:-1]))
+    total = int(totals.sum())
+
+    def _assign(b: pd.DataFrame) -> pd.DataFrame:
+        out = b[["doc_id"]].copy()
+        out["n_tok"] = b["n_tok"].astype(np.int64)
+        out["bucket"] = bucket_of(out["n_tok"].to_numpy())
+        return out
+
+    def _rank(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["n_tok", "doc_id"],
+                          kind="mergesort").reset_index(drop=True)
+        base = int(offsets[int(g["bucket"].iloc[0])])
+        rank0 = base + np.arange(len(g), dtype=np.int64)
+        return pd.DataFrame({
+            "doc_id": g["doc_id"],
+            "n_tok": g["n_tok"],
+            "rnk": rank0 + 1,
+            "tile": _ntile_of(rank0, total, tiles),
+        })
+
+    keyed = ds.map_batches(_assign, batch_format="pandas")
+    return keyed.groupby("bucket").map_groups(_rank, batch_format="pandas")

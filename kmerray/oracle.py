@@ -893,3 +893,23 @@ def group_sample_sql(n: int = 20) -> str:
       PARTITION BY lang
       ORDER BY md5_number_lower(CAST(doc_id AS VARCHAR)), doc_id) AS rn
   FROM documents) WHERE rn <= {n}"""
+
+
+def rank_by_len_sql(path: str, tiles: int = 10) -> str:
+    """Mirror of extras.scan.rank_by_len: global row_number + ntile
+    under ORDER BY (n_tok, doc_id)."""
+    return f"""SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok,
+  CAST(row_number() OVER w AS BIGINT) AS rnk,
+  CAST(ntile({tiles}) OVER w AS BIGINT) AS tile
+FROM {_seq(path)}
+WINDOW w AS (ORDER BY n_tok, doc_id)"""
+
+
+def events_dedup_sql() -> str:
+    """Mirror of extras.events.drop_consecutive_dups."""
+    return """SELECT event_id, user_id FROM (
+  SELECT event_id, user_id,
+    CAST(round(value * 100) AS BIGINT) AS c,
+    lag(CAST(round(value * 100) AS BIGINT))
+      OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_c
+  FROM events) WHERE prev_c IS NULL OR c != prev_c"""

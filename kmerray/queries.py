@@ -446,6 +446,8 @@ def oracle_registry(sf_dir: str = "/root/testdata/sf0.01") -> dict:
         "shipping_priority": oracle.shipping_priority_sql(),
         "cust_order_rollup": oracle.cust_order_rollup_sql(),
         "group_sample": oracle.group_sample_sql(GROUP_SAMPLE_N),
+        "rank_by_len": oracle.rank_by_len_sql(path, RANK_TILES),
+        "events_dedup": oracle.events_dedup_sql(),
     }
 
 
@@ -592,6 +594,12 @@ BIGRAM_MIN_COUNT = 5
 def q_bigram_stats(sf_dir: str):
     from .extras.text import bigram_stats
     return bigram_stats(_docs(sf_dir), min_count=BIGRAM_MIN_COUNT)
+
+
+def q_events_dedup(sf_dir: str):
+    from .extras.events import drop_consecutive_dups
+    return drop_consecutive_dups(
+        _events(sf_dir, ["event_id", "user_id", "ts", "value"]))
 
 
 def q_dedup_exact(sf_dir: str):
@@ -779,6 +787,15 @@ PACK_BUDGET = 4096
 TFIDF_K = 3
 
 
+RANK_TILES = 10
+
+
+def q_rank_by_len(sf_dir: str):
+    from .extras.scan import rank_by_len
+    return rank_by_len(_seq(sf_dir, ["doc_id", "n_tok"]),
+                       tiles=RANK_TILES)
+
+
 def q_pack_bins(sf_dir: str):
     from .extras.scan import pack_bins
     return pack_bins(_seq(sf_dir, ["doc_id", "n_tok"]),
@@ -963,4 +980,6 @@ def extras_registry() -> dict:
         "group_sample": q_group_sample,
         "pca_project": q_pca_project,
         "kmeans_assign": q_kmeans_assign,
+        "rank_by_len": q_rank_by_len,
+        "events_dedup": q_events_dedup,
     }

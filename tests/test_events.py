@@ -188,3 +188,20 @@ def test_rolling_user_features_block_invariant(ray_session):
     df["exp_roll"] = exp["cents"].astype(np.int64)
     m = a.merge(df[["event_id", "exp_roll"]], on="event_id")
     assert (m["roll_cents"] == m["exp_roll"]).all()
+
+
+def test_drop_consecutive_dups(ray_session):
+    from kmerray.extras.events import drop_consecutive_dups
+    base = 1_700_000_000_000_000
+    t = pa.table({
+        "event_id": pa.array([0, 1, 2, 3, 4, 5], pa.int64()),
+        "ts": pa.array([base + i for i in range(6)], pa.timestamp("us")),
+        "user_id": pa.array([7, 7, 7, 7, 9, 9], pa.int64()),
+        # user 7: 1.00, 1.00 (dup), 2.00, 2.00 (dup); user 9: 1.00, 1.00
+        "value": pa.array([1.00, 1.00, 2.00, 2.00, 1.00, 1.00]),
+    })
+    out = drop_consecutive_dups(ray.data.from_arrow(t)).to_pandas()
+    assert sorted(out["event_id"].tolist()) == [0, 2, 4]
+    a = drop_consecutive_dups(
+        ray.data.from_arrow(t).repartition(4), n_buckets=3).to_pandas()
+    assert sorted(a["event_id"].tolist()) == [0, 2, 4]

@@ -197,3 +197,28 @@ def test_group_sample_deterministic_and_block_invariant(ray_session):
            .groupby("lang").head(7))
     assert set(map(tuple, a[["doc_id", "lang"]].to_numpy())) \
         == set(map(tuple, exp[["doc_id", "lang"]].to_numpy()))
+
+
+def test_rank_by_len_vs_pandas(ray_session):
+    from kmerray.extras.scan import rank_by_len
+    rng = np.random.default_rng(13)
+    n = 500
+    docs = pd.DataFrame({
+        "doc_id": [f"d{i:04d}" for i in range(n)],
+        # heavy ties: only 12 distinct lengths
+        "n_tok": rng.integers(10, 22, n).astype(np.int64),
+    })
+    out = (rank_by_len(ray.data.from_pandas(docs).repartition(9),
+                       tiles=7, n_buckets=5)
+           .to_pandas().sort_values("rnk").reset_index(drop=True))
+    exp = docs.sort_values(["n_tok", "doc_id"]).reset_index(drop=True)
+    assert out["doc_id"].tolist() == exp["doc_id"].tolist()
+    assert out["rnk"].tolist() == list(range(1, n + 1))
+    # ntile remainder rule: first n%7 tiles get one extra row
+    sizes = out.groupby("tile").size()
+    q, r = divmod(n, 7)
+    assert sizes.tolist() == [q + 1] * r + [q] * (7 - r)
+    # block/bucket invariance
+    b = (rank_by_len(ray.data.from_pandas(docs), tiles=7, n_buckets=11)
+         .to_pandas().sort_values("rnk").reset_index(drop=True))
+    pd.testing.assert_frame_equal(out, b)
