@@ -913,3 +913,103 @@ def events_dedup_sql() -> str:
     lag(CAST(round(value * 100) AS BIGINT))
       OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_c
   FROM events) WHERE prev_c IS NULL OR c != prev_c"""
+
+
+# ---------------------------------------------------------------------------
+# model-fit oracles: an INDEPENDENT single-process numpy reference fit
+# (computed here, at oracle-build time, over the same parquet) is
+# embedded into the SQL as literal constants; DuckDB then recomputes
+# the per-row assignment / projection from those literals.  This gates
+# BOTH halves of the distributed pipeline: the distributed fit must
+# agree with the reference fit (else the per-row argmin / projection
+# drifts), and the distributed apply must agree with SQL's arithmetic.
+# ---------------------------------------------------------------------------
+
+
+def _emb_xy(emb_path: str):
+    import numpy as np
+    import pyarrow.parquet as pq
+    t = pq.read_table(emb_path, columns=["vec_id", "embedding"])
+    ids = t.column("vec_id").to_numpy()
+    col = t.column("embedding").combine_chunks()
+    off = col.offsets.to_numpy()
+    dim = int(off[1] - off[0])
+    x = col.values.to_numpy().astype("float64").reshape(-1, dim)
+    return ids, x
+
+
+def _dlist(vec) -> str:
+    """DOUBLE[] literal with full round-trip precision (repr is the
+    shortest string that parses back to the same double)."""
+    return "[" + ", ".join(repr(float(v)) for v in vec) + "]::DOUBLE[]"
+
+
+def kmeans_assign_sql(emb_path: str, n_clusters: int = 8,
+                      iters: int = 5) -> str:
+    """Reference Lloyd's fit (bottom-``n_clusters`` vec_id init, argmin
+    ties to lowest index, empty clusters hold position) run here in
+    single-process numpy; the SQL assigns each row to the nearest
+    literal centroid (ties to lowest cluster via the ORDER BY).
+
+    Float caveat (documented, not hidden): the distributed fit sums
+    block partials in a different order than this reference, so the
+    centroids agree only to ~1 ulp; a row's assignment could differ iff
+    two centroid distances coincide within ~1e-12 relative, which does
+    not occur on generic float embeddings."""
+    import numpy as np
+    ids, x = _emb_xy(emb_path)
+    cent = x[np.argsort(ids, kind="stable")[:n_clusters]]
+    for _ in range(iters):
+        d2 = ((x * x).sum(axis=1)[:, None] - 2.0 * (x @ cent.T)
+              + (cent * cent).sum(axis=1))
+        a = np.argmin(d2, axis=1)
+        sums = np.zeros_like(cent)
+        np.add.at(sums, a, x)
+        counts = np.bincount(a, minlength=n_clusters)
+        nonempty = counts > 0
+        cent = cent.copy()
+        cent[nonempty] = sums[nonempty] / counts[nonempty, None]
+    rows = ",\n  ".join(f"({i}, {_dlist(cent[i])})"
+                        for i in range(n_clusters))
+    return f"""WITH cent(cluster, cvec) AS (VALUES
+  {rows}),
+d AS (
+  SELECT vec_id, cluster,
+         list_distance(CAST(embedding AS DOUBLE[]), cvec) AS dist
+  FROM embeddings, cent)
+SELECT vec_id, CAST(cluster AS BIGINT) AS cluster
+FROM (SELECT vec_id, cluster,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY dist, cluster) AS rn
+      FROM d)
+WHERE rn = 1"""
+
+
+def pca_check_sql(emb_path: str, n_components: int = 8,
+                  dp: int = 4) -> str:
+    """Reference two-pass PCA (exact covariance, eigh, deterministic
+    sign fix) run here in numpy; the SQL projects each embedding onto
+    the literal components.  Projection is linear, so centering folds
+    into a constant: proj_j = ip(x, w_j) - ip(mean, w_j).  Both sides
+    round to ``dp`` decimals — numpy and DuckDB sum in different
+    orders, so raw doubles differ in the last ulp while the rounded
+    values coincide (boundary-collision odds ~1e-7 for this table)."""
+    import numpy as np
+    _, x = _emb_xy(emb_path)
+    n = len(x)
+    mean = x.mean(axis=0)
+    cov = (x.T @ x - n * np.outer(mean, mean)) / (n - 1)
+    evals, evecs = np.linalg.eigh(cov)
+    order = np.argsort(evals)[::-1][:n_components]
+    w = evecs[:, order]
+    flip = w[np.argmax(np.abs(w), axis=0), np.arange(w.shape[1])] < 0
+    w[:, flip] *= -1.0
+    rows = ",\n  ".join(
+        f"({j}, {_dlist(w[:, j])}, {repr(float(mean @ w[:, j]))})"
+        for j in range(n_components))
+    return f"""WITH comp(comp, w, cj) AS (VALUES
+  {rows})
+SELECT vec_id, CAST(comp AS BIGINT) AS comp,
+       round(list_inner_product(CAST(embedding AS DOUBLE[]), w) - cj,
+             {dp}) AS val
+FROM embeddings, comp"""

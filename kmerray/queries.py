@@ -448,6 +448,11 @@ def oracle_registry(sf_dir: str = "/root/testdata/sf0.01") -> dict:
         "group_sample": oracle.group_sample_sql(GROUP_SAMPLE_N),
         "rank_by_len": oracle.rank_by_len_sql(path, RANK_TILES),
         "events_dedup": oracle.events_dedup_sql(),
+        "kmeans_assign": oracle.kmeans_assign_sql(
+            f"{sf_dir}/embeddings.parquet", KMEANS_K, 5),
+        "pca_project_check": oracle.pca_check_sql(
+            f"{sf_dir}/embeddings.parquet", PCA_COMPONENTS, 4),
+        "emb_lsh_recall": oracle.emb_near_dup_sql(EMB_DUP_THRESHOLD),
     }
 
 
@@ -683,6 +688,39 @@ def q_emb_near_dup_lsh(sf_dir: str):
     return cosine_near_dup_lsh(ds, threshold=EMB_DUP_THRESHOLD)
 
 
+# oracle-only LSH config for the cosine-recall containment gate:
+# 2-bit hyperplane tables give a pair at the 0.4-cosine boundary
+# collision probability p^2 ~ 0.40 per table, so 32 tables miss it
+# with probability (1-0.4)^32 ~ 8e-8 — the semi-join with the exact
+# pair set deterministically hash-equals the exact set.  (The
+# production 4-bit x 8-table config trades that tail recall for
+# ~4x smaller buckets.)
+EMB_RECALL_BITS = 2
+EMB_RECALL_TABLES = 32
+
+
+def q_emb_lsh_recall(sf_dir: str):
+    """Containment oracle for hyperplane-LSH near-dup blocking:
+    exact cosine pairs semi-joined with the LSH pairs at an
+    oracle-only high-recall config; hash-equals the full exact pair
+    set iff the banded shuffle missed none."""
+    from .extras.dedup import pair_semijoin
+    from .extras.similarity import (cosine_near_dup_lsh,
+                                    cosine_near_dup_pairs)
+    path = f"{sf_dir}/embeddings.parquet"
+    exact = cosine_near_dup_pairs(path, threshold=EMB_DUP_THRESHOLD)
+    lsh = cosine_near_dup_lsh(
+        ray.data.read_parquet(path, columns=["vec_id", "embedding"]),
+        threshold=EMB_DUP_THRESHOLD, n_bits=EMB_RECALL_BITS,
+        n_tables=EMB_RECALL_TABLES)
+    out = pair_semijoin(exact, lsh)
+
+    def cast(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"a": batch["a"].astype(np.int64),
+                             "b": batch["b"].astype(np.int64)})
+    return out.map_batches(cast, batch_format="pandas")
+
+
 def q_near_dup_survivors(sf_dir: str):
     """Full near-dup dedup end-to-end (LSH candidates -> distributed
     gram-semi-join verify -> distributed components -> survivors),
@@ -895,6 +933,33 @@ def q_pca_project(sf_dir: str):
     return pca_pipeline(ds, n_components=PCA_COMPONENTS)
 
 
+def q_pca_project_check(sf_dir: str, dp: int = 4):
+    """Oracle-gated PCA twin: the distributed fit + projection of
+    q_pca_project, exploded to (vec_id, comp, val) and rounded to
+    ``dp`` decimals so the SQL oracle (reference numpy fit embedded as
+    literal components, oracle.pca_check_sql) can hash-match the
+    doubles across engines."""
+    from .extras.decomp import pca_pipeline
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                               columns=["vec_id", "embedding"])
+    out = pca_pipeline(ds, n_components=PCA_COMPONENTS)
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ids = batch.column("vec_id").to_numpy()
+        col = batch.column("proj").combine_chunks()
+        off = col.offsets.to_numpy()
+        p = int(off[1] - off[0])
+        vals = np.round(col.values.to_numpy(), dp)
+        return pa.table({
+            "vec_id": pa.array(np.repeat(ids, p), pa.int64()),
+            "comp": pa.array(np.tile(np.arange(p, dtype=np.int64),
+                                     len(ids))),
+            "val": pa.array(vals, pa.float64()),
+        })
+    return out.map_batches(explode, batch_format="pyarrow",
+                           zero_copy_batch=True)
+
+
 def q_group_sample(sf_dir: str):
     from .extras.sampling import group_sample
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
@@ -906,9 +971,10 @@ KMEANS_K = 8
 
 
 def q_kmeans_assign(sf_dir: str):
-    """Distributed Lloyd's k-means assignment (rows-only: the
-    iterative fit is not SQL-expressible; single-process numpy parity
-    is pytest-gated in tests/test_extras.py)."""
+    """Distributed Lloyd's k-means assignment, oracle-gated: the SQL
+    twin (oracle.kmeans_assign_sql) embeds an independent
+    single-process numpy reference fit as literal centroids and
+    recomputes every row's nearest-centroid assignment in DuckDB."""
     from .extras.decomp import kmeans_pipeline
     ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
                                columns=["vec_id", "embedding"])
@@ -979,6 +1045,8 @@ def extras_registry() -> dict:
         "cust_order_rollup": q_cust_order_rollup,
         "group_sample": q_group_sample,
         "pca_project": q_pca_project,
+        "pca_project_check": q_pca_project_check,
+        "emb_lsh_recall": q_emb_lsh_recall,
         "kmeans_assign": q_kmeans_assign,
         "rank_by_len": q_rank_by_len,
         "events_dedup": q_events_dedup,
