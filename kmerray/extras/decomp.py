@@ -25,6 +25,7 @@ pytest-gated against a single-process numpy PCA on the same rows.
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 
 import ray
@@ -188,3 +189,56 @@ def kmeans_pipeline(ds: "ray.data.Dataset", n_clusters: int = 8,
                     iters: int = 5) -> "ray.data.Dataset":
     cent = kmeans_fit(ds, n_clusters, iters)
     return kmeans_assign(ds, cent)
+
+
+def assign_with_dist(ds: "ray.data.Dataset",
+                     centroids: np.ndarray) -> "ray.data.Dataset":
+    """(vec_id, cluster, d2) — like :func:`kmeans_assign` but keeps
+    the squared distance to the winning centroid for downstream
+    ranking."""
+    ref = ray.put(centroids)
+
+    class AssignDist:
+        def __init__(self):
+            self.c = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            x = _emb_matrix(batch)
+            d2 = (x * x).sum(axis=1)[:, None] - 2.0 * (x @ self.c.T) \
+                + (self.c * self.c).sum(axis=1)
+            a = np.argmin(d2, axis=1)
+            return pa.table({
+                "vec_id": batch.column("vec_id"),
+                "cluster": pa.array(a.astype(np.int64)),
+                "d2": pa.array(d2[np.arange(len(a)), a]),
+            })
+
+    return ds.map_batches(AssignDist, concurrency=(1, 8),
+                          batch_format="pyarrow", zero_copy_batch=True)
+
+
+def cluster_representatives(ds: "ray.data.Dataset", n_clusters: int = 8,
+                            iters: int = 5,
+                            n_per: int = 5) -> "ray.data.Dataset":
+    """Centroid-representative sampling: fit k-means, then keep the
+    ``n_per`` embeddings NEAREST each centroid (ties to lowest
+    vec_id) — the usual diversity-aware downsampling step (cluster the
+    corpus, keep a bounded budget per cluster instead of a global
+    top-k that collapses onto one dense mode).
+
+    Scale: the fit is the streaming sufficient-statistics loop of
+    :func:`kmeans_fit`; ranking is the partial-top-k-per-key +
+    bucket-merge of :func:`~kmerray.extras.grouped.grouped_topk`
+    (O(n_per x k x blocks) shuffle rows).  Output is the integer
+    surface ``(cluster, vec_id)`` only — the float distance orders
+    but is never emitted, so the oracle comparison is exact."""
+    from .grouped import grouped_topk
+    cent = kmeans_fit(ds, n_clusters, iters)
+    assigned = assign_with_dist(ds, cent)
+    top = grouped_topk(assigned, key="cluster", score="d2", k=n_per,
+                       tiebreak="vec_id", ascending=True)
+
+    def shape(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"cluster": b["cluster"].astype(np.int64),
+                             "vec_id": b["vec_id"].astype(np.int64)})
+    return top.map_batches(shape, batch_format="pandas")

@@ -288,3 +288,52 @@ def drop_consecutive_dups(ds: "ray.data.Dataset",
         ds.select_columns(["event_id", "user_id", "ts", "value"]), n_buckets)
     return bucketed.groupby("ubucket").map_groups(keep,
                                                   batch_format="pandas")
+
+
+def window_distinct_users(ds: "ray.data.Dataset",
+                          window_us: int = HOUR_US,
+                          n_buckets: int = 64) -> "ray.data.Dataset":
+    """Per (event_type, tumbling window): exact event count AND exact
+    DISTINCT user count.
+
+    COUNT(DISTINCT) can't ride an additive partial the way sums do —
+    the design here is the standard two-level exact shape: each block
+    first collapses to DISTINCT ``(event_type, win, user)`` triples
+    (with the triple's event count as an additive partial), so the
+    exchange moves at most one row per active (type, window, user)
+    rather than one per event; the merge bucket is keyed on a hash of
+    ``(event_type, win)`` so every triple of a group lands together,
+    where distinct-user = run-length count over the (already
+    block-distinct, now globally deduped) triples."""
+    from .text import content_hash64
+
+    def part(b: pa.Table) -> pa.Table:
+        ts = b.column("ts").to_numpy().view("int64")
+        df = pd.DataFrame({
+            "event_type": b.column("event_type").to_pandas(),
+            "win": ts // window_us,
+            "user_id": b.column("user_id").to_numpy(),
+        })
+        g = (df.groupby(["event_type", "win", "user_id"], as_index=False)
+               .agg(n_part=("win", "size")))
+        with np.errstate(over="ignore"):
+            h = (content_hash64(g["event_type"])
+                 * np.uint64(0x9E3779B97F4A7C15)) \
+                ^ g["win"].to_numpy().astype(np.uint64)
+        g["gbkt"] = (h % np.uint64(n_buckets)).astype(np.int64)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        # global triple dedup first (a triple may appear once per block)
+        t = (g.groupby(["event_type", "win", "user_id"], as_index=False)
+              .agg(n=("n_part", "sum")))
+        out = (t.groupby(["event_type", "win"], as_index=False)
+                .agg(n_events=("n", "sum"), n_users=("user_id", "size")))
+        out["n_events"] = out["n_events"].astype(np.int64)
+        out["n_users"] = out["n_users"].astype(np.int64)
+        return out
+
+    part_ds = ds.map_batches(part, batch_format="pyarrow",
+                             zero_copy_batch=True)
+    return part_ds.groupby("gbkt").map_groups(merge,
+                                              batch_format="pandas")

@@ -478,3 +478,82 @@ def bigram_stats(ds: "ray.data.Dataset", min_count: int = 5,
         .groupby("ab").map_groups(_attach("w2", "c2", next_key=None),
                                   batch_format="pandas")
     return j2.select_columns(["w1", "w2", "c12", "c1", "c2"])
+
+
+# --------------------------------------------------------------------------
+# unigram language-model quality proxy (CCNet-style)
+# --------------------------------------------------------------------------
+
+
+def _unigram_partial(batch: pd.DataFrame) -> pd.DataFrame:
+    """Per-batch partial term frequency over the corpus: one
+    ``np.unique`` over the flat word array — the combiner that keeps
+    the vocabulary shuffle <= vocab x n_blocks rows."""
+    vals, _ = flat_words(batch["text"])
+    words, cnt = np.unique(vals.astype("U"), return_counts=True)
+    return pd.DataFrame({"word": words.astype(object),
+                         "cnt": cnt.astype(np.int64)})
+
+
+def unigram_counts(ds: "ray.data.Dataset") -> "ray.data.Dataset":
+    """Corpus unigram term counts (per-batch partial + ONE small
+    groupby over the partials — same shape as df_counts)."""
+    part = ds.map_batches(_unigram_partial, batch_format="pandas")
+    agg = part.groupby("word").sum("cnt")
+
+    def rename(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"word": b["word"],
+                             "cnt": b["sum(cnt)"].astype(np.int64)})
+    return agg.map_batches(rename, batch_format="pandas")
+
+
+def unigram_logprob(ds: "ray.data.Dataset", dp: int = 4,
+                    min_count: int = 1) -> "ray.data.Dataset":
+    """Per-doc mean unigram log-probability under the corpus's own
+    unigram LM — the CCNet-style perplexity proxy used to quality-rank
+    web documents (low mean logprob = unusual / garbled text).
+
+    Two phases: (1) the distributed term-count aggregate above; (2)
+    the LM is broadcast once (``ray.put`` of a sorted word array +
+    count vector, loaded per actor in ``__init__``) and every doc is
+    scored with a vectorized searchsorted lookup.  At 100-TB scale
+    the broadcast stays bounded by ``min_count`` (drop hapax words —
+    CCNet ships a *fixed* pretrained LM for the same reason); dropped
+    / unseen words fall back to count 1 (add-one floor).
+
+    ``avg_logprob`` is rounded to ``dp`` decimals on BOTH engines:
+    numpy's pairwise sum and the SQL AVG accumulate in different
+    orders, so raw doubles differ in the last ulp while the rounded
+    values coincide (boundary odds ~1e-8/row at dp=4)."""
+    counts = unigram_counts(ds).take_all()     # vocab-sized, bounded
+    words = np.array([r["word"] for r in counts], dtype="U")
+    cnt = np.array([r["cnt"] for r in counts], dtype=np.int64)
+    total = float(cnt.sum())
+    order = np.argsort(words)
+    words, cnt = words[order], cnt[order]
+    keep = cnt >= min_count
+    lm_ref = ray.put((words[keep], cnt[keep], total))
+
+    class Score:
+        def __init__(self):
+            self.words, self.cnt, self.total = ray.get(lm_ref)
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            vals, offs = flat_words(batch["text"])
+            sv = vals.astype("U")
+            idx = np.searchsorted(self.words, sv)
+            idx = np.minimum(idx, len(self.words) - 1)
+            hit = self.words[idx] == sv
+            c = np.where(hit, self.cnt[idx], 1).astype(np.float64)
+            lp = np.log(c / self.total)
+            nrows = len(batch)
+            rowid = np.repeat(np.arange(nrows), np.diff(offs))
+            n = np.maximum(np.diff(offs), 1)
+            avg = np.bincount(rowid, weights=lp, minlength=nrows) / n
+            return pd.DataFrame({
+                "doc_id": batch["doc_id"].astype(np.int64),
+                "avg_logprob": np.round(avg, dp),
+            })
+
+    return ds.map_batches(Score, concurrency=(1, 8),
+                          batch_format="pandas")

@@ -944,18 +944,12 @@ def _dlist(vec) -> str:
     return "[" + ", ".join(repr(float(v)) for v in vec) + "]::DOUBLE[]"
 
 
-def kmeans_assign_sql(emb_path: str, n_clusters: int = 8,
-                      iters: int = 5) -> str:
-    """Reference Lloyd's fit (bottom-``n_clusters`` vec_id init, argmin
-    ties to lowest index, empty clusters hold position) run here in
-    single-process numpy; the SQL assigns each row to the nearest
-    literal centroid (ties to lowest cluster via the ORDER BY).
-
-    Float caveat (documented, not hidden): the distributed fit sums
-    block partials in a different order than this reference, so the
-    centroids agree only to ~1 ulp; a row's assignment could differ iff
-    two centroid distances coincide within ~1e-12 relative, which does
-    not occur on generic float embeddings."""
+def _ref_kmeans_centroids(emb_path: str, n_clusters: int,
+                          iters: int):
+    """Independent single-process Lloyd's reference fit
+    (bottom-``n_clusters`` vec_id init, argmin ties to lowest index,
+    empty clusters hold position) — shared by the kmeans / cluster-
+    representative oracles."""
     import numpy as np
     ids, x = _emb_xy(emb_path)
     cent = x[np.argsort(ids, kind="stable")[:n_clusters]]
@@ -969,6 +963,22 @@ def kmeans_assign_sql(emb_path: str, n_clusters: int = 8,
         nonempty = counts > 0
         cent = cent.copy()
         cent[nonempty] = sums[nonempty] / counts[nonempty, None]
+    return cent
+
+
+def kmeans_assign_sql(emb_path: str, n_clusters: int = 8,
+                      iters: int = 5) -> str:
+    """Reference Lloyd's fit (bottom-``n_clusters`` vec_id init, argmin
+    ties to lowest index, empty clusters hold position) run here in
+    single-process numpy; the SQL assigns each row to the nearest
+    literal centroid (ties to lowest cluster via the ORDER BY).
+
+    Float caveat (documented, not hidden): the distributed fit sums
+    block partials in a different order than this reference, so the
+    centroids agree only to ~1 ulp; a row's assignment could differ iff
+    two centroid distances coincide within ~1e-12 relative, which does
+    not occur on generic float embeddings."""
+    cent = _ref_kmeans_centroids(emb_path, n_clusters, iters)
     rows = ",\n  ".join(f"({i}, {_dlist(cent[i])})"
                         for i in range(n_clusters))
     return f"""WITH cent(cluster, cvec) AS (VALUES
@@ -1013,3 +1023,103 @@ SELECT vec_id, CAST(comp AS BIGINT) AS comp,
        round(list_inner_product(CAST(embedding AS DOUBLE[]), w) - cj,
              {dp}) AS val
 FROM embeddings, comp"""
+
+
+def cluster_reps_sql(emb_path: str, n_clusters: int = 8,
+                     iters: int = 5, n_per: int = 5) -> str:
+    """Centroid-representative sample: assign every row to the nearest
+    literal reference centroid (kmeans_assign_sql semantics), then keep
+    the n_per nearest rows per cluster (ties to lowest vec_id).  The
+    engine ranks on squared distance, the SQL on list_distance — a
+    monotone transform, so the order agrees except on exact ties,
+    which vec_id breaks."""
+    cent = _ref_kmeans_centroids(emb_path, n_clusters, iters)
+    rows = ",\n  ".join(f"({i}, {_dlist(cent[i])})"
+                        for i in range(n_clusters))
+    return f"""WITH cent(cluster, cvec) AS (VALUES
+  {rows}),
+d AS (
+  SELECT vec_id, cluster,
+         list_distance(CAST(embedding AS DOUBLE[]), cvec) AS dist
+  FROM embeddings, cent),
+asg AS (
+  SELECT vec_id, cluster, dist FROM (
+    SELECT vec_id, cluster, dist,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY dist, cluster) AS rn
+    FROM d) WHERE rn = 1)
+SELECT CAST(cluster AS BIGINT) AS cluster, vec_id FROM (
+  SELECT cluster, vec_id,
+         row_number() OVER (PARTITION BY cluster
+                            ORDER BY dist, vec_id) AS rn
+  FROM asg) WHERE rn <= {n_per}"""
+
+
+def dup_spans_sql(w: int = 5) -> str:
+    """Duplicate-window-span stats: a window is "dup" iff its exact
+    w-word string occurs in >= 2 distinct documents.  The engine keys
+    windows by a 64-bit word-hash fold (collision odds ~1e-10 at this
+    scale); the SQL compares the strings themselves."""
+    return f"""WITH d AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+g AS (
+  SELECT doc_id,
+         array_to_string(list_slice(ws, pos, pos + {w - 1}), ' ')
+           AS gram
+  FROM d, unnest(range(1, len(ws) - {w} + 2)) AS t(pos)),
+dupg AS (
+  SELECT gram FROM g GROUP BY gram
+  HAVING count(DISTINCT doc_id) >= 2),
+per AS (
+  SELECT g.doc_id,
+         CAST(count(*) AS BIGINT) AS n_windows,
+         CAST(count(dg.gram) AS BIGINT) AS dup_windows
+  FROM g LEFT JOIN dupg dg USING (gram) GROUP BY g.doc_id)
+SELECT docs.doc_id,
+       COALESCE(p.n_windows, 0) AS n_windows,
+       COALESCE(p.dup_windows, 0) AS dup_windows,
+       COALESCE(p.dup_windows, 0)
+         / CAST(GREATEST(COALESCE(p.n_windows, 0), 1) AS DOUBLE)
+         AS dup_frac
+FROM documents docs LEFT JOIN per p ON docs.doc_id = p.doc_id"""
+
+
+def unigram_logprob_sql(dp: int = 4) -> str:
+    """Mean unigram log-probability per doc under the corpus's own
+    unigram LM.  Both engines round to ``dp`` decimals: sum order
+    differs (numpy pairwise vs SQL aggregate), raw doubles agree only
+    to the last ulp."""
+    return f"""WITH w AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS word
+  FROM documents),
+c AS (SELECT word, CAST(count(*) AS BIGINT) AS c FROM w GROUP BY word),
+t AS (SELECT CAST(sum(c) AS DOUBLE) AS tot FROM c)
+SELECT doc_id, round(avg(ln(c.c / t.tot)), {dp}) AS avg_logprob
+FROM w JOIN c USING (word), t
+GROUP BY doc_id"""
+
+
+def zscore_by_source_sql() -> str:
+    """Per-source z-score of n_chars.  Identical IEEE op sequence from
+    identical exact int64 moments -> bit-exact doubles, no rounding."""
+    return """WITH s AS (
+  SELECT source,
+         CAST(count(*) AS BIGINT) AS cnt,
+         CAST(sum(n_chars) AS BIGINT) AS s1,
+         CAST(sum(n_chars * n_chars) AS BIGINT) AS s2
+  FROM documents GROUP BY source)
+SELECT d.doc_id,
+       (CAST(d.n_chars AS DOUBLE) - CAST(s1 AS DOUBLE) / cnt)
+       / sqrt(CAST(s2 AS DOUBLE) / cnt
+              - (CAST(s1 AS DOUBLE) / cnt) * (CAST(s1 AS DOUBLE) / cnt))
+         AS z
+FROM documents d JOIN s USING (source)"""
+
+
+def events_distinct_sql(window_us: int = 3_600_000_000) -> str:
+    """Exact COUNT + COUNT(DISTINCT user) per (event_type, window)."""
+    return f"""SELECT event_type,
+  CAST(floor(epoch_us(ts) / {window_us}) AS BIGINT) AS win,
+  CAST(count(*) AS BIGINT) AS n_events,
+  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events GROUP BY event_type, win"""

@@ -453,6 +453,12 @@ def oracle_registry(sf_dir: str = "/root/testdata/sf0.01") -> dict:
         "pca_project_check": oracle.pca_check_sql(
             f"{sf_dir}/embeddings.parquet", PCA_COMPONENTS, 4),
         "emb_lsh_recall": oracle.emb_near_dup_sql(EMB_DUP_THRESHOLD),
+        "cluster_reps": oracle.cluster_reps_sql(
+            f"{sf_dir}/embeddings.parquet", KMEANS_K, 5, CLUSTER_REPS_N),
+        "dup_spans": oracle.dup_spans_sql(DUP_SPAN_W),
+        "unigram_logprob": oracle.unigram_logprob_sql(LM_DP),
+        "zscore_by_source": oracle.zscore_by_source_sql(),
+        "events_distinct": oracle.events_distinct_sql(),
     }
 
 
@@ -1000,6 +1006,57 @@ def q_cust_order_rollup(sf_dir: str):
         n_buckets=JOIN_BUCKETS)
 
 
+DUP_SPAN_W = 5
+LM_DP = 4
+CLUSTER_REPS_N = 5
+
+
+def q_dup_spans(sf_dir: str):
+    """Duplicate-window-span stats (exact substring-dedup signal at
+    window granularity — Lee et al. 2022) over the documents table."""
+    from .extras.dedup import dup_span_stats
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+    return dup_span_stats(ds, w=DUP_SPAN_W)
+
+
+def q_unigram_logprob(sf_dir: str):
+    """CCNet-style per-doc mean unigram log-probability (LM quality
+    proxy), two-phase: distributed term counts -> broadcast LM score."""
+    from .extras.text import unigram_logprob
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+    return unigram_logprob(ds, dp=LM_DP)
+
+
+def q_zscore_by_source(sf_dir: str):
+    """Per-source z-score of n_chars: exact-integer grouped moments,
+    broadcast once, bit-exact doubles against the SQL twin."""
+    from .extras.grouped import grouped_zscore
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "source", "n_chars"])
+    return grouped_zscore(ds, key="source", col="n_chars")
+
+
+def q_cluster_reps(sf_dir: str):
+    """Centroid-representative sampling: k-means fit + n-per-cluster
+    nearest rows; oracle recomputes from reference-fit literal
+    centroids (same machinery as kmeans_assign)."""
+    from .extras.decomp import cluster_representatives
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                               columns=["vec_id", "embedding"])
+    return cluster_representatives(ds, n_clusters=KMEANS_K, iters=5,
+                                   n_per=CLUSTER_REPS_N)
+
+
+def q_events_distinct(sf_dir: str):
+    """Exact distinct-user + event counts per (event_type, hour)."""
+    from .extras.events import window_distinct_users
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["ts", "event_type", "user_id"])
+    return window_distinct_users(ds)
+
+
 def extras_registry() -> dict:
     return {
         "pricing_summary": q_pricing_summary,
@@ -1050,4 +1107,9 @@ def extras_registry() -> dict:
         "kmeans_assign": q_kmeans_assign,
         "rank_by_len": q_rank_by_len,
         "events_dedup": q_events_dedup,
+        "cluster_reps": q_cluster_reps,
+        "dup_spans": q_dup_spans,
+        "unigram_logprob": q_unigram_logprob,
+        "zscore_by_source": q_zscore_by_source,
+        "events_distinct": q_events_distinct,
     }

@@ -571,3 +571,50 @@ def test_kmeans_block_invariant(ray_session):
     b = (kmeans_pipeline(ray.data.from_arrow(t).repartition(13), 3, 4)
          .to_pandas().sort_values("vec_id").reset_index(drop=True))
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_dup_span_stats_planted(ray_session):
+    from kmerray.extras.dedup import dup_span_stats
+    span = "one two three four five"
+    docs = pd.DataFrame({
+        "doc_id": [0, 1, 2, 3],
+        "text": [
+            f"aa bb {span} cc",            # shares the 5-word span
+            f"dd {span} ee ff",            # with doc 0
+            "gg hh ii jj kk ll mm",        # unique windows only
+            "xx yy zz",                    # shorter than w -> 0 windows
+        ],
+    })
+    ds = ray.data.from_pandas(docs)
+    out = dup_span_stats(ds, w=5, n_buckets=4).to_pandas() \
+        .set_index("doc_id").sort_index()
+    assert out.loc[0, "n_windows"] == 4 and out.loc[0, "dup_windows"] == 1
+    assert out.loc[1, "n_windows"] == 4 and out.loc[1, "dup_windows"] == 1
+    assert out.loc[2, "dup_windows"] == 0 and out.loc[2, "n_windows"] == 3
+    assert out.loc[3, "n_windows"] == 0 and out.loc[3, "dup_frac"] == 0.0
+
+
+def test_unigram_logprob_ranks_rare_docs_lower(ray_session):
+    from kmerray.extras.text import unigram_logprob
+    docs = pd.DataFrame({
+        "doc_id": [0, 1],
+        "text": ["the the the the the the the the rare",
+                 "the the the the the the the the the"],
+    })
+    out = unigram_logprob(ray.data.from_pandas(docs)).to_pandas() \
+        .set_index("doc_id")
+    assert out.loc[0, "avg_logprob"] < out.loc[1, "avg_logprob"]
+
+
+def test_cluster_representatives_budget(ray_session):
+    from kmerray.extras.decomp import cluster_representatives
+    rng = np.random.default_rng(3)
+    emb = rng.normal(size=(120, 8)).astype(np.float32)
+    ds = ray.data.from_arrow(pa.table({
+        "vec_id": pa.array(np.arange(120, dtype=np.int64)),
+        "embedding": pa.array(list(emb), pa.list_(pa.float32())),
+    }))
+    out = cluster_representatives(ds, n_clusters=4, iters=3,
+                                  n_per=5).to_pandas()
+    per = out.groupby("cluster").size()
+    assert (per <= 5).all() and out["vec_id"].is_unique

@@ -12,7 +12,8 @@ SF = "/root/testdata/sf0.001"
 FAST = ["kmer_counts_per_doc", "whole_seq_minimiser", "lag_lead",
         "sessionize", "doc_stats", "dedup_exact", "emb_near_dup",
         "rep_stats", "chunk_windows", "stop_filter", "df_counts",
-        "top_quality_per_lang"]
+        "top_quality_per_lang", "dup_spans", "unigram_logprob",
+        "zscore_by_source", "events_distinct"]
 
 pytestmark = pytest.mark.skipif(not os.path.exists(SF),
                                 reason="driver testdata unavailable")
@@ -34,7 +35,7 @@ def test_query_matches_oracle(ray_session, name):
     ray_df = res.to_pandas() if hasattr(res, "to_pandas") else \
         pd.DataFrame(res)
     con = duckdb.connect()
-    for t in ["documents", "embeddings"]:
+    for t in ["documents", "embeddings", "events"]:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
                     f"read_parquet('{SF}/{t}.parquet')")
     sql_df = con.sql(oracle_registry(SF)[name]).df()
