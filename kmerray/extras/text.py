@@ -485,10 +485,12 @@ def bigram_stats(ds: "ray.data.Dataset", min_count: int = 5,
 # --------------------------------------------------------------------------
 
 
-def _unigram_partial(batch: pd.DataFrame) -> pd.DataFrame:
+def _ulm_partial(batch: pd.DataFrame) -> pd.DataFrame:
     """Per-batch partial term frequency over the corpus: one
     ``np.unique`` over the flat word array — the combiner that keeps
-    the vocabulary shuffle <= vocab x n_blocks rows."""
+    the vocabulary shuffle <= vocab x n_blocks rows.  (Distinct from
+    ``_unigram_partial`` above, which emits the bucketed Arrow shape
+    the bigram join consumes.)"""
     vals, _ = flat_words(batch["text"])
     words, cnt = np.unique(vals.astype("U"), return_counts=True)
     return pd.DataFrame({"word": words.astype(object),
@@ -498,7 +500,7 @@ def _unigram_partial(batch: pd.DataFrame) -> pd.DataFrame:
 def unigram_counts(ds: "ray.data.Dataset") -> "ray.data.Dataset":
     """Corpus unigram term counts (per-batch partial + ONE small
     groupby over the partials — same shape as df_counts)."""
-    part = ds.map_batches(_unigram_partial, batch_format="pandas")
+    part = ds.map_batches(_ulm_partial, batch_format="pandas")
     agg = part.groupby("word").sum("cnt")
 
     def rename(b: pd.DataFrame) -> pd.DataFrame:
