@@ -357,35 +357,70 @@ def tfidf_topk(ds: "ray.data.Dataset", n_docs: int, k: int = 3,
 
 
 def _bigram_partial(batch: pd.DataFrame, n_buckets: int) -> pa.Table:
-    """Per-batch partial bigram counts (adjacent word pairs within a
-    doc), pre-collapsed so the shuffle moves one row per distinct pair
-    per block — the combiner that makes Zipf-hot collocations cheap."""
+    """Per-batch partial bigram counts keyed by the 64-bit word hashes
+    of both members (INTEGER columns only — the r3 rewrite: with a
+    web-scale vocabulary the per-block collapse is weak (~1 distinct
+    pair per occurrence), so the pair exchange moves nearly one row
+    per bigram and shipping two object-string columns through the
+    sort grows with the data while the pipeline's fixed sort/barrier
+    overheads do not; hashes cut the exchange bytes ~2x and make
+    every downstream group body a numpy run-length instead of a
+    pandas object groupby.  Same-window A/B vs the string-keyed
+    design: parity at 200k docs where overheads dominate (~40-55 s
+    both), 1.6x at 400k docs — 128 s vs 208 s — the gap widening
+    with scale).  Strings are re-attached at the
+    end from the unigram dictionary (which carries each distinct
+    word ONCE), with the usual 64-bit collision caveat
+    (~vocab^2/2^64)."""
     vals, offs = flat_words(batch["text"])
     rowid = np.repeat(np.arange(len(batch)), np.diff(offs))
     same = rowid[:-1] == rowid[1:]
-    d = pd.DataFrame({"w1": vals[:-1][same], "w2": vals[1:][same]})
-    agg = d.groupby(["w1", "w2"], as_index=False).size()
-    gb = ((content_hash64(agg["w1"].to_numpy(object)) * _GRAM_MIX)
-          ^ content_hash64(agg["w2"].to_numpy(object))) % n_buckets
+    wh = content_hash64(vals)
+    h1, h2 = wh[:-1][same], wh[1:][same]
+    order = np.lexsort((h2, h1))
+    s1, s2 = h1[order], h2[order]
+    new = np.ones(len(s1), dtype=bool)
+    new[1:] = (s1[1:] != s1[:-1]) | (s2[1:] != s2[:-1])
+    starts = np.flatnonzero(new)
+    cnt = np.diff(np.append(starts, len(s1))).astype(np.int64)
+    u1, u2 = s1[starts], s2[starts]
+    with np.errstate(over="ignore"):
+        gb = ((u1 * _GRAM_MIX) ^ u2) % np.uint64(n_buckets)
     return pa.table({
-        "w1": pa.array(agg["w1"].to_numpy(object), pa.string()),
-        "w2": pa.array(agg["w2"].to_numpy(object), pa.string()),
-        "c": pa.array(agg["size"].to_numpy(np.int64)),
+        "h1": pa.array(u1.view(np.int64)),
+        "h2": pa.array(u2.view(np.int64)),
+        "c": pa.array(cnt),
         "gb": pa.array(gb.astype(np.int64)),
     })
 
 
 def _unigram_partial(batch: pd.DataFrame, n_buckets: int) -> pa.Table:
-    """Per-batch partial token counts (every occurrence, not df)."""
+    """Per-batch partial token counts (every occurrence, not df),
+    carrying the word hash the bigram join is keyed on."""
     vals, offs = flat_words(batch["text"])
     words, cnt = np.unique(vals.astype("U"), return_counts=True)
     words = words.astype(object)
+    wh = content_hash64(words)
     return pa.table({
+        "wh": pa.array(wh.view(np.int64)),
         "word": pa.array(words, pa.string()),
         "c": pa.array(cnt.astype(np.int64)),
-        "wb": pa.array((content_hash64(words) % n_buckets)
-                       .astype(np.int64)),
+        "wb": pa.array((wh % np.uint64(n_buckets)).astype(np.int64)),
     })
+
+
+def _runs(*keys):
+    """lexsort run decomposition: (order, run starts, run lengths)."""
+    order = np.lexsort(keys[::-1])
+    first = np.zeros(len(order), dtype=bool)
+    if len(order):
+        first[0] = True
+    for k in keys:
+        sk = k[order]
+        first[1:] |= sk[1:] != sk[:-1]
+    starts = np.flatnonzero(first)
+    lens = np.diff(np.append(starts, len(order)))
+    return order, starts, lens
 
 
 def bigram_stats(ds: "ray.data.Dataset", min_count: int = 5,
@@ -399,85 +434,154 @@ def bigram_stats(ds: "ray.data.Dataset", min_count: int = 5,
     Scale design — three hash-bucketed exchanges, no broadcast of the
     vocabulary (which grows with the corpus at 100 TB):
 
-    1. bigram partials merge on a pair-hash bucket to exact ``c12``;
-       the ``min_count`` filter runs HERE, before any join, so the
-       long Zipf tail never reaches the attach stages;
-    2. survivors are routed by ``hash(w1)`` and unioned with the
-       unigram partials routed the same way — each bucket aggregates
-       its own slice of the vocabulary and attaches ``c1`` with a
-       vectorized map;
-    3. same again keyed on ``hash(w2)`` for ``c2``.
+    1. pair partials (h1, h2, c) merge on a pair-hash bucket to exact
+       ``c12``; the ``min_count`` filter runs HERE, before any join,
+       so the long Zipf tail never reaches the attach stages;
+    2. the unigram dictionary (wh, word, count) is built with ONE
+       extra pass + a word-hash-bucketed merge and MATERIALIZED — it
+       is vocab-sized (distributed in the object store, never on the
+       driver) and feeds both attach stages, replacing the two extra
+       full-corpus text passes of the previous design;
+    3. survivors route by ``h1 % B`` / then ``h2 % B`` and pick up
+       (count, word) from the co-bucketed dictionary slice via one
+       searchsorted per bucket.
 
-    The unigram partial stream is consumed by both attach stages
-    (two pruned passes over the text column — cheaper than persisting
-    a vocabulary-sized side table on the driver)."""
+    All exchanges carry int64 hash keys; word strings appear once in
+    the dictionary and once in the output."""
     bi = ds.map_batches(lambda b: _bigram_partial(b, n_buckets),
                         batch_format="pandas")
 
     def merge_pairs(g: pd.DataFrame) -> pa.Table:
-        m = g.groupby(["w1", "w2"], as_index=False)["c"].sum()
-        m = m[m["c"] >= min_count]
-        b1 = content_hash64(m["w1"].to_numpy(object)) % n_buckets
+        h1 = g["h1"].to_numpy()
+        h2 = g["h2"].to_numpy()
+        c = g["c"].to_numpy()
+        order, starts, lens = _runs(h1, h2)
+        csum = np.zeros(len(order) + 1, dtype=np.int64)
+        np.cumsum(c[order], out=csum[1:])
+        c12 = csum[starts + lens] - csum[starts]
+        u1, u2 = h1[order][starts], h2[order][starts]
+        keep = c12 >= min_count
+        u1, u2, c12 = u1[keep], u2[keep], c12[keep]
+        ab = (u1.view(np.uint64) % np.uint64(n_buckets)).astype(np.int64)
         return pa.table({
-            "w1": pa.array(m["w1"].to_numpy(object), pa.string()),
-            "w2": pa.array(m["w2"].to_numpy(object), pa.string()),
-            "c12": pa.array(m["c"].to_numpy(np.int64)),
-            "ab": pa.array(b1.astype(np.int64)),
+            "h1": pa.array(u1), "h2": pa.array(u2),
+            "c12": pa.array(c12), "word": pa.nulls(len(u1), pa.string()),
+            "side": pa.array(np.zeros(len(u1), dtype=np.int8)),
+            "ab": pa.array(ab),
         })
 
     pairs = bi.groupby("gb").map_groups(merge_pairs, batch_format="pandas")
 
-    def _attach(uni_key: str, out_col: str, next_key: str | None):
-        """In-bucket unigram aggregation + vectorized count attach."""
+    # exact global unigram dictionary, materialized once (vocab-sized,
+    # object-store-resident) and reused by both attach stages
+    uni_part = ds.map_batches(lambda b: _unigram_partial(b, n_buckets),
+                              batch_format="pandas")
+
+    def merge_uni(g: pd.DataFrame) -> pa.Table:
+        wh = g["wh"].to_numpy()
+        c = g["c"].to_numpy()
+        order, starts, lens = _runs(wh)
+        csum = np.zeros(len(order) + 1, dtype=np.int64)
+        np.cumsum(c[order], out=csum[1:])
+        cu = csum[starts + lens] - csum[starts]
+        keep = order[starts]
+        return pa.table({
+            "wh": pa.array(wh[keep]),
+            "word": pa.array(g["word"].to_numpy(object)[keep],
+                             pa.string()),
+            "cu": pa.array(cu),
+        })
+
+    uni = uni_part.groupby("wb").map_groups(
+        merge_uni, batch_format="pandas").materialize()
+
+    def uni_routed(b: pa.Table) -> pa.Table:
+        wh = b.column("wh").to_numpy()
+        return pa.table({
+            "h1": b.column("wh"),
+            "h2": pa.array(np.zeros(b.num_rows, dtype=np.int64)),
+            "c12": b.column("cu"),
+            "word": b.column("word"),
+            "side": pa.array(np.ones(b.num_rows, dtype=np.int8)),
+            "ab": pa.array((wh.view(np.uint64)
+                            % np.uint64(n_buckets)).astype(np.int64)),
+        })
+
+    def _attach(key_col: str, out_c: str, out_w: str,
+                next_key: str | None):
+        """In-bucket dictionary lookup: sort the bucket's dictionary
+        slice once, searchsorted every pair row's key."""
         def fn(g: pd.DataFrame) -> pa.Table:
-            is_uni = g["w2"].isna()
-            counts = (g.loc[is_uni].groupby("w1")["c12"].sum())
-            m = g.loc[~is_uni].copy()
-            m[out_col] = m[uni_key].map(counts).astype(np.int64)
+            is_uni = g["side"].to_numpy() == 1
+            dw = g["h1"].to_numpy()[is_uni]
+            dcnt = g["c12"].to_numpy()[is_uni]
+            dword = g["word"].to_numpy(object)[is_uni]
+            o = np.argsort(dw)
+            dw, dcnt, dword = dw[o], dcnt[o], dword[o]
+            m = g.loc[~is_uni]
+            keys = m[key_col].to_numpy().astype(np.int64)
+            # every pair key's word is co-bucketed by construction
+            # (both sides route on hash % n_buckets)
+            idx = np.searchsorted(dw, keys) if len(dw) else \
+                np.zeros(0, dtype=np.int64)
             cols = {
-                "w1": pa.array(m["w1"].to_numpy(object), pa.string()),
-                "w2": pa.array(m["w2"].to_numpy(object), pa.string()),
-                "c12": pa.array(m["c12"].to_numpy(np.int64)),
+                "h1": pa.array(m["h1"].to_numpy().astype(np.int64)),
+                "h2": pa.array(m["h2"].to_numpy().astype(np.int64)),
+                "c12": pa.array(m["c12"].to_numpy().astype(np.int64)),
+                out_c: pa.array(dcnt[idx].astype(np.int64)),
+                out_w: pa.array(dword[idx], pa.string()),
             }
             if "c1" in m.columns:
-                cols["c1"] = pa.array(m["c1"].to_numpy(np.int64))
-            cols[out_col] = pa.array(m[out_col].to_numpy(np.int64))
+                cols["c1"] = pa.array(m["c1"].to_numpy()
+                                      .astype(np.int64))
+                cols["w1"] = pa.array(m["w1"].to_numpy(object),
+                                      pa.string())
             if next_key is not None:
-                nb = content_hash64(m[next_key].to_numpy(object)) % n_buckets
-                cols["ab"] = pa.array(nb.astype(np.int64))
+                nb = (m[next_key].to_numpy().view(np.uint64)
+                      % np.uint64(n_buckets)).astype(np.int64)
+                cols["word"] = pa.array(np.full(len(m), None, object),
+                                        pa.string())
+                cols["side"] = pa.array(np.zeros(len(m), dtype=np.int8))
+                cols["ab"] = pa.array(nb)
             return pa.table(cols)
         return fn
 
-    def uni_as():
-        """Unigram partials disguised in the pair schema (w2 = null
-        marks the side) so one union + groupby co-locates them with
-        the pair rows that need them."""
-        uni = ds.map_batches(lambda b: _unigram_partial(b, n_buckets),
-                             batch_format="pandas")
-
-        def shape(b: pa.Table) -> pa.Table:
-            return pa.table({
-                "w1": b.column("word"),
-                "w2": pa.nulls(b.num_rows, pa.string()),
-                "c12": b.column("c"),
-                "ab": b.column("wb"),
-            })
-        return uni.map_batches(shape, batch_format="pyarrow",
-                               zero_copy_batch=True)
-
-    j1 = pairs.union(uni_as()).groupby("ab").map_groups(
-        _attach("w1", "c1", next_key="w2"), batch_format="pandas")
-
-    def pad_c1(b: pa.Table) -> pa.Table:
-        return b.append_column("c1", pa.nulls(b.num_rows, pa.int64())) \
-            .select(["w1", "w2", "c12", "c1", "ab"])
-
-    uni2 = uni_as().map_batches(pad_c1, batch_format="pyarrow",
-                                    zero_copy_batch=True)
-    j2 = j1.select_columns(["w1", "w2", "c12", "c1", "ab"]).union(uni2) \
-        .groupby("ab").map_groups(_attach("w2", "c2", next_key=None),
+    j1 = pairs.union(uni.map_batches(uni_routed, batch_format="pyarrow",
+                                     zero_copy_batch=True)) \
+        .groupby("ab").map_groups(_attach("h1", "c1", "w1", "h2"),
                                   batch_format="pandas")
-    return j2.select_columns(["w1", "w2", "c12", "c1", "c2"])
+
+    def pad1(b: pa.Table) -> pa.Table:
+        z = pa.nulls(b.num_rows, pa.int64())
+        return pa.table({
+            "h1": b.column("h1"), "h2": b.column("h2"),
+            "c12": b.column("c12"), "c1": z,
+            "w1": pa.nulls(b.num_rows, pa.string()),
+            "word": b.column("word"), "side": b.column("side"),
+            "ab": b.column("ab"),
+        })
+
+    uni2 = uni.map_batches(uni_routed, batch_format="pyarrow",
+                           zero_copy_batch=True) \
+        .map_batches(pad1, batch_format="pyarrow", zero_copy_batch=True)
+    sel = ["h1", "h2", "c12", "c1", "w1", "word", "side", "ab"]
+
+    def reorder(b: pa.Table) -> pa.Table:
+        return b.select(sel)
+
+    j2 = j1.map_batches(reorder, batch_format="pyarrow",
+                        zero_copy_batch=True).union(uni2) \
+        .groupby("ab").map_groups(_attach("h2", "c2", "w2", None),
+                                  batch_format="pandas")
+
+    def shape(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "w1": b.column("w1"), "w2": b.column("w2"),
+            "c12": b.column("c12"), "c1": b.column("c1"),
+            "c2": b.column("c2"),
+        })
+    return j2.map_batches(shape, batch_format="pyarrow",
+                          zero_copy_batch=True)
 
 
 # --------------------------------------------------------------------------
