@@ -337,3 +337,54 @@ def window_distinct_users(ds: "ray.data.Dataset",
                              zero_copy_batch=True)
     return part_ds.groupby("gbkt").map_groups(merge,
                                               batch_format="pandas")
+
+
+def funnel_first_completion(ds: "ray.data.Dataset", a: str = "view",
+                            b: str = "click", c: str = "purchase",
+                            n_buckets: int = 32) -> "ray.data.Dataset":
+    """Sequence-pattern funnel per user: the earliest a -> b -> c
+    completion in strict (ts, event_id) order, emitting
+    ``(user_id, abc_ts_us)`` for completing users only.
+
+    The earliest completion is always (first a) -> (first b after it)
+    -> (first c after that), so the whole pattern reduces to three
+    per-user first-occurrence scans over the bucket-sorted frame —
+    one ``np.unique(return_index)`` each (ascending row index makes
+    the first hit per segment the returned one), no per-user loop.
+    ONE user-hash shuffle, same partitioning contract as the other
+    event windows (a user's history fits a worker)."""
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"])
+        t = _epoch_us(g["ts"])
+        user = g["user_id"].to_numpy()
+        et = g["event_type"].to_numpy()
+        n = len(g)
+        if n == 0:
+            return pd.DataFrame({"user_id": pd.Series([], dtype=np.int64),
+                                 "abc_ts_us": pd.Series([], dtype=np.int64)})
+        new_user = np.empty(n, dtype=bool)
+        new_user[0] = True
+        new_user[1:] = user[1:] != user[:-1]
+        seg = np.cumsum(new_user) - 1
+        nseg = int(seg[-1]) + 1
+        i = np.arange(n, dtype=np.int64)
+        NO = np.int64(n)          # sentinel: "never happens"
+
+        def first_at(mask: np.ndarray) -> np.ndarray:
+            out = np.full(nseg, NO, dtype=np.int64)
+            segs, pos = np.unique(seg[mask], return_index=True)
+            out[segs] = i[mask][pos]
+            return out
+
+        ia = first_at(et == a)
+        ib = first_at((et == b) & (i > ia[seg]))
+        ic = first_at((et == c) & (i > ib[seg]))
+        done = ic < NO
+        return pd.DataFrame({
+            "user_id": user[new_user][done].astype(np.int64),
+            "abc_ts_us": t[ic[done]],
+        })
+
+    bucketed = _with_user_bucket(ds, n_buckets)
+    return bucketed.groupby("ubucket").map_groups(per_bucket,
+                                                  batch_format="pandas")

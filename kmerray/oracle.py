@@ -1123,3 +1123,22 @@ def events_distinct_sql(window_us: int = 3_600_000_000) -> str:
   CAST(count(*) AS BIGINT) AS n_events,
   CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
 FROM events GROUP BY event_type, win"""
+
+
+def events_funnel_sql(a: str = "view", b: str = "click",
+                      c: str = "purchase") -> str:
+    """Earliest a->b->c completion per user in strict (ts, event_id)
+    order: first a, first b after it, first c after that."""
+    return f"""WITH e AS (
+  SELECT user_id, event_type, epoch_us(ts) AS t,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS rn
+  FROM events),
+fa AS (SELECT user_id, min(rn) AS ra FROM e
+       WHERE event_type = '{a}' GROUP BY user_id),
+fb AS (SELECT e.user_id, min(rn) AS rb FROM e JOIN fa USING (user_id)
+       WHERE event_type = '{b}' AND rn > ra GROUP BY e.user_id),
+fc AS (SELECT e.user_id, min(rn) AS rc FROM e JOIN fb USING (user_id)
+       WHERE event_type = '{c}' AND rn > rb GROUP BY e.user_id)
+SELECT fc.user_id, e.t AS abc_ts_us
+FROM fc JOIN e ON e.user_id = fc.user_id AND e.rn = fc.rc"""

@@ -459,6 +459,7 @@ def oracle_registry(sf_dir: str = "/root/testdata/sf0.01") -> dict:
         "unigram_logprob": oracle.unigram_logprob_sql(LM_DP),
         "zscore_by_source": oracle.zscore_by_source_sql(),
         "events_distinct": oracle.events_distinct_sql(),
+        "events_funnel": oracle.events_funnel_sql(),
     }
 
 
@@ -1057,6 +1058,16 @@ def q_events_distinct(sf_dir: str):
     return window_distinct_users(ds)
 
 
+def q_events_funnel(sf_dir: str):
+    """Earliest view->click->purchase funnel completion per user
+    (sequence-pattern matching in one user-hash shuffle)."""
+    from .extras.events import funnel_first_completion
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["ts", "event_id", "event_type", "user_id"])
+    return funnel_first_completion(ds)
+
+
 def extras_registry() -> dict:
     return {
         "pricing_summary": q_pricing_summary,
@@ -1112,4 +1123,5 @@ def extras_registry() -> dict:
         "unigram_logprob": q_unigram_logprob,
         "zscore_by_source": q_zscore_by_source,
         "events_distinct": q_events_distinct,
+        "events_funnel": q_events_funnel,
     }
