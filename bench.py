@@ -135,9 +135,11 @@ def run_bench() -> dict:
             "tokens_per_sec": round(total_tokens / cfv_sec, 1),
         }
 
-    # global k-mer counting (the wide shuffle)
+    # global k-mer counting (the wide shuffle); repeat=2 — the first
+    # sample pays object-store eviction from the preceding CFV runs
+    # (measured 69.6 / 32.9 / 14.2 s back-to-back on an idle box)
     timed("ctr_k15", lambda: count_kmers(
-        rseq(heavy_files), 15).count())
+        rseq(heavy_files), 15).count(), repeat=2)
 
     # minimizers (31, 7) exploded
     timed("min_31_7", lambda: consume(minimisers_exploded(
@@ -209,6 +211,26 @@ def run_bench() -> dict:
     timed("tfidf_topk", lambda: tfidf_topk(
         docs(), n_docs=n_bench_docs, k=3).count())
 
+    # r3 additions over the document corpus: duplicate-window spans
+    # and the unigram-LM quality proxy
+    from kmerray.extras.dedup import dup_span_stats
+    from kmerray.extras.text import unigram_logprob
+    timed("dup_spans", lambda: dup_span_stats(docs()).count())
+    timed("unigram_logprob", lambda: unigram_logprob(docs()).count())
+
+    # grouped z-score (source synthesized: deterministic doc_id mod)
+    from kmerray.extras.grouped import grouped_zscore
+
+    def _with_source(b):
+        b = b.copy()
+        b["source"] = np.char.mod("src%d",
+                                  b["doc_id"].to_numpy() % 8)
+        b["n_chars"] = b["text"].str.len().astype(np.int64)
+        return b[["doc_id", "source", "n_chars"]]
+    timed("zscore_by_source", lambda: grouped_zscore(
+        docs().map_batches(_with_source,
+                           batch_format="pandas")).count())
+
     def _with_lang(b):
         b = b.copy()
         b["lang"] = np.array(["en", "de", "fr", "es", "zh"],
@@ -261,6 +283,11 @@ def run_bench() -> dict:
     from kmerray.extras.decomp import pca_pipeline
     timed("pca_project", lambda: pca_pipeline(emb(), 8).count())
 
+    # k-means fit + per-cluster representative sample (r3)
+    from kmerray.extras.decomp import cluster_representatives
+    timed("cluster_reps", lambda: cluster_representatives(
+        emb(), n_clusters=8, iters=5, n_per=5).count())
+
     # materialized IVF: one-time cell-partitioned build (cached,
     # untimed — amortized across query runs), then a pruned-regime
     # probe (8 queries x nprobe 4 -> ~1/3 of cells) that reads only
@@ -302,6 +329,14 @@ def run_bench() -> dict:
     from kmerray.extras.events import rolling_user_features
     timed("events_rolling", lambda: consume(rolling_user_features(
         events(ev_cols))))
+
+    # r3 additions: exact distinct-count windows + sequence funnel
+    from kmerray.extras.events import (funnel_first_completion,
+                                       window_distinct_users)
+    timed("events_distinct", lambda: window_distinct_users(
+        events(["ts", "event_type", "user_id"])).count())
+    timed("events_funnel", lambda: funnel_first_completion(
+        events(["ts", "event_id", "event_type", "user_id"])).count())
 
     # relational joins over the sf dir's TPC-H-shaped tables
     # (lineitem |X| orders |X| customer co-partitioned shuffle joins)

@@ -589,28 +589,43 @@ def bigram_stats(ds: "ray.data.Dataset", min_count: int = 5,
 # --------------------------------------------------------------------------
 
 
-def _ulm_partial(batch: pd.DataFrame) -> pd.DataFrame:
-    """Per-batch partial term frequency over the corpus: one
-    ``np.unique`` over the flat word array — the combiner that keeps
-    the vocabulary shuffle <= vocab x n_blocks rows.  (Distinct from
-    ``_unigram_partial`` above, which emits the bucketed Arrow shape
-    the bigram join consumes.)"""
-    vals, _ = flat_words(batch["text"])
-    words, cnt = np.unique(vals.astype("U"), return_counts=True)
-    return pd.DataFrame({"word": words.astype(object),
-                         "cnt": cnt.astype(np.int64)})
+def _ulm_partial(n_buckets: int):
+    """Per-batch partial term counts keyed by the 64-bit word hash —
+    integer columns only (the vocabulary's strings never cross this
+    shuffle), pre-collapsed per block."""
+    def fn(batch: pd.DataFrame) -> pa.Table:
+        vals, _ = flat_words(batch["text"])
+        uh, cnt = np.unique(content_hash64(vals), return_counts=True)
+        return pa.table({
+            "wh": pa.array(uh.view(np.int64)),
+            "c": pa.array(cnt.astype(np.int64)),
+            "wb": pa.array((uh % np.uint64(n_buckets)).astype(np.int64)),
+        })
+    return fn
 
 
-def unigram_counts(ds: "ray.data.Dataset") -> "ray.data.Dataset":
-    """Corpus unigram term counts (per-batch partial + ONE small
-    groupby over the partials — same shape as df_counts)."""
-    part = ds.map_batches(_ulm_partial, batch_format="pandas")
-    agg = part.groupby("word").sum("cnt")
+def hash_unigram_counts(ds: "ray.data.Dataset",
+                        n_buckets: int = 64) -> "ray.data.Dataset":
+    """Corpus term counts keyed by word hash: per-batch partials ->
+    ONE hash-bucketed merge with a numpy run-length body.  (A native
+    ``groupby("word")`` sort-aggregates on the full string vocabulary
+    — the measured high-cardinality-key anti-pattern: the first cut
+    of unigram_logprob did exactly that and blew past 400 s on the
+    200k-doc bench corpus; this shape runs in seconds.)"""
+    part = ds.map_batches(_ulm_partial(n_buckets), batch_format="pandas")
 
-    def rename(b: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({"word": b["word"],
-                             "cnt": b["sum(cnt)"].astype(np.int64)})
-    return agg.map_batches(rename, batch_format="pandas")
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        wh = g["wh"].to_numpy()
+        c = g["c"].to_numpy()
+        order, starts, lens = _runs(wh)
+        csum = np.zeros(len(order) + 1, dtype=np.int64)
+        np.cumsum(c[order], out=csum[1:])
+        return pd.DataFrame({
+            "wh": wh[order][starts],
+            "cnt": csum[starts + lens] - csum[starts],
+        })
+
+    return part.groupby("wb").map_groups(merge, batch_format="pandas")
 
 
 def unigram_logprob(ds: "ray.data.Dataset", dp: int = 4,
@@ -630,26 +645,37 @@ def unigram_logprob(ds: "ray.data.Dataset", dp: int = 4,
     ``avg_logprob`` is rounded to ``dp`` decimals on BOTH engines:
     numpy's pairwise sum and the SQL AVG accumulate in different
     orders, so raw doubles differ in the last ulp while the rounded
-    values coincide (boundary odds ~1e-8/row at dp=4)."""
-    counts = unigram_counts(ds).take_all()     # vocab-sized, bounded
-    words = np.array([r["word"] for r in counts], dtype="U")
-    cnt = np.array([r["cnt"] for r in counts], dtype=np.int64)
+    values coincide (boundary odds ~1e-8/row at dp=4).
+
+    The LM is keyed on the 64-bit word hash, not the string — the
+    dictionary collect is an arrow-block gather of int64 pairs (the
+    string variant's `take_all()` + numpy-unicode sort is the
+    measured 225-s row-conversion trap at a 1M-word vocabulary),
+    and the per-batch lookup is one uint64 searchsorted.  Usual
+    collision caveat: two colliding words share a count
+    (~vocab^2/2^64)."""
+    tabs = [t for t in ray.get(hash_unigram_counts(ds).to_arrow_refs())
+            if t.num_rows]
+    dic = pa.concat_tables(tabs)
+    wh = dic.column("wh").to_numpy()
+    cnt = dic.column("cnt").to_numpy()
     total = float(cnt.sum())
-    order = np.argsort(words)
-    words, cnt = words[order], cnt[order]
+    order = np.argsort(wh)
+    wh, cnt = wh[order], cnt[order]
     keep = cnt >= min_count
-    lm_ref = ray.put((words[keep], cnt[keep], total))
+    lm_ref = ray.put((wh[keep], cnt[keep], total))
 
     class Score:
         def __init__(self):
-            self.words, self.cnt, self.total = ray.get(lm_ref)
+            self.wh, self.cnt, self.total = ray.get(lm_ref)
 
         def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
             vals, offs = flat_words(batch["text"])
-            sv = vals.astype("U")
-            idx = np.searchsorted(self.words, sv)
-            idx = np.minimum(idx, len(self.words) - 1)
-            hit = self.words[idx] == sv
+            bh = content_hash64(vals).view(np.int64)
+            idx = np.searchsorted(self.wh, bh)
+            idx = np.minimum(idx, max(len(self.wh) - 1, 0))
+            hit = self.wh[idx] == bh if len(self.wh) else \
+                np.zeros(len(bh), dtype=bool)
             c = np.where(hit, self.cnt[idx], 1).astype(np.float64)
             lp = np.log(c / self.total)
             nrows = len(batch)
