@@ -1142,3 +1142,36 @@ fc AS (SELECT e.user_id, min(rn) AS rc FROM e JOIN fb USING (user_id)
        WHERE event_type = '{c}' AND rn > rb GROUP BY e.user_id)
 SELECT fc.user_id, e.t AS abc_ts_us
 FROM fc JOIN e ON e.user_id = fc.user_id AND e.rn = fc.rc"""
+
+
+def asof_backfill_sql(path: str, k: int, bin_size: int,
+                      bin_count: int, lag_days: int) -> str:
+    """Backfill twin of asof_cov_hist_sql: every occurrence looks up
+    the snapshot as of ``lag_days`` before its ingest ts (the shifted
+    effective day can go negative — no snapshot qualifies -> 0)."""
+    return f"""WITH {km_cte(path, k, ", source, ts")},
+daily AS (
+  SELECT source, kmer, (epoch_us(ts) - {TS_BASE_US}) // {DAY_US} AS day,
+         count(*) AS cnt
+  FROM km GROUP BY 1, 2, 3
+),
+snap AS (
+  SELECT source, kmer, day,
+         CAST(sum(cnt) OVER (PARTITION BY source, kmer ORDER BY day)
+              AS BIGINT) AS cum_cnt
+  FROM daily
+),
+occ AS (
+  SELECT doc_id, source, kmer,
+         (epoch_us(ts) - {lag_days} * {DAY_US} - {TS_BASE_US})
+           // {DAY_US} - 1 AS eff
+  FROM km
+),
+lookup AS (
+  SELECT o.doc_id, coalesce(s.cum_cnt, 0) AS cnt
+  FROM occ o ASOF LEFT JOIN snap s
+    ON o.source = s.source AND o.kmer = s.kmer AND s.day <= o.eff
+)
+SELECT doc_id, least(cnt // {bin_size}, {bin_count - 1}) AS bin,
+       count(*) AS val
+FROM lookup GROUP BY doc_id, bin"""

@@ -504,16 +504,23 @@ BROADCAST_SNAP_MAX_ROWS = int(os.environ.get(
 def asof_hist_auto(seq_ds: "ray.data.Dataset", k: int, bin_size: int,
                    bin_count: int, threshold_rows: int | None = None,
                    window_us: int = DAY_US, n_buckets: int = 32,
-                   concurrency: int | tuple = 2) -> "ray.data.Dataset":
+                   concurrency: int | tuple = 2,
+                   snapshot_ds: "ray.data.Dataset" = None
+                   ) -> "ray.data.Dataset":
     """Size-triggered routing for the point-in-time histogram (VERDICT
     r2 next #2): snapshot table materialized once, row count read from
     metadata; broadcast actor-pool scorer when it fits one heap, the
     bucketed as-of join otherwise.  Identical output/oracle either
-    way."""
+    way.
+
+    ``snapshot_ds`` decouples the dictionary from the scored rows
+    (default: the same dataset) — the backfill path scores
+    timestamp-shifted rows against the TRUE-timestamp snapshots."""
     from .arrow_util import explode_nonzero_fixedlist
     if threshold_rows is None:
         threshold_rows = BROADCAST_SNAP_MAX_ROWS
-    snap = snapshot_counts(seq_ds, k, window_us).materialize()
+    snap = snapshot_counts(snapshot_ds if snapshot_ds is not None
+                           else seq_ds, k, window_us).materialize()
     if snap.count() <= threshold_rows:
         ref = ray.put(load_snapshot_index(collect_snapshot_table(snap)))
         scored = asof_coverage_pipeline(seq_ds, ref, k, bin_size,

@@ -288,6 +288,35 @@ def q_asof_cov_hist(sf_dir: str, k: int = K_ASOF, bins=ASOF_BINS):
     return asof_hist_auto(ds, k, bin_size, bin_count)
 
 
+BACKFILL_LAG_DAYS = 7
+
+
+def q_asof_backfill(sf_dir: str, k: int = K_ASOF, bins=ASOF_BINS,
+                    lag_days: int = None):
+    """Backfill probe for the as-of engine (north_rule): re-score every
+    row AS OF ``lag_days`` before its ingest timestamp — scoring is a
+    pure function of (row, snapshot table, asof_ts), so backfilling a
+    historical feature table is just the same pipeline with shifted
+    timestamps; rows whose lagged day predates the first snapshot get
+    the zero-coverage bin on both engines (zero temporal leakage at
+    the shifted boundary too)."""
+    from .pipelines.asof import asof_hist_auto
+    lag = BACKFILL_LAG_DAYS if lag_days is None else lag_days
+    bin_size, bin_count = bins
+    ds = _seq(sf_dir, ["doc_id", "tokens", "source", "ts"])
+    lag_us = lag * 86_400_000_000
+
+    def shift(b: pa.Table) -> pa.Table:
+        ts = b.column("ts").cast(pa.int64()).to_numpy() - lag_us
+        return b.set_column(b.schema.get_field_index("ts"), "ts",
+                            pa.array(ts).cast(pa.timestamp("us")))
+    shifted = ds.map_batches(shift, batch_format="pyarrow",
+                             zero_copy_batch=True)
+    # snapshots from TRUE timestamps; only the lookup ts is lagged
+    return asof_hist_auto(shifted, k, bin_size, bin_count,
+                          snapshot_ds=ds)
+
+
 def q_asof_cov_hist_join(sf_dir: str, k: int = K_ASOF, bins=ASOF_BINS):
     """Above-threshold route forced — the bucketed as-of join
     oracle-gated every round (same SQL oracle as asof_cov_hist)."""
@@ -460,6 +489,8 @@ def oracle_registry(sf_dir: str = "/root/testdata/sf0.01") -> dict:
         "zscore_by_source": oracle.zscore_by_source_sql(),
         "events_distinct": oracle.events_distinct_sql(),
         "events_funnel": oracle.events_funnel_sql(),
+        "asof_backfill": oracle.asof_backfill_sql(
+            path, K_ASOF, *ASOF_BINS, BACKFILL_LAG_DAYS),
     }
 
 
@@ -1124,4 +1155,5 @@ def extras_registry() -> dict:
         "zscore_by_source": q_zscore_by_source,
         "events_distinct": q_events_distinct,
         "events_funnel": q_events_funnel,
+        "asof_backfill": q_asof_backfill,
     }
