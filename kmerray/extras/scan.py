@@ -211,3 +211,68 @@ def rank_by_len(ds: "ray.data.Dataset", tiles: int = 10,
 
     keyed = ds.map_batches(_assign, batch_format="pandas")
     return keyed.groupby("bucket").map_groups(_rank, batch_format="pandas")
+
+
+def grouped_quantiles(ds: "ray.data.Dataset", key: str = "lang",
+                      col: str = "n_chars",
+                      qs=(0.25, 0.5, 0.75, 0.9),
+                      n_buckets: int = 32) -> "ray.data.Dataset":
+    """Exact per-group quantiles of an integer column, fully
+    distributed (nothing on the driver, unlike the global
+    :func:`tok_quantiles`): per-batch (key, value) count partials,
+    ONE key-hash-bucketed merge co-locates each group's whole value
+    histogram, and the rank picks are vectorized across all groups in
+    the bucket (first row per group whose running count reaches
+    ``ceil(q * group_total)`` — same IEEE rank rule as the SQL twin).
+
+    Output: ``(key, q:string, value:int64)``."""
+    from .text import content_hash64
+
+    def _vc(b: pd.DataFrame) -> pd.DataFrame:
+        g = (b.groupby([key, col], as_index=False).size()
+             .rename(columns={"size": "cnt"}))
+        g["kb"] = (content_hash64(g[key].to_numpy(object))
+                   % np.uint64(n_buckets)).astype(np.int64)
+        return g
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        m = (g.groupby([key, col], as_index=False)["cnt"].sum()
+             .sort_values([key, col], kind="mergesort"))
+        k = m[key].to_numpy(object)
+        v = m[col].to_numpy().astype(np.int64)
+        c = m["cnt"].to_numpy().astype(np.int64)
+        n = len(m)
+        if n == 0:
+            return pd.DataFrame({key: pd.Series([], dtype=object),
+                                 "q": pd.Series([], dtype=object),
+                                 "value": pd.Series([], dtype=np.int64)})
+        new = np.ones(n, dtype=bool)
+        new[1:] = k[1:] != k[:-1]
+        seg = np.cumsum(new) - 1
+        cum = np.cumsum(c)
+        base = np.zeros(n, dtype=np.int64)
+        starts = np.flatnonzero(new)
+        base[starts[1:]] = cum[starts[1:] - 1]
+        base = np.maximum.accumulate(base)
+        local = cum - base
+        ends = np.append(starts[1:], n) - 1
+        totals = local[ends][seg]          # group total per row
+        out_k, out_q, out_v = [], [], []
+        for q in qs:
+            rank = np.ceil(q * totals)     # same double product as SQL
+            hit = local >= rank
+            first = hit.copy()
+            first[1:] &= ~(hit[:-1] & ~new[1:])
+            out_k.append(k[first])
+            out_q.append(np.full(int(first.sum()), f"{q:g}",
+                                 dtype=object))
+            out_v.append(v[first])
+        return pd.DataFrame({
+            key: np.concatenate(out_k),
+            "q": np.concatenate(out_q),
+            "value": np.concatenate(out_v).astype(np.int64),
+        })
+
+    part = ds.map_batches(_vc, batch_format="pandas")
+    return part.groupby("kb").map_groups(per_bucket,
+                                         batch_format="pandas")

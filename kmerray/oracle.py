@@ -1175,3 +1175,22 @@ lookup AS (
 SELECT doc_id, least(cnt // {bin_size}, {bin_count - 1}) AS bin,
        count(*) AS val
 FROM lookup GROUP BY doc_id, bin"""
+
+
+def grouped_quantiles_sql(qs=(0.25, 0.5, 0.75, 0.9)) -> str:
+    """Per-lang exact n_chars quantiles: smallest value whose
+    per-group running count >= ceil(q * group_total) — the same
+    IEEE double product as extras.scan.grouped_quantiles."""
+    vals = ", ".join(f"('{q:g}', {q!r})" for q in qs)
+    return f"""WITH c AS (
+  SELECT lang, n_chars AS v, count(*) AS cnt FROM documents
+  GROUP BY lang, n_chars
+), s AS (
+  SELECT lang, v, SUM(cnt) OVER (PARTITION BY lang ORDER BY v) AS cum
+  FROM c
+), t AS (SELECT lang, SUM(cnt) AS total FROM c GROUP BY lang),
+qv(q, qf) AS (VALUES {vals})
+SELECT s.lang, qv.q AS q, CAST(min(s.v) AS BIGINT) AS value
+FROM qv, s JOIN t USING (lang)
+WHERE s.cum >= ceil(qv.qf * t.total)
+GROUP BY s.lang, qv.q"""

@@ -491,6 +491,7 @@ def oracle_registry(sf_dir: str = "/root/testdata/sf0.01") -> dict:
         "events_funnel": oracle.events_funnel_sql(),
         "asof_backfill": oracle.asof_backfill_sql(
             path, K_ASOF, *ASOF_BINS, BACKFILL_LAG_DAYS),
+        "grouped_quantiles": oracle.grouped_quantiles_sql(),
     }
 
 
@@ -1081,6 +1082,15 @@ def q_cluster_reps(sf_dir: str):
                                    n_per=CLUSTER_REPS_N)
 
 
+def q_grouped_quantiles(sf_dir: str):
+    """Exact per-lang n_chars quantiles, fully distributed (per-group
+    value histograms co-located by ONE key-hash shuffle)."""
+    from .extras.scan import grouped_quantiles
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "lang", "n_chars"])
+    return grouped_quantiles(ds, key="lang", col="n_chars")
+
+
 def q_events_distinct(sf_dir: str):
     """Exact distinct-user + event counts per (event_type, hour)."""
     from .extras.events import window_distinct_users
@@ -1156,4 +1166,5 @@ def extras_registry() -> dict:
         "events_distinct": q_events_distinct,
         "events_funnel": q_events_funnel,
         "asof_backfill": q_asof_backfill,
+        "grouped_quantiles": q_grouped_quantiles,
     }

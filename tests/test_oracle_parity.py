@@ -13,7 +13,8 @@ FAST = ["kmer_counts_per_doc", "whole_seq_minimiser", "lag_lead",
         "sessionize", "doc_stats", "dedup_exact", "emb_near_dup",
         "rep_stats", "chunk_windows", "stop_filter", "df_counts",
         "top_quality_per_lang", "dup_spans", "unigram_logprob",
-        "zscore_by_source", "events_distinct", "events_funnel"]
+        "zscore_by_source", "events_distinct", "events_funnel",
+        "grouped_quantiles"]
 
 pytestmark = pytest.mark.skipif(not os.path.exists(SF),
                                 reason="driver testdata unavailable")
