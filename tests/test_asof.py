@@ -350,3 +350,37 @@ def test_asof_lookup_eff_day_clamped():
     eff = np.array([10_000])          # way past day 255
     out = asof_lookup_counts(index, np.array(["s"]), eff, canon, row)
     assert out.tolist() == [7, 3, 0]
+
+
+def test_backfill_lag_monotone(ray_session):
+    """Backfill semantics: scoring AS OF an earlier timestamp sees a
+    prefix of the snapshot history, so every per-kmer count (hence
+    every nonzero high bin's mass) can only shrink or hold vs the
+    true-ts run; with lag 0 the backfill path is bit-identical to the
+    regular one."""
+    from kmerray.queries import q_asof_backfill, q_asof_cov_hist
+
+    sf = "/root/testdata/sf0.001"
+    base = q_asof_cov_hist(sf).to_pandas()
+    same = q_asof_backfill(sf, lag_days=0).to_pandas()
+    key = ["doc_id", "bin"]
+    a = base.sort_values(key).reset_index(drop=True)
+    b = same.sort_values(key).reset_index(drop=True)
+    assert a.equals(b)
+
+    lagged = q_asof_backfill(sf, lag_days=7).to_pandas()
+    # every doc keeps the same total occurrence mass (bins shift, the
+    # per-doc k-mer count does not)
+    t0 = base.groupby("doc_id")["val"].sum()
+    t7 = lagged.groupby("doc_id")["val"].sum()
+    assert t0.equals(t7)
+    # lagging the lookup can only move mass toward LOWER bins: the
+    # cumulative mass in bins <= b never decreases for any doc
+    p0 = base.pivot_table(index="doc_id", columns="bin", values="val",
+                          fill_value=0, aggfunc="sum")
+    p7 = lagged.pivot_table(index="doc_id", columns="bin",
+                            values="val", fill_value=0, aggfunc="sum")
+    cols = sorted(set(p0.columns) | set(p7.columns))
+    p0 = p0.reindex(columns=cols, fill_value=0).cumsum(axis=1)
+    p7 = p7.reindex(columns=cols, fill_value=0).cumsum(axis=1)
+    assert (p7.values >= p0.values - 1e-9).all()
