@@ -158,3 +158,15 @@ class KmerMinimiserGenerator:
             kmers = [self._wmers[p] for p in range(s, e - self._w + 1)
                      if p in self._wmers]
             yield m, s, e, kmers
+
+
+def run_cli(argv=None) -> int:
+    """pykmertools.run_cli parity shim
+    (/root/reference/pip/src/lib.rs:12-18): run the kmerray CLI from
+    Python.  The reference reads ``sys.argv[1:]`` (skip(1)); we accept
+    an explicit argv list too, matching the binding's
+    invoke-the-CLI-in-process semantics."""
+    import sys as _sys
+
+    from .__main__ import main as _main
+    return _main(_sys.argv[1:] if argv is None else list(argv))

@@ -173,8 +173,12 @@ def flat_kmers(values: np.ndarray, offsets: np.ndarray, k: int,
     vv = v.astype(dt) & dt(3)
     fw = _pack_windows(vv, k, nwin)
 
-    # window invalid if it contains an ambiguous token
-    c = np.zeros(n + 1, dtype=np.int32)
+    # window invalid if it contains an ambiguous token; int32 prefix
+    # sums overflow silently past 2^31 tokens in one flat buffer, so
+    # widen for pathological batches (block splitting keeps real
+    # batches far below this)
+    cdt = np.int32 if n < 2**31 - 1 else np.int64
+    c = np.zeros(n + 1, dtype=cdt)
     np.cumsum(bad, out=c[1:])
     valid = (c[k:] - c[:-k]) == 0
     # ... or crosses a row boundary

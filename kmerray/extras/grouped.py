@@ -87,7 +87,13 @@ def grouped_zscore(ds: "ray.data.Dataset", key: str = "source",
                 m = keys == kval
                 cnt[m], s1[m], s2[m] = float(c), float(a1), float(a2)
             mean = s1 / cnt
-            z = (x - mean) / np.sqrt(s2 / cnt - mean * mean)
+            var = s2 / cnt - mean * mean
+            # constant group: z is undefined — emit NaN explicitly
+            # (the SQL twin mirrors the same rule) instead of relying
+            # on engine-specific 0/0 behavior
+            with np.errstate(divide="ignore", invalid="ignore"):
+                z = np.where(var <= 0.0, np.nan,
+                             (x - mean) / np.sqrt(var))
             return pd.DataFrame({"doc_id": b["doc_id"].astype(np.int64),
                                  "z": z})
 

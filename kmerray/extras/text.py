@@ -521,9 +521,16 @@ def bigram_stats(ds: "ray.data.Dataset", min_count: int = 5,
             m = g.loc[~is_uni]
             keys = m[key_col].to_numpy().astype(np.int64)
             # every pair key's word is co-bucketed by construction
-            # (both sides route on hash % n_buckets)
+            # (both sides route on hash % n_buckets); verify the hit so
+            # a broken co-routing invariant fails loudly instead of
+            # silently attaching a neighbor's count
             idx = np.searchsorted(dw, keys) if len(dw) else \
                 np.zeros(0, dtype=np.int64)
+            if len(keys):
+                assert len(dw), "bigram co-bucketing broken: empty dict"
+                idx = np.minimum(idx, len(dw) - 1)
+                assert np.array_equal(dw[idx], keys), \
+                    "bigram co-bucketing broken: key missing from bucket"
             cols = {
                 "h1": pa.array(m["h1"].to_numpy().astype(np.int64)),
                 "h2": pa.array(m["h2"].to_numpy().astype(np.int64)),

@@ -1109,10 +1109,13 @@ def zscore_by_source_sql() -> str:
          CAST(sum(n_chars * n_chars) AS BIGINT) AS s2
   FROM documents GROUP BY source)
 SELECT d.doc_id,
-       (CAST(d.n_chars AS DOUBLE) - CAST(s1 AS DOUBLE) / cnt)
+       CASE WHEN CAST(s2 AS DOUBLE) / cnt
+              - (CAST(s1 AS DOUBLE) / cnt) * (CAST(s1 AS DOUBLE) / cnt)
+              <= 0.0 THEN CAST('nan' AS DOUBLE)
+       ELSE (CAST(d.n_chars AS DOUBLE) - CAST(s1 AS DOUBLE) / cnt)
        / sqrt(CAST(s2 AS DOUBLE) / cnt
               - (CAST(s1 AS DOUBLE) / cnt) * (CAST(s1 AS DOUBLE) / cnt))
-         AS z
+       END AS z
 FROM documents d JOIN s USING (source)"""
 
 

@@ -984,6 +984,10 @@ def q_pca_project_check(sf_dir: str, dp: int = 4):
     out = pca_pipeline(ds, n_components=PCA_COMPONENTS)
 
     def explode(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"vec_id": pa.array([], pa.int64()),
+                             "comp": pa.array([], pa.int64()),
+                             "val": pa.array([], pa.float64())})
         ids = batch.column("vec_id").to_numpy()
         col = batch.column("proj").combine_chunks()
         off = col.offsets.to_numpy()

@@ -142,3 +142,31 @@ def test_cli_tokenize_stdin(ray_session, tmp_path, monkeypatch):
     t = pq.read_table(glob.glob(out + "/*.parquet"))
     assert t.column("doc_id").to_pylist() == ["r1", "r2"]
     assert t.column("n_tok").to_pylist() == [4, 6]
+
+
+def test_run_cli_shim(ray_session, tiny_corpus_dir, tmp_path):
+    """api.run_cli parity with the reference binding
+    (/root/reference/pip/src/lib.rs:12-18): explicit argv runs the CLI
+    in-process end-to-end; no argv reads sys.argv[1:]."""
+    import glob
+    import sys
+
+    import pyarrow.parquet as pq
+
+    from kmerray.api import run_cli
+
+    out = str(tmp_path / "shim_cfv")
+    assert run_cli(["comp", "-i", tiny_corpus_dir, "-o", out,
+                    "-k", "4"]) == 0
+    t = pq.read_table(glob.glob(out + "/*.parquet"))
+    assert t.num_rows == 1000 and "cfv" in t.schema.names
+
+    out2 = str(tmp_path / "shim_argv")
+    old = sys.argv
+    sys.argv = ["kmerray", "comp", "-i", tiny_corpus_dir, "-o", out2,
+                "-k", "4"]
+    try:
+        assert run_cli() == 0
+    finally:
+        sys.argv = old
+    assert glob.glob(out2 + "/*.parquet")
