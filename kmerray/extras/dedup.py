@@ -22,6 +22,8 @@ VERDICT.md round 1, items #3-#5)."""
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -696,34 +698,77 @@ def connected_components(edges: "ray.data.Dataset", n_buckets: int = 32,
                               batch_size=None)
 
 
+# Above this many verified edges the driver union-find finalize is a
+# corpus-scale materialization (30-50%-duplicate web crawls); route to
+# the distributed min-label components + label anti-join instead.
+DEDUP_EDGE_UF_MAX = int(os.environ.get("KMERRAY_DEDUP_EDGE_UF_MAX",
+                                       2_000_000))
+
+
+def _drop_by_labels(ds: "ray.data.Dataset",
+                    comp: "ray.data.Dataset",
+                    n_buckets: int = 64) -> "ray.data.Dataset":
+    """Survivors via a bucketed anti-join of component labels against
+    the corpus — the scale-safe finalize (VERDICT r3 wrong #1): the
+    non-root nodes (the drop set) stay a Dataset end-to-end, never a
+    driver list or a broadcast Python set.  Reuses the relational
+    semi/anti machinery (one co-partitioned exchange)."""
+    from .relational import shuffle_join
+
+    def drop_keys(b: pd.DataFrame) -> pd.DataFrame:
+        m = b["node"].to_numpy() != b["root"].to_numpy()
+        return pd.DataFrame({"doc_id": b["node"].to_numpy()[m]
+                             .astype(np.int64)})
+
+    def ids_only(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"doc_id": b["doc_id"].to_numpy()
+                             .astype(np.int64)})
+
+    return shuffle_join(
+        ds.map_batches(ids_only, batch_format="pandas"),
+        comp.map_batches(drop_keys, batch_format="pandas"),
+        on="doc_id", how="anti", n_buckets=n_buckets,
+        left_fields=[("doc_id", pa.int64())],
+        right_fields=[("doc_id", pa.int64())])
+
+
 def near_dup_survivors(ds: "ray.data.Dataset", n: int = 3,
                        num_perm: int = 64, bands: int = 16,
                        threshold: float = 0.8,
-                       distributed: bool = False) -> "ray.data.Dataset":
+                       distributed: bool | None = None,
+                       edge_threshold: int | None = None
+                       ) -> "ray.data.Dataset":
     """Full near-dup dedup: MinHash-LSH candidates -> exact Jaccard
     verify -> connected components -> keep min doc_id per component.
 
-    Components are resolved with union-find over the *verified edge
-    set* on the driver — edges above a high Jaccard threshold are tiny
-    relative to the corpus (the standard assumption); pass
-    ``distributed=True`` to resolve them with the bucketed min-label
-    propagation of :func:`connected_components` instead (same survivor
-    semantics, parity-tested)."""
+    Finalize routing is size-triggered (the ``cov_hist_auto`` pattern;
+    VERDICT r3 wrong #1): the verified edge count is read from the
+    materialized edge Dataset's metadata, and
+
+    * <= ``edge_threshold`` (default ``KMERRAY_DEDUP_EDGE_UF_MAX``):
+      driver union-find over the small edge list — exact and fastest
+      when near-dups are rare;
+    * >  threshold (a 30-50 %-duplicate web crawl): the bucketed
+      min-label propagation of :func:`connected_components`, with
+      survivors resolved by a distributed label ANTI-JOIN against the
+      corpus — no edge ``to_pandas()`` and no drop-set broadcast
+      anywhere on this path.
+
+    ``distributed`` forces the route (True = components + anti-join,
+    False = driver union-find); both are parity-tested."""
     import ray
 
     cands = minhash_lsh_candidates(ds, n=n, num_perm=num_perm, bands=bands)
-    edges_ds = verify_candidate_pairs(ds, cands, n=n, threshold=threshold)
+    edges_ds = verify_candidate_pairs(ds, cands, n=n,
+                                      threshold=threshold).materialize()
+    if edge_threshold is None:
+        edge_threshold = DEDUP_EDGE_UF_MAX
+    if distributed is None:
+        distributed = edges_ds.count() > edge_threshold
 
     if distributed:
-        comp = connected_components(edges_ds).to_pandas()
-        drop = set(comp.loc[comp["node"] != comp["root"], "node"]) \
-            if len(comp) else set()
-        drop_ref = ray.put(drop)
-
-        def survivors_d(batch: pd.DataFrame) -> pd.DataFrame:
-            d = ray.get(drop_ref)
-            return batch.loc[~batch["doc_id"].isin(d), ["doc_id"]]
-        return ds.map_batches(survivors_d, batch_format="pandas")
+        comp = connected_components(edges_ds)
+        return _drop_by_labels(ds, comp)
 
     edges = edges_ds.to_pandas()
 
@@ -741,7 +786,6 @@ def near_dup_survivors(ds: "ray.data.Dataset", n: int = 3,
             parent[max(ra, rb)] = min(ra, rb)
     drop = {x for x in parent if find(x) != x}
 
-    import ray
     drop_ref = ray.put(drop)
 
     def survivors(batch: pd.DataFrame) -> pd.DataFrame:
