@@ -381,29 +381,115 @@ def q_sessionize_partitioned(sf_dir: str, gap_us: int = SESSION_GAP_US):
 
 
 def registry() -> dict:
-    return {
+    """Driver-facing query registry.  ORDER MATTERS: the driver runs
+    the FIRST 50 entries (VERDICT r3 next #1), so the head is curated
+    to one hash-gated query per COVERAGE.md op family — redundant
+    scale-path variants (sharded/join/partitioned/on-the-fly-IVF),
+    rows-only LSH twins, and the constituents of the tagged-union
+    composites live in the tail, still runnable via
+    ``scripts/check_oracle.py`` and covered by pytest."""
+    head = {
+        # --- reference §2 surface ---
         "kmer_counts_per_doc": q_kmer_counts_per_doc,
         "ctr_global_counts": q_global_counts,
         "cfv_norm": q_cfv_norm,
-        "cfv_raw": q_cfv_raw,
         "oligo_cgr": q_oligo_cgr,
-        "minimisers_s2m": q_minimisers,
-        "m2s_index_counts": q_m2s_index_counts,
-        "whole_seq_minimiser": q_whole_seq_minimiser,
         "cgr_final": q_cgr_final,
+        "minimisers_all": q_minimisers_all,
+        "m2s_index_counts": q_m2s_index_counts,
         "cov_hist": q_cov_hist,
-        "cov_hist_sharded": q_cov_hist_sharded,
-        "cov_hist_join": q_cov_hist_join,
         "asof_snapshots": q_asof_snapshots,
         "asof_cov_hist": q_asof_cov_hist,
-        "asof_cov_hist_sharded": q_asof_cov_hist_sharded,
-        "asof_cov_hist_join": q_asof_cov_hist_join,
+        "asof_backfill": q_asof_backfill,
         "lag_lead": q_lag_lead,
         "sessionize": q_sessionize,
+        # --- relational ---
+        "pricing_summary": q_pricing_summary,
+        "revenue_by_nation": q_revenue_by_nation,
+        "high_qty_orders": q_high_qty_orders,
+        "cust_no_big_order": q_cust_no_big_order,
+        "shipping_priority": q_shipping_priority,
+        "cust_order_rollup": q_cust_order_rollup,
+        # --- text analysis ---
+        "doc_stats": q_doc_stats,
+        "lang_id": q_lang_id,
+        "rep_stats": q_rep_stats,
+        "chunk_windows": q_chunk_windows,
+        "text_rewrite": q_text_rewrite,
+        "df_counts": q_df_counts,
+        "tfidf_topk": q_tfidf_topk,
+        "bigram_stats": q_bigram_stats,
+        "unigram_logprob": q_unigram_logprob,
+        "decontam": q_decontam,
+        "zscore_by_source": q_zscore_by_source,
+        "top_quality_per_lang": q_top_quality_per_lang,
+        # --- dedup ---
+        "dedup_survivors2": q_dedup_survivors2,
+        "ngram_dupes": q_ngram_dupes,
+        "near_dup_survivors": q_near_dup_survivors,
+        "simhash_recall": q_simhash_recall,
+        "dup_spans": q_dup_spans,
+        # --- similarity ---
+        "emb_near_dup": q_emb_near_dup,
+        "ann_topk": q_ann_topk,
+        "ann_topk_ivf_indexed": q_ann_topk_ivf_indexed,
+        # --- scans / sampling ---
+        "scan_features": q_scan_features,
+        "quantiles_all": q_quantiles_all,
+        "sampling_flags": q_sampling_flags,
+        # --- events ---
+        "events_hourly": q_events_hourly,
+        "events_enriched": q_events_enriched,
+        "events_sessions": q_events_sessions,
+        "events_distinct": q_events_distinct,
+        "events_funnel": q_events_funnel,
+        # --- decompositions / multimodal ---
+        "decomp_project": q_decomp_project,
+        "cluster_reps": q_cluster_reps,
+        "media_features": q_media_features,
+    }
+    assert len(head) == 50, f"registry head must be 50, got {len(head)}"
+    tail = {
+        # composite constituents (hash-gated individually here)
+        "cfv_raw": q_cfv_raw,
+        "minimisers_s2m": q_minimisers,
+        "whole_seq_minimiser": q_whole_seq_minimiser,
+        "normalize_text": q_normalize_text,
+        "stop_filter": q_stop_filter,
+        "token_counts": q_token_counts,
+        "quality": q_quality,
+        "dedup_exact": q_dedup_exact,
+        "dedup_keep_best": q_dedup_keep_best,
+        "pack_bins": q_pack_bins,
+        "rank_by_len": q_rank_by_len,
+        "tok_quantiles": q_tok_quantiles,
+        "grouped_quantiles": q_grouped_quantiles,
+        "sample_split": q_sample_split,
+        "group_sample": q_group_sample,
+        "events_json_k": q_events_json_k,
+        "events_history": q_events_history,
+        "events_rolling": q_events_rolling,
+        "events_dedup": q_events_dedup,
+        "pca_project_check": q_pca_project_check,
+        "kmeans_assign": q_kmeans_assign,
+        "minhash_recall": q_minhash_recall,
+        "emb_lsh_recall": q_emb_lsh_recall,
+        # forced scale-path variants (same oracle as their auto head
+        # entry; pytest holds the switch parity)
+        "cov_hist_sharded": q_cov_hist_sharded,
+        "cov_hist_join": q_cov_hist_join,
+        "asof_cov_hist_sharded": q_asof_cov_hist_sharded,
+        "asof_cov_hist_join": q_asof_cov_hist_join,
         "lag_lead_partitioned": q_lag_lead_partitioned,
         "sessionize_partitioned": q_sessionize_partitioned,
-        **extras_registry(),
+        "ann_topk_ivf": q_ann_topk_ivf,
+        # rows-only twins (recall/containment oracles live in head)
+        "minhash_candidates": q_minhash_candidates,
+        "simhash_pairs": q_simhash_pairs,
+        "emb_near_dup_lsh": q_emb_near_dup_lsh,
+        "pca_project": q_pca_project,
     }
+    return {**head, **tail}
 
 
 def oracle_registry(sf_dir: str = "/root/testdata/sf0.01") -> dict:
@@ -492,6 +578,73 @@ def oracle_registry(sf_dir: str = "/root/testdata/sf0.01") -> dict:
         "asof_backfill": oracle.asof_backfill_sql(
             path, K_ASOF, *ASOF_BINS, BACKFILL_LAG_DAYS),
         "grouped_quantiles": oracle.grouped_quantiles_sql(),
+        # --- tagged-UNION composites (VERDICT r3 next #1): each arm
+        # is the constituent's own (individually green) SQL, tagged
+        # and zero-padded exactly like the engine side ---
+        "minimisers_all": f"""\
+SELECT CAST(0 AS BIGINT) AS variant, doc_id, mmer, start_pos, end_pos
+FROM ({oracle.minimisers_sql(path, MIN_W, MIN_M)})
+UNION ALL
+SELECT CAST(1 AS BIGINT), doc_id, mmer, CAST(-1 AS BIGINT),
+       CAST(-1 AS BIGINT)
+FROM ({oracle.whole_seq_minimiser_sql(path, WHOLE_M)})""",
+        "text_rewrite": f"""\
+SELECT CAST(0 AS BIGINT) AS variant, doc_id, norm_text AS rewritten,
+       n_masked AS n
+FROM ({oracle.normalize_text_sql()})
+UNION ALL
+SELECT CAST(1 AS BIGINT), doc_id, clean_text, n_removed
+FROM ({oracle.stop_filter_sql()})""",
+        "dedup_survivors2": f"""\
+SELECT CAST(0 AS BIGINT) AS policy, doc_id
+FROM ({oracle.dedup_exact_sql()})
+UNION ALL
+SELECT CAST(1 AS BIGINT), doc_id
+FROM ({oracle.dedup_keep_best_sql()})""",
+        "scan_features": f"""\
+SELECT CAST(0 AS BIGINT) AS variant, doc_id, n_tok, cum_tok AS val1,
+       bin AS val2
+FROM ({oracle.pack_bins_sql(path, PACK_BUDGET)})
+UNION ALL
+SELECT CAST(1 AS BIGINT), doc_id, n_tok, rnk, tile
+FROM ({oracle.rank_by_len_sql(path, RANK_TILES)})""",
+        "quantiles_all": f"""\
+SELECT '__global__' AS scope, q, value
+FROM ({oracle.tok_quantiles_sql(path)})
+UNION ALL
+SELECT lang, q, value FROM ({oracle.grouped_quantiles_sql()})""",
+        "sampling_flags": f"""\
+SELECT CAST(0 AS BIGINT) AS variant, doc_id, lang, bucket, split
+FROM ({oracle.sample_split_sql()})
+UNION ALL
+SELECT CAST(1 AS BIGINT), doc_id, lang, CAST(-1 AS BIGINT), ''
+FROM ({oracle.group_sample_sql(GROUP_SAMPLE_N)})""",
+        "events_enriched": f"""\
+SELECT CAST(0 AS BIGINT) AS variant, event_id, k AS v1,
+       CAST(0 AS BIGINT) AS v2, CAST(0 AS BIGINT) AS v3,
+       CAST(0 AS BIGINT) AS v4, CAST(0 AS BIGINT) AS v5
+FROM ({oracle.events_json_k_sql()})
+UNION ALL
+SELECT CAST(1 AS BIGINT), event_id, user_id, prior_n, prior_cents,
+       CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+FROM ({oracle.events_history_sql()})
+UNION ALL
+SELECT CAST(2 AS BIGINT), event_id, user_id, roll_n, roll_cents,
+       tw_n, tw_cents
+FROM ({oracle.events_rolling_sql()})
+UNION ALL
+SELECT CAST(3 AS BIGINT), event_id, user_id, CAST(0 AS BIGINT),
+       CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+FROM ({oracle.events_dedup_sql()})""",
+        "decomp_project": f"""\
+SELECT CAST(0 AS BIGINT) AS variant, vec_id, comp, val
+FROM ({oracle.pca_check_sql(f"{sf_dir}/embeddings.parquet",
+                            PCA_COMPONENTS, 4)})
+UNION ALL
+SELECT CAST(1 AS BIGINT), vec_id, CAST(-1 AS BIGINT),
+       CAST(cluster AS DOUBLE)
+FROM ({oracle.kmeans_assign_sql(f"{sf_dir}/embeddings.parquet",
+                                KMEANS_K, 5)})""",
     }
 
 
@@ -1113,62 +1266,192 @@ def q_events_funnel(sf_dir: str):
     return funnel_first_completion(ds)
 
 
-def extras_registry() -> dict:
-    return {
-        "pricing_summary": q_pricing_summary,
-        "revenue_by_nation": q_revenue_by_nation,
-        "high_qty_orders": q_high_qty_orders,
-        "cust_no_big_order": q_cust_no_big_order,
-        "normalize_text": q_normalize_text,
-        "dedup_keep_best": q_dedup_keep_best,
-        "pack_bins": q_pack_bins,
-        "tok_quantiles": q_tok_quantiles,
-        "decontam": q_decontam,
-        "sample_split": q_sample_split,
-        "tfidf_topk": q_tfidf_topk,
-        "doc_stats": q_doc_stats,
-        "token_counts": q_token_counts,
-        "quality": q_quality,
-        "lang_id": q_lang_id,
-        "dedup_exact": q_dedup_exact,
-        "ngram_dupes": q_ngram_dupes,
-        "ann_topk": q_ann_topk,
-        "ann_topk_ivf": q_ann_topk_ivf,
-        "ann_topk_ivf_indexed": q_ann_topk_ivf_indexed,
-        "emb_near_dup": q_emb_near_dup,
-        "emb_near_dup_lsh": q_emb_near_dup_lsh,
-        "minhash_candidates": q_minhash_candidates,
-        "minhash_recall": q_minhash_recall,
-        "near_dup_survivors": q_near_dup_survivors,
-        "simhash_pairs": q_simhash_pairs,
-        "simhash_recall": q_simhash_recall,
-        "media_features": q_media_features,
-        "rep_stats": q_rep_stats,
-        "chunk_windows": q_chunk_windows,
-        "stop_filter": q_stop_filter,
-        "df_counts": q_df_counts,
-        "top_quality_per_lang": q_top_quality_per_lang,
-        "events_hourly": q_events_hourly,
-        "events_json_k": q_events_json_k,
-        "events_sessions": q_events_sessions,
-        "events_history": q_events_history,
-        "events_rolling": q_events_rolling,
-        "bigram_stats": q_bigram_stats,
-        "shipping_priority": q_shipping_priority,
-        "cust_order_rollup": q_cust_order_rollup,
-        "group_sample": q_group_sample,
-        "pca_project": q_pca_project,
-        "pca_project_check": q_pca_project_check,
-        "emb_lsh_recall": q_emb_lsh_recall,
-        "kmeans_assign": q_kmeans_assign,
-        "rank_by_len": q_rank_by_len,
-        "events_dedup": q_events_dedup,
-        "cluster_reps": q_cluster_reps,
-        "dup_spans": q_dup_spans,
-        "unigram_logprob": q_unigram_logprob,
-        "zscore_by_source": q_zscore_by_source,
-        "events_distinct": q_events_distinct,
-        "events_funnel": q_events_funnel,
-        "asof_backfill": q_asof_backfill,
-        "grouped_quantiles": q_grouped_quantiles,
-    }
+# ---------------------------------------------------------------------
+# Composite queries (VERDICT r3 next #1): the driver runs the FIRST 50
+# registry entries, so redundant variants fold into tagged-UNION
+# composites — every COVERAGE.md op family keeps a hash-gated driver
+# row inside the 50 budget while the individual variants stay in the
+# registry tail (and in pytest / scripts/check_oracle.py).  All
+# composites are unions, never joins: no extra shuffle, each
+# constituent's full value surface rides through untouched.
+# ---------------------------------------------------------------------
+
+def _const_i64(n: int, v: int) -> np.ndarray:
+    return np.full(n, v, dtype=np.int64)
+
+
+def _as_ds(x) -> "ray.data.Dataset":
+    """Composites accept constituents that return either a Dataset or
+    a small driver-side DataFrame (e.g. quantile picks)."""
+    return x if hasattr(x, "map_batches") else ray.data.from_pandas(x)
+
+
+def q_minimisers_all(sf_dir: str):
+    """Windowed (w=31, m=7) s2m rows UNION whole-seq minimisers
+    (variant 0 / 1; whole-seq has no span, padded -1)."""
+    s2m = q_minimisers(sf_dir)
+    whole = q_whole_seq_minimiser(sf_dir)
+
+    def pad_s(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "variant": _const_i64(len(b), 0), "doc_id": b["doc_id"],
+            "mmer": b["mmer"], "start_pos": b["start_pos"],
+            "end_pos": b["end_pos"]})
+
+    def pad_w(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "variant": _const_i64(len(b), 1), "doc_id": b["doc_id"],
+            "mmer": b["mmer"], "start_pos": _const_i64(len(b), -1),
+            "end_pos": _const_i64(len(b), -1)})
+
+    return (s2m.map_batches(pad_s, batch_format="pandas")
+            .union(whole.map_batches(pad_w, batch_format="pandas")))
+
+
+def q_text_rewrite(sf_dir: str):
+    """Digit-masking normalization UNION stopword scrub (variant
+    0 / 1): both per-doc text rewrites, full rewritten text gated."""
+    norm = q_normalize_text(sf_dir)
+    stop = q_stop_filter(sf_dir)
+
+    def pad_n(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "variant": _const_i64(len(b), 0), "doc_id": b["doc_id"],
+            "rewritten": b["norm_text"], "n": b["n_masked"]})
+
+    def pad_s(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "variant": _const_i64(len(b), 1), "doc_id": b["doc_id"],
+            "rewritten": b["clean_text"], "n": b["n_removed"]})
+
+    return (norm.map_batches(pad_n, batch_format="pandas")
+            .union(stop.map_batches(pad_s, batch_format="pandas")))
+
+
+def q_dedup_survivors2(sf_dir: str):
+    """Exact-dedup survivors under both policies: first-seen
+    (policy 0, min doc_id) UNION keep-best (policy 1, max quality)."""
+    first = q_dedup_exact(sf_dir)
+    best = q_dedup_keep_best(sf_dir)
+
+    def pad(policy):
+        def fn(b: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({
+                "policy": _const_i64(len(b), policy),
+                "doc_id": b["doc_id"].astype(np.int64)})
+        return fn
+
+    return (first.map_batches(pad(0), batch_format="pandas")
+            .union(best.map_batches(pad(1), batch_format="pandas")))
+
+
+def q_scan_features(sf_dir: str):
+    """Distributed-scan features over the sequence corpus: prefix-sum
+    token packing (variant 0: cum_tok, bin) UNION global rank/ntile
+    (variant 1: rnk, tile)."""
+    packed = q_pack_bins(sf_dir)
+    ranked = q_rank_by_len(sf_dir)
+
+    def pad_p(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "variant": _const_i64(len(b), 0), "doc_id": b["doc_id"],
+            "n_tok": b["n_tok"], "val1": b["cum_tok"],
+            "val2": b["bin"]})
+
+    def pad_r(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "variant": _const_i64(len(b), 1), "doc_id": b["doc_id"],
+            "n_tok": b["n_tok"], "val1": b["rnk"], "val2": b["tile"]})
+
+    return (packed.map_batches(pad_p, batch_format="pandas")
+            .union(ranked.map_batches(pad_r, batch_format="pandas")))
+
+
+def q_quantiles_all(sf_dir: str):
+    """Exact global token quantiles (scope '__global__') UNION exact
+    per-lang n_chars quantiles (scope = lang)."""
+    glob = _as_ds(q_tok_quantiles(sf_dir))
+    grouped = _as_ds(q_grouped_quantiles(sf_dir))
+
+    def pad_g(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "scope": np.full(len(b), "__global__", dtype=object),
+            "q": b["q"], "value": b["value"]})
+
+    def pad_l(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"scope": b["lang"], "q": b["q"],
+                             "value": b["value"]})
+
+    return (glob.map_batches(pad_g, batch_format="pandas")
+            .union(grouped.map_batches(pad_l, batch_format="pandas")))
+
+
+def q_sampling_flags(sf_dir: str):
+    """Stratified permille sample+split (variant 0) UNION per-group
+    deterministic top-n sample (variant 1, no bucket/split)."""
+    split = _as_ds(q_sample_split(sf_dir))
+    grp = _as_ds(q_group_sample(sf_dir))
+
+    def pad_s(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "variant": _const_i64(len(b), 0), "doc_id": b["doc_id"],
+            "lang": b["lang"], "bucket": b["bucket"],
+            "split": b["split"]})
+
+    def pad_g(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "variant": _const_i64(len(b), 1), "doc_id": b["doc_id"],
+            "lang": b["lang"], "bucket": _const_i64(len(b), -1),
+            "split": np.full(len(b), "", dtype=object)})
+
+    return (split.map_batches(pad_s, batch_format="pandas")
+            .union(grp.map_batches(pad_g, batch_format="pandas")))
+
+
+def q_events_enriched(sf_dir: str):
+    """Per-event feature union over one events read: JSON field
+    extraction (variant 0), exclusive PIT history (variant 1), both
+    rolling-frame kinds (variant 2), and consecutive-dup survivors
+    (variant 3).  All-int64 value surface, zero-padded to width 5."""
+    parts = []
+    for variant, q, cols in (
+            (0, q_events_json_k, ["k"]),
+            (1, q_events_history, ["user_id", "prior_n", "prior_cents"]),
+            (2, q_events_rolling, ["user_id", "roll_n", "roll_cents",
+                                   "tw_n", "tw_cents"]),
+            (3, q_events_dedup, ["user_id"])):
+        def pad(b: pd.DataFrame, variant=variant, cols=cols
+                ) -> pd.DataFrame:
+            out = {"variant": _const_i64(len(b), variant),
+                   "event_id": b["event_id"].astype(np.int64)}
+            for i in range(5):
+                out[f"v{i + 1}"] = (b[cols[i]].astype(np.int64)
+                                    if i < len(cols)
+                                    else _const_i64(len(b), 0))
+            return pd.DataFrame(out)
+        parts.append(q(sf_dir).map_batches(pad, batch_format="pandas"))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.union(p)
+    return out
+
+
+def q_decomp_project(sf_dir: str):
+    """Distributed-PCA projection entries (variant 0: comp, val)
+    UNION k-means assignments (variant 1: comp -1, val = cluster)."""
+    pca = q_pca_project_check(sf_dir)
+    km = q_kmeans_assign(sf_dir)
+
+    def pad_p(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "variant": _const_i64(len(b), 0), "vec_id": b["vec_id"],
+            "comp": b["comp"], "val": b["val"].astype(np.float64)})
+
+    def pad_k(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "variant": _const_i64(len(b), 1), "vec_id": b["vec_id"],
+            "comp": _const_i64(len(b), -1),
+            "val": b["cluster"].astype(np.float64)})
+
+    return (pca.map_batches(pad_p, batch_format="pandas")
+            .union(km.map_batches(pad_k, batch_format="pandas")))
