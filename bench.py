@@ -325,9 +325,20 @@ def run_bench() -> dict:
                             n_events=n_events, n_users=n_events // 100)
     ev_files = sorted(glob.glob(os.path.join(ev_path, "*.parquet")))
 
+    # One materialized read shared by all six legs (VERDICT r3 next
+    # #6): these short legs were dominated by repeating the same
+    # parquet read + block creation six times, which swamped the
+    # per-op work in contended windows.  The read cost is reported
+    # once as its own leg; each op leg then measures op work.
+    t0 = time.time()
+    ev_mat = ray.data.read_parquet(
+        ev_files,
+        columns=["event_id", "user_id", "ts", "value", "event_type"],
+        override_num_blocks=n_blocks).materialize()
+    queries["events_read"] = round(time.time() - t0, 3)
+
     def events(cols):
-        return ray.data.read_parquet(ev_files, columns=cols,
-                                     override_num_blocks=n_blocks)
+        return ev_mat.select_columns(cols)
     ev_cols = ["event_id", "user_id", "ts", "value"]
     tumbling_window_agg(events(ev_cols).limit(2048)).count()  # warm
     timed("events_hourly", lambda: tumbling_window_agg(
