@@ -225,7 +225,10 @@ def run_bench() -> dict:
     # and the unigram-LM quality proxy
     from kmerray.extras.dedup import dup_span_stats
     from kmerray.extras.text import unigram_logprob
-    timed("dup_spans", lambda: dup_span_stats(docs()).count())
+    # repeat=2: the most expensive doc leg pays prior legs' object
+    # store eviction on its first sample (standalone steady-state is
+    # 32-35 s; single in-run samples have hit 70 s)
+    timed("dup_spans", lambda: dup_span_stats(docs()).count(), repeat=2)
     timed("unigram_logprob", lambda: unigram_logprob(docs()).count())
 
     # grouped z-score (source synthesized: deterministic doc_id mod)

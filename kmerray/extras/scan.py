@@ -299,3 +299,95 @@ def grouped_quantiles(ds: "ray.data.Dataset", key: str = "lang",
     part = ds.map_batches(_vc, batch_format="pandas")
     return part.groupby("kb").map_groups(per_bucket,
                                          batch_format="pandas")
+
+
+def quality_filter(ds: "ray.data.Dataset", keep_frac: float = 0.5,
+                   n_buckets: int = 32) -> "ray.data.Dataset":
+    """Global quality-percentile filter: keep the top
+    ``floor(keep_frac * n)`` documents under ``ORDER BY (quality,
+    doc_id)`` — the standard "train on the best X% of the crawl"
+    selection step, with the bit-exact quality kernel of
+    ``extras.text.quality_fn`` so both engines rank identical doubles.
+
+    Same composite-key range partitioning as :func:`rank_by_len`
+    (ties split across buckets by doc_id), but a FILTER by global
+    rank only needs the boundary bucket sorted: buckets wholly above
+    the cutoff pass rows through untouched, buckets wholly below are
+    dropped without sorting, and exactly one bucket does a local
+    sort.  One row shuffle, O(buckets) driver scalars.
+
+    Output: ``(doc_id:int64)`` survivors."""
+    from .text import quality_pipeline
+
+    def slim(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "doc_id": b["doc_id"].astype(np.int64),
+            "quality": b["quality"].astype(np.float64)})
+
+    q = quality_pipeline(ds).map_batches(slim, batch_format="pandas") \
+        .materialize()
+
+    def _sample(b: pd.DataFrame) -> pd.DataFrame:
+        if len(b) == 0:
+            return b[["quality", "doc_id"]]
+        idx = np.unique(np.linspace(0, len(b) - 1, 8).astype(np.int64))
+        return b.iloc[idx][["quality", "doc_id"]]
+
+    heads = q.map_batches(_sample, batch_format="pandas").take_all()
+    if len(heads) > 1 and n_buckets > 1:
+        s_q = np.array([r["quality"] for r in heads], dtype=np.float64)
+        s_id = np.array([r["doc_id"] for r in heads], dtype=np.int64)
+        o = np.lexsort((s_id, s_q))
+        s_q, s_id = s_q[o], s_id[o]
+        picks = np.linspace(0, len(s_q) - 1,
+                            n_buckets + 1)[1:-1].astype(np.int64)
+        pairs = sorted({(float(s_q[i]), int(s_id[i])) for i in picks})
+        b_q = np.array([p[0] for p in pairs], dtype=np.float64)
+        b_id = np.array([p[1] for p in pairs], dtype=np.int64)
+    else:
+        b_q = np.empty(0, dtype=np.float64)
+        b_id = np.empty(0, dtype=np.int64)
+
+    def bucket_of(qv: np.ndarray, did: np.ndarray) -> np.ndarray:
+        bk = np.zeros(len(qv), dtype=np.int64)
+        for bq, bi in zip(b_q, b_id):
+            bk += (qv > bq) | ((qv == bq) & (did > bi))
+        return bk
+
+    def _counts(b: pd.DataFrame) -> pd.DataFrame:
+        bk = bucket_of(b["quality"].to_numpy(), b["doc_id"].to_numpy())
+        tot = np.bincount(bk, minlength=len(b_q) + 1).astype(np.int64)
+        nz = np.flatnonzero(tot)
+        return pd.DataFrame({"bucket": nz, "part": tot[nz]})
+
+    parts = q.map_batches(_counts, batch_format="pandas").take_all()
+    totals = np.zeros(len(b_q) + 1, dtype=np.int64)
+    for r in parts:
+        totals[r["bucket"]] += r["part"]
+    offsets = np.concatenate(([0], np.cumsum(totals)[:-1]))
+    total = int(totals.sum())
+    # survivors are global 1-based rnk > cutoff
+    cutoff = total - int(np.floor(keep_frac * total))
+
+    def _assign(b: pd.DataFrame) -> pd.DataFrame:
+        out = b[["doc_id", "quality"]].copy()
+        out["bucket"] = bucket_of(out["quality"].to_numpy(),
+                                  out["doc_id"].to_numpy())
+        return out
+
+    def _filter(g: pd.DataFrame) -> pd.DataFrame:
+        bkt = int(g["bucket"].iloc[0])
+        base = int(offsets[bkt])
+        size = len(g)
+        if base >= cutoff:                       # wholly above: all pass
+            return pd.DataFrame({"doc_id": g["doc_id"]
+                                 .astype(np.int64)})
+        if base + size <= cutoff:                # wholly below: none
+            return pd.DataFrame({"doc_id": np.empty(0, np.int64)})
+        g = g.sort_values(["quality", "doc_id"],
+                          kind="mergesort").reset_index(drop=True)
+        keep = g.iloc[cutoff - base:]
+        return pd.DataFrame({"doc_id": keep["doc_id"].astype(np.int64)})
+
+    return (q.map_batches(_assign, batch_format="pandas")
+            .groupby("bucket").map_groups(_filter, batch_format="pandas"))

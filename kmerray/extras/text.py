@@ -696,3 +696,77 @@ def unigram_logprob(ds: "ray.data.Dataset", dp: int = 4,
 
     return ds.map_batches(Score, concurrency=(1, 8),
                           batch_format="pandas")
+
+
+def dsir_weights(ds: "ray.data.Dataset", target_lang: str = "en",
+                 dp: int = 4, min_count: int = 1) -> "ray.data.Dataset":
+    """DSIR-style log importance weights (Xie et al. 2023, "Data
+    Selection for Language Models via Importance Resampling"): per doc
+    the mean over words of ``ln p_target(w) - ln p_background(w)``,
+    where the target LM is fit on the ``lang == target_lang`` slice
+    and the background LM on the whole corpus.  High weight = looks
+    like the target domain; the standard resampling score for mixing
+    web data toward a target distribution.
+
+    Scale shape: two :func:`hash_unigram_counts` passes (the target
+    pass streams the same corpus with a filter pushed into the
+    partial), each a bounded vocab-sized dictionary materialized via
+    arrow-block gather and broadcast once (``ray.put``); the scoring
+    pass is a stateless searchsorted per batch — no shuffle of the
+    corpus rows.  Unseen-in-target words take the add-one count floor
+    (the fixed-LM convention, same as :func:`unigram_logprob`).
+
+    ``logweight`` is rounded to ``dp`` decimals on both engines (sum
+    order differs between numpy and SQL aggregation)."""
+    def only_target(b: pd.DataFrame) -> pd.DataFrame:
+        return b.loc[b["lang"].to_numpy() == target_lang,
+                     ["doc_id", "text"]]
+
+    def lm_of(counts_ds):
+        tabs = [t for t in ray.get(counts_ds.to_arrow_refs())
+                if t.num_rows]
+        if not tabs:
+            raise ValueError("empty LM slice (no target docs?)")
+        dic = pa.concat_tables(tabs)
+        wh = dic.column("wh").to_numpy()
+        cnt = dic.column("cnt").to_numpy()
+        total = float(cnt.sum())
+        order = np.argsort(wh)
+        wh, cnt = wh[order], cnt[order]
+        keep = cnt >= min_count
+        return wh[keep], cnt[keep], total
+
+    bg = lm_of(hash_unigram_counts(ds))
+    tgt = lm_of(hash_unigram_counts(
+        ds.map_batches(only_target, batch_format="pandas")))
+    lm_ref = ray.put((bg, tgt))
+
+    class Score:
+        def __init__(self):
+            self.bg, self.tgt = ray.get(lm_ref)
+
+        @staticmethod
+        def _lp(lm, bh):
+            wh, cnt, total = lm
+            idx = np.searchsorted(wh, bh)
+            idx = np.minimum(idx, max(len(wh) - 1, 0))
+            hit = wh[idx] == bh if len(wh) else \
+                np.zeros(len(bh), dtype=bool)
+            c = np.where(hit, cnt[idx], 1).astype(np.float64)
+            return np.log(c / total)
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            vals, offs = flat_words(batch["text"])
+            bh = content_hash64(vals).view(np.int64)
+            lw = self._lp(self.tgt, bh) - self._lp(self.bg, bh)
+            nrows = len(batch)
+            rowid = np.repeat(np.arange(nrows), np.diff(offs))
+            n = np.maximum(np.diff(offs), 1)
+            avg = np.bincount(rowid, weights=lw, minlength=nrows) / n
+            return pd.DataFrame({
+                "doc_id": batch["doc_id"].astype(np.int64),
+                "logweight": np.round(avg, dp),
+            })
+
+    return ds.map_batches(Score, concurrency=(1, 8),
+                          batch_format="pandas")

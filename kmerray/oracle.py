@@ -1197,3 +1197,38 @@ SELECT s.lang, qv.q AS q, CAST(min(s.v) AS BIGINT) AS value
 FROM qv, s JOIN t USING (lang)
 WHERE s.cum >= ceil(qv.qf * t.total)
 GROUP BY s.lang, qv.q"""
+
+
+def dsir_weights_sql(target_lang: str = "en", dp: int = 4) -> str:
+    """Mirror of extras.text.dsir_weights: mean per-word
+    ``ln p_target - ln p_background``; target LM over the
+    ``lang == target_lang`` slice, background over the whole corpus,
+    unseen-in-target words at the add-one count floor (COALESCE 1).
+    Rounded to ``dp`` on both engines (sum-order ulp)."""
+    return f"""WITH w AS (
+  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS word
+  FROM documents),
+cb AS (SELECT word, CAST(count(*) AS BIGINT) AS c FROM w GROUP BY word),
+ct AS (SELECT word, CAST(count(*) AS BIGINT) AS c FROM w
+       WHERE lang = '{target_lang}' GROUP BY word),
+tb AS (SELECT CAST(sum(c) AS DOUBLE) AS tot FROM cb),
+tt AS (SELECT CAST(sum(c) AS DOUBLE) AS tot FROM ct)
+SELECT w.doc_id,
+  round(avg(ln(COALESCE(ct.c, 1) / tt.tot) - ln(cb.c / tb.tot)), {dp})
+    AS logweight
+FROM w JOIN cb ON w.word = cb.word
+       LEFT JOIN ct ON w.word = ct.word, tb, tt
+GROUP BY w.doc_id"""
+
+
+def quality_filter_sql(keep_frac: float = 0.5) -> str:
+    """Mirror of extras.scan.quality_filter: survivors are the top
+    ``floor(keep_frac * n)`` rows under ``ORDER BY (quality, doc_id)``
+    over the bit-exact quality score."""
+    return f"""WITH q AS ({quality_sql()}),
+r AS (SELECT doc_id,
+             row_number() OVER (ORDER BY quality, doc_id) AS rnk,
+             count(*) OVER () AS n
+      FROM q)
+SELECT doc_id FROM r
+WHERE rnk > n - CAST(floor({keep_frac!r} * n) AS BIGINT)"""

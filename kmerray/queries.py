@@ -488,6 +488,10 @@ def registry() -> dict:
         "simhash_pairs": q_simhash_pairs,
         "emb_near_dup_lsh": q_emb_near_dup_lsh,
         "pca_project": q_pca_project,
+        # round-4 additions (new ops, evidenced via check_oracle +
+        # pytest until a future head rotation)
+        "dsir_weights": q_dsir_weights,
+        "quality_filter": q_quality_filter,
     }
     return {**head, **tail}
 
@@ -636,6 +640,8 @@ UNION ALL
 SELECT CAST(3 AS BIGINT), event_id, user_id, CAST(0 AS BIGINT),
        CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT)
 FROM ({oracle.events_dedup_sql()})""",
+        "dsir_weights": oracle.dsir_weights_sql("en", LM_DP),
+        "quality_filter": oracle.quality_filter_sql(QF_KEEP_FRAC),
         "decomp_project": f"""\
 SELECT CAST(0 AS BIGINT) AS variant, vec_id, comp, val
 FROM ({oracle.pca_check_sql(f"{sf_dir}/embeddings.parquet",
@@ -674,6 +680,27 @@ ND_BANDS = 32
 def _docs(sf_dir: str):
     return ray.data.read_parquet(f"{sf_dir}/documents.parquet",
                                  columns=["doc_id", "text"])
+
+QF_KEEP_FRAC = 0.5
+
+
+def q_dsir_weights(sf_dir: str):
+    """DSIR-style log importance weights toward the lang='en' target
+    slice (two unigram LMs, broadcast once; avg ln-ratio per doc,
+    dp-rounded both engines)."""
+    from .extras.text import dsir_weights
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text", "lang"])
+    return dsir_weights(ds, target_lang="en", dp=LM_DP)
+
+
+def q_quality_filter(sf_dir: str):
+    """Global quality-percentile survivors: top floor(0.5 * n) docs
+    under ORDER BY (quality, doc_id) over the bit-exact quality
+    score; range-partitioned rank filter, only the boundary bucket
+    sorts."""
+    from .extras.scan import quality_filter
+    return quality_filter(_docs(sf_dir), keep_frac=QF_KEEP_FRAC)
 
 
 def q_doc_stats(sf_dir: str):

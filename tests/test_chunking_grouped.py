@@ -99,3 +99,57 @@ def test_grouped_topk_ties_and_blocks(ray_session):
              .sort_values(["key", "id"]).reset_index(drop=True))
     pd.testing.assert_frame_equal(out[["key", "score", "id"]],
                                   exp[["key", "score", "id"]])
+
+
+def test_dsir_weights_ranks_target_like_docs(ray_session):
+    """DSIR log importance weight: docs made of target-slice words
+    must outrank docs of background-only words, and a doc drawn from
+    both sits between."""
+    import pandas as pd
+
+    from kmerray.extras.text import dsir_weights
+    tgt_words = "alpha beta gamma delta"
+    bg_words = "uno dos tres cuatro"
+    docs = pd.DataFrame({
+        "doc_id": [0, 1, 2, 3],
+        "text": [tgt_words, tgt_words, bg_words,
+                 tgt_words + " " + bg_words],
+        "lang": ["en", "en", "es", "es"],
+    })
+    out = (dsir_weights(ray.data.from_pandas(docs), target_lang="en")
+           .to_pandas().set_index("doc_id")["logweight"])
+    assert out[0] == out[1]                   # identical target docs
+    assert out[0] > out[3] > out[2]           # target > mixed > bg-only
+    # bg-only doc is exactly the add-one target floor vs the true
+    # background probability: ln(1/T_t) - ln(c_b/T_b)
+    # T_t = 8 (two en docs x 4 words), c_b = 2, T_b = 20
+    want = np.log(1 / 8) - np.log(2 / 20)
+    assert out[2] == np.round(want, 4)
+
+
+def test_quality_filter_matches_rank_rule(ray_session):
+    """quality_filter == 'top floor(kf*n) rows under ORDER BY
+    (quality, doc_id)' recomputed directly; block/bucket invariance."""
+    import numpy as np
+    import pandas as pd
+
+    from kmerray.extras.scan import quality_filter
+    from kmerray.extras.text import quality_pipeline
+    rng = np.random.default_rng(7)
+    n = 400
+    texts = [" ".join(rng.choice(["the", "and", "of", "xx", "yy", "zz"],
+                                 size=rng.integers(5, 120)))
+             for _ in range(n)]
+    docs = pd.DataFrame({"doc_id": np.arange(n, dtype=np.int64),
+                         "text": texts})
+    ds = ray.data.from_pandas(docs).repartition(7)
+    got = set(quality_filter(ds, keep_frac=0.4, n_buckets=6)
+              .to_pandas()["doc_id"])
+    q = quality_pipeline(ds).to_pandas()
+    q = q.sort_values(["quality", "doc_id"]).reset_index(drop=True)
+    keep = int(np.floor(0.4 * n))
+    want = set(q.iloc[n - keep:]["doc_id"].astype(np.int64))
+    assert got == want
+    got2 = set(quality_filter(ray.data.from_pandas(docs), keep_frac=0.4,
+                              n_buckets=11).to_pandas()["doc_id"])
+    assert got2 == want
