@@ -244,6 +244,22 @@ def run_bench() -> dict:
         docs().map_batches(_with_source,
                            batch_format="pandas")).count())
 
+    # r4 additions: DSIR importance weights (two LM passes + scoring;
+    # half corpus bounds the leg) and the global quality-percentile
+    # filter (range-partitioned rank cutoff)
+    from kmerray.extras.scan import quality_filter
+    from kmerray.extras.text import dsir_weights
+
+    def _with_lang_col(b):
+        b = b.copy()
+        b["lang"] = np.array(["en", "de", "fr", "es", "zh"],
+                             dtype=object)[b["doc_id"].to_numpy() % 5]
+        return b
+    timed("dsir_weights", lambda: dsir_weights(
+        docs_half().map_batches(_with_lang_col,
+                                batch_format="pandas")).count())
+    timed("quality_filter", lambda: quality_filter(docs()).count())
+
     def _with_lang(b):
         b = b.copy()
         b["lang"] = np.array(["en", "de", "fr", "es", "zh"],

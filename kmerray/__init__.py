@@ -7,11 +7,12 @@ under kmerray.pipelines.*.
 
 from .api import (CgrComputer, KmerGenerator, KmerMinimiserGenerator,
                   MinimiserGenerator, OligoCgrComputer, OligoComputer,
-                  to_acgt, to_numeric)
+                  run_cli, to_acgt, to_numeric)
 
 __all__ = [
     "OligoComputer", "CgrComputer", "OligoCgrComputer", "KmerGenerator",
     "MinimiserGenerator", "KmerMinimiserGenerator", "to_acgt", "to_numeric",
+    "run_cli",
 ]
 
 __version__ = "0.1.0"
