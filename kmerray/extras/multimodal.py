@@ -240,3 +240,112 @@ def media_features_pipeline(ds: "ray.data.Dataset", concurrency: int = 2,
     return ds.map_batches(DecodeStage, fn_constructor_kwargs={"fake": fake},
                           batch_format="pyarrow", batch_size=batch_size,
                           concurrency=concurrency, num_cpus=0.5)
+
+
+def synth_video_table(n_items: int, seed: int = 43) -> pa.Table:
+    """Deterministic fake video corpus: payload = n_frames x (w*h)
+    raw grayscale frames (a real container would be decoded by a
+    codec; the byte layout here is the documented fake).  A few items
+    get payloads shorter than one frame (0-frame edge)."""
+    rng = np.random.default_rng([seed, n_items])
+    ids, payloads, ws, hs = [], [], [], []
+    for i in range(n_items):
+        w = int(rng.integers(8, 17))
+        h = int(rng.integers(8, 17))
+        if i % 17 == 0:                     # degenerate: < one frame
+            n_bytes = int(rng.integers(0, w * h))
+        else:
+            n_bytes = int(rng.integers(3, 13)) * w * h \
+                + int(rng.integers(0, w * h))   # trailing partial frame
+        ids.append(f"vid-{i:06d}")
+        payloads.append(rng.integers(0, 256, n_bytes,
+                                     dtype=np.uint8).tobytes())
+        ws.append(w)
+        hs.append(h)
+    return pa.table({
+        "item_id": pa.array(ids),
+        "payload": pa.array(payloads, pa.binary()),
+        "media_type": pa.array(["video"] * n_items),
+        "width": pa.array(np.array(ws, np.int32)),
+        "height": pa.array(np.array(hs, np.int32)),
+    })
+
+
+def ensure_video_parquet(n_items: int = 200, seed: int = 43) -> str:
+    """Write-once deterministic video parquet (same shared-cache
+    pattern as ensure_media_parquet)."""
+    import json
+    import os
+
+    import pyarrow.parquet as pq
+
+    from ..sources.synth import CACHE_ROOT
+    out_dir = os.path.join(CACHE_ROOT, f"video-n{n_items}-s{seed}-v1")
+    path = os.path.join(out_dir, "video.parquet")
+    marker = os.path.join(out_dir, "_SUCCESS")
+    if os.path.exists(marker):
+        return path
+    tmp_dir = out_dir + f".tmp.{os.getpid()}"
+    os.makedirs(tmp_dir, exist_ok=True)
+    pq.write_table(synth_video_table(n_items, seed=seed),
+                   os.path.join(tmp_dir, "video.parquet"),
+                   row_group_size=64)
+    with open(os.path.join(tmp_dir, "_SUCCESS"), "w") as fh:
+        json.dump({"n_items": n_items, "seed": seed}, fh)
+    try:
+        os.rename(tmp_dir, out_dir)
+    except OSError:
+        if not os.path.exists(marker):
+            raise
+        import shutil
+        shutil.rmtree(tmp_dir, ignore_errors=True)
+    return path
+
+
+class FrameSampleStage:
+    """Actor-pool video frame sampler: every ``stride``-th frame of
+    the raw-frame payload, one feature row (exact mean byte value)
+    per sampled frame.  The codec boundary is the same as
+    DecodeStage: a real container format would be demuxed here; the
+    raw-frame layout is the deterministic stand-in, and everything
+    Ray-side (actor pool, small batches for large payloads, per-frame
+    explode) is the real shape."""
+
+    def __init__(self, stride: int = 2):
+        self.stride = int(stride)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, fidx, means = [], [], []
+        widths = batch.column("width").to_numpy()
+        heights = batch.column("height").to_numpy()
+        items = batch.column("item_id").to_pylist()
+        for i, p in enumerate(batch.column("payload").to_pylist()):
+            fsize = int(widths[i]) * int(heights[i])
+            arr = np.frombuffer(p, dtype=np.uint8)
+            n_frames = len(arr) // fsize
+            if n_frames == 0:
+                continue
+            frames = arr[:n_frames * fsize].reshape(n_frames, fsize)
+            take = np.arange(0, n_frames, self.stride)
+            m = frames[take].sum(axis=1, dtype=np.int64) / float(fsize)
+            ids.extend([items[i]] * len(take))
+            fidx.append(take.astype(np.int64))
+            means.append(m)
+        return pa.table({
+            "item_id": pa.array(ids, pa.string()),
+            "frame_idx": pa.array(
+                np.concatenate(fidx) if fidx else np.empty(0, np.int64)),
+            "mean": pa.array(
+                np.concatenate(means) if means else np.empty(0)),
+        })
+
+
+def frame_sample_pipeline(ds: "ray.data.Dataset", stride: int = 2,
+                          concurrency: int = 2,
+                          batch_size: int = 32) -> "ray.data.Dataset":
+    """Frame sampling as an actor-pool stage (small batches: payloads
+    are the big column)."""
+    return ds.map_batches(FrameSampleStage,
+                          fn_constructor_kwargs={"stride": stride},
+                          batch_format="pyarrow", batch_size=batch_size,
+                          concurrency=concurrency, num_cpus=0.5)

@@ -664,6 +664,41 @@ SELECT a.item_id, a.media_type, CAST(a.bin AS BIGINT) AS bin,
 FROM agg a JOIN mn ON mn.item_id = a.item_id"""
 
 
+def frame_sample_sql(path: str, stride: int = 2) -> str:
+    """Mirror of extras.multimodal.frame_sample_pipeline over the
+    deterministic video parquet: payload = n_frames x (w*h) raw
+    grayscale frames (trailing partial frame dropped), every
+    ``stride``-th frame kept, mean = exact int byte sum / frame size
+    (bit-identical doubles).  Per-byte access via hex() + strpos,
+    same trick as media_features_sql."""
+    hexmap = "0123456789ABCDEF"
+    return f"""WITH m AS (
+  SELECT item_id,
+         CAST(width AS BIGINT) * CAST(height AS BIGINT) AS fsize,
+         CAST(octet_length(payload) AS BIGINT)
+           // (CAST(width AS BIGINT) * CAST(height AS BIGINT)) AS n_frames,
+         hex(payload) AS h
+  FROM read_parquet('{path}')
+),
+f AS (
+  SELECT item_id, fsize, h,
+         unnest(generate_series(0, n_frames - 1, {stride})) AS frame_idx
+  FROM m WHERE n_frames > 0
+),
+b AS (
+  SELECT item_id, frame_idx, fsize,
+         16 * (strpos('{hexmap}',
+               substr(h, 2 * (frame_idx * fsize + i) + 1, 1)) - 1)
+         + strpos('{hexmap}',
+               substr(h, 2 * (frame_idx * fsize + i) + 2, 1)) - 1 AS byte
+  FROM f,
+       LATERAL (SELECT unnest(generate_series(0, fsize - 1)) AS i) g
+)
+SELECT item_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+       CAST(sum(byte) AS DOUBLE) / any_value(fsize) AS mean
+FROM b GROUP BY item_id, frame_idx"""
+
+
 def cgr_final_sql(path: str) -> str:
     """Final CGR walk point per clean row (vecsize=1): the x/y
     recurrences are separable, so two left-folds with the exact

@@ -492,6 +492,7 @@ def registry() -> dict:
         # pytest until a future head rotation)
         "dsir_weights": q_dsir_weights,
         "quality_filter": q_quality_filter,
+        "frame_sample": q_frame_sample,
     }
     return {**head, **tail}
 
@@ -642,6 +643,8 @@ SELECT CAST(3 AS BIGINT), event_id, user_id, CAST(0 AS BIGINT),
 FROM ({oracle.events_dedup_sql()})""",
         "dsir_weights": oracle.dsir_weights_sql("en", LM_DP),
         "quality_filter": oracle.quality_filter_sql(QF_KEEP_FRAC),
+        "frame_sample": oracle.frame_sample_sql(_video_path(),
+                                                FRAME_STRIDE),
         "decomp_project": f"""\
 SELECT CAST(0 AS BIGINT) AS variant, vec_id, comp, val
 FROM ({oracle.pca_check_sql(f"{sf_dir}/embeddings.parquet",
@@ -657,6 +660,25 @@ FROM ({oracle.kmeans_assign_sql(f"{sf_dir}/embeddings.parquet",
 def _media_path() -> str:
     from .extras.multimodal import ensure_media_parquet
     return ensure_media_parquet()
+
+
+FRAME_STRIDE = 2
+
+
+def _video_path() -> str:
+    from .extras.multimodal import ensure_video_parquet
+    return ensure_video_parquet()
+
+
+def q_frame_sample(sf_dir: str):
+    """Video frame sampling as an actor-pool stage over the
+    deterministic raw-frame video parquet: every stride-th frame's
+    exact mean byte value, gated by a per-byte blob SQL oracle
+    (bit-identical doubles: int sum / frame size)."""
+    from .extras.multimodal import frame_sample_pipeline
+    out = frame_sample_pipeline(ray.data.read_parquet(_video_path()),
+                                stride=FRAME_STRIDE)
+    return out
 
 
 # ---------------------------------------------------------------------------

@@ -305,6 +305,43 @@ def test_real_decode_pnm_bmp(ray_session):
     assert _resize_nearest(exp, 2).shape == (2, 2)
 
 
+def test_frame_sample(ray_session):
+    """Video frame sampling: every stride-th raw frame's exact mean
+    vs an independent numpy reference; 0-frame items drop; trailing
+    partial frames ignored; batch-size invariance."""
+    from kmerray.extras.multimodal import (FrameSampleStage,
+                                           frame_sample_pipeline,
+                                           synth_video_table)
+    t = synth_video_table(80, seed=7)
+    out = frame_sample_pipeline(ray.data.from_arrow(t),
+                                stride=3, batch_size=16).to_pandas()
+
+    # independent per-row reference
+    exp = {}
+    for row in t.to_pylist():
+        fsize = row["width"] * row["height"]
+        arr = np.frombuffer(row["payload"], dtype=np.uint8)
+        nf = len(arr) // fsize
+        for f in range(0, nf, 3):
+            frame = arr[f * fsize:(f + 1) * fsize]
+            exp[(row["item_id"], f)] = frame.sum(dtype=np.int64) / fsize
+    got = {(r.item_id, r.frame_idx): r.mean for r in out.itertuples()}
+    assert got == exp
+    assert len(exp) > 0
+    # 0-frame items produce no rows
+    zero = {r["item_id"] for r in t.to_pylist()
+            if len(r["payload"]) < r["width"] * r["height"]}
+    assert zero and not zero & {k[0] for k in got}
+    # batch-size invariance (incl. a single-row batch path)
+    stage = FrameSampleStage(stride=3)
+    got2 = {}
+    for i in range(t.num_rows):
+        tb = stage(t.slice(i, 1))
+        for r in tb.to_pylist():
+            got2[(r["item_id"], r["frame_idx"])] = r["mean"]
+    assert got2 == exp
+
+
 def test_near_dup_survivors(ray_session, docs_with_dups):
     from kmerray.extras.dedup import near_dup_survivors
     ds = ray.data.from_arrow(docs_with_dups)
