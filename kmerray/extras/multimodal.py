@@ -349,3 +349,111 @@ def frame_sample_pipeline(ds: "ray.data.Dataset", stride: int = 2,
                           fn_constructor_kwargs={"stride": stride},
                           batch_format="pyarrow", batch_size=batch_size,
                           concurrency=concurrency, num_cpus=0.5)
+
+
+def synth_audio_table(n_items: int, seed: int = 44) -> pa.Table:
+    """Deterministic fake audio corpus: payload = little-endian int16
+    PCM mono (a real container/codec would be decoded upstream; the
+    raw-PCM layout is the documented fake).  Some items get an odd
+    trailing byte (half a sample) and some are shorter than one
+    window (0-window edge)."""
+    rng = np.random.default_rng([seed, n_items])
+    ids, payloads = [], []
+    for i in range(n_items):
+        if i % 19 == 0:                       # degenerate: < one window
+            n_samples = int(rng.integers(0, 64))
+        else:
+            n_samples = int(rng.integers(200, 1500))
+        pcm = rng.integers(-32768, 32768, n_samples,
+                           dtype=np.int16).astype("<i2").tobytes()
+        if i % 7 == 0:
+            pcm += b"\x5a"                    # odd trailing byte
+        ids.append(f"aud-{i:06d}")
+        payloads.append(pcm)
+    return pa.table({
+        "item_id": pa.array(ids),
+        "payload": pa.array(payloads, pa.binary()),
+        "media_type": pa.array(["audio"] * n_items),
+        "sample_rate": pa.array(np.full(n_items, 16000, np.int32)),
+    })
+
+
+def ensure_audio_parquet(n_items: int = 150, seed: int = 44) -> str:
+    """Write-once deterministic audio parquet (same shared-cache
+    pattern as ensure_media_parquet)."""
+    import json
+    import os
+
+    import pyarrow.parquet as pq
+
+    from ..sources.synth import CACHE_ROOT
+    out_dir = os.path.join(CACHE_ROOT, f"audio-n{n_items}-s{seed}-v1")
+    path = os.path.join(out_dir, "audio.parquet")
+    marker = os.path.join(out_dir, "_SUCCESS")
+    if os.path.exists(marker):
+        return path
+    tmp_dir = out_dir + f".tmp.{os.getpid()}"
+    os.makedirs(tmp_dir, exist_ok=True)
+    pq.write_table(synth_audio_table(n_items, seed=seed),
+                   os.path.join(tmp_dir, "audio.parquet"),
+                   row_group_size=64)
+    with open(os.path.join(tmp_dir, "_SUCCESS"), "w") as fh:
+        json.dump({"n_items": n_items, "seed": seed}, fh)
+    try:
+        os.rename(tmp_dir, out_dir)
+    except OSError:
+        if not os.path.exists(marker):
+            raise
+        import shutil
+        shutil.rmtree(tmp_dir, ignore_errors=True)
+    return path
+
+
+class AudioEnergyStage:
+    """Actor-pool windowed audio energy: mean-square sample energy
+    per hop-strided window over the int16 PCM payload (overlapping
+    windows when hop < win).  Exact integer square-sums via a single
+    int64 cumsum, so the per-window energy is one subtraction — the
+    whole item is vectorized regardless of window count.  Odd
+    trailing bytes (half a sample) and sub-window items drop, same
+    trim rule as FrameSampleStage's partial frames."""
+
+    def __init__(self, win: int = 128, hop: int = 64):
+        if win <= 0 or hop <= 0:
+            raise ValueError("win and hop must be positive")
+        self.win = int(win)
+        self.hop = int(hop)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        win, hop = self.win, self.hop
+        ids, widx, energy = [], [], []
+        items = batch.column("item_id").to_pylist()
+        for i, p in enumerate(batch.column("payload").to_pylist()):
+            n = len(p) // 2
+            if n < win:
+                continue
+            s = np.frombuffer(p, dtype="<i2", count=n).astype(np.int64)
+            csq = np.zeros(n + 1, np.int64)
+            np.cumsum(s * s, out=csq[1:])
+            starts = np.arange(0, n - win + 1, hop, dtype=np.int64)
+            e = (csq[starts + win] - csq[starts]) / float(win)
+            ids.extend([items[i]] * len(starts))
+            widx.append(np.arange(len(starts), dtype=np.int64))
+            energy.append(e)
+        return pa.table({
+            "item_id": pa.array(ids, pa.string()),
+            "win_idx": pa.array(
+                np.concatenate(widx) if widx else np.empty(0, np.int64)),
+            "energy": pa.array(
+                np.concatenate(energy) if energy else np.empty(0)),
+        })
+
+
+def audio_energy_pipeline(ds: "ray.data.Dataset", win: int = 128,
+                          hop: int = 64, concurrency: int = 2,
+                          batch_size: int = 32) -> "ray.data.Dataset":
+    """Windowed audio energy as an actor-pool stage."""
+    return ds.map_batches(AudioEnergyStage,
+                          fn_constructor_kwargs={"win": win, "hop": hop},
+                          batch_format="pyarrow", batch_size=batch_size,
+                          concurrency=concurrency, num_cpus=0.5)

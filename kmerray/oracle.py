@@ -699,6 +699,50 @@ SELECT item_id, CAST(frame_idx AS BIGINT) AS frame_idx,
 FROM b GROUP BY item_id, frame_idx"""
 
 
+def audio_energy_sql(path: str, win: int = 128, hop: int = 64) -> str:
+    """Mirror of extras.multimodal.audio_energy_pipeline over the
+    deterministic audio parquet: payload = little-endian int16 PCM
+    (odd trailing byte dropped), hop-strided windows of ``win``
+    samples, energy = exact int square-sum / win (bit-identical
+    doubles).  Sample j = bytes 2j (lo) + 2j+1 (hi), sign via the
+    high byte; per-byte access through hex() + strpos like
+    media_features_sql."""
+    hexmap = "0123456789ABCDEF"
+    return f"""WITH m AS (
+  SELECT item_id,
+         CAST(octet_length(payload) AS BIGINT) // 2 AS n_samples,
+         hex(payload) AS h
+  FROM read_parquet('{path}')
+),
+w AS (
+  SELECT item_id, h,
+         unnest(generate_series(0, (n_samples - {win}) // {hop}))
+           AS win_idx
+  FROM m WHERE n_samples >= {win}
+),
+b AS (
+  SELECT item_id, win_idx,
+         16 * (strpos('{hexmap}',
+               substr(h, 4 * (win_idx * {hop} + i) + 1, 1)) - 1)
+         + strpos('{hexmap}',
+               substr(h, 4 * (win_idx * {hop} + i) + 2, 1)) - 1 AS lo,
+         16 * (strpos('{hexmap}',
+               substr(h, 4 * (win_idx * {hop} + i) + 3, 1)) - 1)
+         + strpos('{hexmap}',
+               substr(h, 4 * (win_idx * {hop} + i) + 4, 1)) - 1 AS hi
+  FROM w,
+       LATERAL (SELECT unnest(generate_series(0, {win} - 1)) AS i) g
+),
+s AS (
+  SELECT item_id, win_idx,
+         lo + 256 * hi - CASE WHEN hi >= 128 THEN 65536 ELSE 0 END AS v
+  FROM b
+)
+SELECT item_id, CAST(win_idx AS BIGINT) AS win_idx,
+       CAST(sum(v * v) AS DOUBLE) / {win} AS energy
+FROM s GROUP BY item_id, win_idx"""
+
+
 def cgr_final_sql(path: str) -> str:
     """Final CGR walk point per clean row (vecsize=1): the x/y
     recurrences are separable, so two left-folds with the exact

@@ -493,6 +493,7 @@ def registry() -> dict:
         "dsir_weights": q_dsir_weights,
         "quality_filter": q_quality_filter,
         "frame_sample": q_frame_sample,
+        "audio_energy": q_audio_energy,
     }
     return {**head, **tail}
 
@@ -645,6 +646,8 @@ FROM ({oracle.events_dedup_sql()})""",
         "quality_filter": oracle.quality_filter_sql(QF_KEEP_FRAC),
         "frame_sample": oracle.frame_sample_sql(_video_path(),
                                                 FRAME_STRIDE),
+        "audio_energy": oracle.audio_energy_sql(_audio_path(),
+                                                AUDIO_WIN, AUDIO_HOP),
         "decomp_project": f"""\
 SELECT CAST(0 AS BIGINT) AS variant, vec_id, comp, val
 FROM ({oracle.pca_check_sql(f"{sf_dir}/embeddings.parquet",
@@ -663,11 +666,27 @@ def _media_path() -> str:
 
 
 FRAME_STRIDE = 2
+AUDIO_WIN = 128
+AUDIO_HOP = 64
 
 
 def _video_path() -> str:
     from .extras.multimodal import ensure_video_parquet
     return ensure_video_parquet()
+
+
+def _audio_path() -> str:
+    from .extras.multimodal import ensure_audio_parquet
+    return ensure_audio_parquet()
+
+
+def q_audio_energy(sf_dir: str):
+    """Windowed audio energy over the deterministic int16-PCM
+    parquet: hop-strided mean-square per window, gated by a per-byte
+    blob SQL oracle (bit-identical doubles: int square-sum / win)."""
+    from .extras.multimodal import audio_energy_pipeline
+    return audio_energy_pipeline(ray.data.read_parquet(_audio_path()),
+                                 win=AUDIO_WIN, hop=AUDIO_HOP)
 
 
 def q_frame_sample(sf_dir: str):

@@ -342,6 +342,39 @@ def test_frame_sample(ray_session):
     assert got2 == exp
 
 
+def test_audio_energy(ray_session):
+    """Windowed audio energy: overlapping hop-strided windows vs a
+    direct per-window numpy reference; odd trailing byte trimmed;
+    sub-window items drop."""
+    from kmerray.extras.multimodal import (AudioEnergyStage,
+                                           audio_energy_pipeline,
+                                           synth_audio_table)
+    t = synth_audio_table(60, seed=11)
+    win, hop = 96, 32
+    out = audio_energy_pipeline(ray.data.from_arrow(t), win=win, hop=hop,
+                                batch_size=16).to_pandas()
+
+    exp = {}
+    for row in t.to_pylist():
+        p = row["payload"]
+        n = len(p) // 2
+        s = np.frombuffer(p[:2 * n], dtype="<i2").astype(np.int64)
+        for w, start in enumerate(range(0, n - win + 1, hop)):
+            seg = s[start:start + win]
+            exp[(row["item_id"], w)] = float((seg * seg).sum()) / win
+    got = {(r.item_id, r.win_idx): r.energy for r in out.itertuples()}
+    assert got == exp and len(exp) > 0
+    # sub-window items produce no rows
+    short = {r["item_id"] for r in t.to_pylist()
+             if len(r["payload"]) // 2 < win}
+    assert short and not short & {k[0] for k in got}
+    # hop == win degenerates to non-overlapping tiling
+    s2 = AudioEnergyStage(win=64, hop=64)
+    tb = s2(t.slice(1, 1))
+    n1 = len(t.to_pylist()[1]["payload"]) // 2
+    assert tb.num_rows == max(0, (n1 - 64) // 64 + 1)
+
+
 def test_near_dup_survivors(ray_session, docs_with_dups):
     from kmerray.extras.dedup import near_dup_survivors
     ds = ray.data.from_arrow(docs_with_dups)
