@@ -1,0 +1,127 @@
+"""PII pattern counting + scrubbing — a standard training-data
+hygiene stage (emails / URLs / phone numbers -> typed placeholder
+tokens).
+
+Stateless vectorized ``map_batches``: pandas ``str.count`` /
+``str.replace`` run the compiled C regex engine over whole columns,
+no per-row Python.  The corpus never shuffles — each doc is scored
+and scrubbed independently, so at 100 TB this stage streams with
+zero exchanges.
+
+Patterns are deliberately restricted to constructs with identical
+semantics in Python ``re`` and DuckDB's RE2 (character classes,
+counted repetition, alternation of literal prefixes; no lookaround,
+no backrefs), so the DuckDB oracle mirrors the engine exactly.
+Scrub order is URL -> EMAIL -> PHONE (URLs may contain userinfo
+'@'; placeholders contain no scrubbable substrings, so later passes
+never touch earlier replacements).
+
+The reference has no text-hygiene surface; this is a prompt-mandated
+training-data extra (no reference counterpart to cite).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data
+
+# RE2-and-Python-identical patterns (see module docstring)
+URL_PATTERN = r"https?://[A-Za-z0-9@._%+/-]+"
+EMAIL_PATTERN = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_PATTERN = r"[0-9]{3}-[0-9]{3}-[0-9]{4}"
+
+# scrub order matters and is part of the contract (docstring above)
+SCRUB_STEPS = (
+    (URL_PATTERN, "<URL>"),
+    (EMAIL_PATTERN, "<EMAIL>"),
+    (PHONE_PATTERN, "<PHONE>"),
+)
+
+
+def pii_scrub_fn(batch: pd.DataFrame) -> pd.DataFrame:
+    """Per-doc PII counts (on the ORIGINAL text) + scrubbed text."""
+    out = batch[["doc_id"]].copy()
+    text = batch["text"]
+    out["n_urls"] = text.str.count(URL_PATTERN).astype("int64")
+    out["n_emails"] = text.str.count(EMAIL_PATTERN).astype("int64")
+    out["n_phones"] = text.str.count(PHONE_PATTERN).astype("int64")
+    scrubbed = text
+    for pat, token in SCRUB_STEPS:
+        scrubbed = scrubbed.str.replace(pat, token, regex=True)
+    out["scrubbed"] = scrubbed
+    return out
+
+
+def pii_scrub_pipeline(ds: "ray.data.Dataset") -> "ray.data.Dataset":
+    return ds.map_batches(pii_scrub_fn, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# deterministic web-text fixture (the sf documents corpus contains no
+# PII-shaped strings, so the op gets its own injected corpus — same
+# shared-cache pattern as the media/video/audio parquets)
+# ---------------------------------------------------------------------------
+
+_FILLER = ("the data line fast table row batch scan merge sort window "
+           "group key value part query column stream join filter").split()
+
+
+def synth_webtext_table(n_docs: int, seed: int = 45) -> pa.Table:
+    rng = np.random.default_rng([seed, n_docs])
+    ids, texts = [], []
+    for i in range(n_docs):
+        words = list(rng.choice(_FILLER, size=int(rng.integers(5, 40))))
+        for _ in range(int(rng.integers(0, 4))):       # emails
+            words.insert(int(rng.integers(0, len(words) + 1)),
+                         f"user{rng.integers(1000)}"
+                         f"@mail{rng.integers(100)}.example.com")
+        for _ in range(int(rng.integers(0, 3))):       # urls
+            words.insert(int(rng.integers(0, len(words) + 1)),
+                         f"https://site{rng.integers(100)}.example/"
+                         f"p/{rng.integers(10000)}")
+        for _ in range(int(rng.integers(0, 3))):       # phones
+            words.insert(int(rng.integers(0, len(words) + 1)),
+                         f"{rng.integers(100, 1000)}-"
+                         f"{rng.integers(100, 1000)}-"
+                         f"{rng.integers(1000, 10000)}")
+        if i % 23 == 0:      # url with userinfo '@' (order-of-scrub edge)
+            words.append(f"http://u{rng.integers(100)}@host.example/x")
+        if i % 31 == 0:      # adjacent pii, no filler between
+            words.append("a@b.example.com https://c.example/d "
+                         "555-123-4567")
+        ids.append(i)
+        texts.append(" ".join(words))
+    return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                     "text": pa.array(texts)})
+
+
+def ensure_webtext_parquet(n_docs: int = 400, seed: int = 45) -> str:
+    import json
+    import os
+
+    import pyarrow.parquet as pq
+
+    from ..sources.synth import CACHE_ROOT
+    out_dir = os.path.join(CACHE_ROOT, f"webtext-n{n_docs}-s{seed}-v1")
+    path = os.path.join(out_dir, "webtext.parquet")
+    marker = os.path.join(out_dir, "_SUCCESS")
+    if os.path.exists(marker):
+        return path
+    tmp_dir = out_dir + f".tmp.{os.getpid()}"
+    os.makedirs(tmp_dir, exist_ok=True)
+    pq.write_table(synth_webtext_table(n_docs, seed=seed),
+                   os.path.join(tmp_dir, "webtext.parquet"),
+                   row_group_size=128)
+    with open(os.path.join(tmp_dir, "_SUCCESS"), "w") as fh:
+        json.dump({"n_docs": n_docs, "seed": seed}, fh)
+    try:
+        os.rename(tmp_dir, out_dir)
+    except OSError:
+        if not os.path.exists(marker):
+            raise
+        import shutil
+        shutil.rmtree(tmp_dir, ignore_errors=True)
+    return path

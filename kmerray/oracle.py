@@ -743,6 +743,25 @@ SELECT item_id, CAST(win_idx AS BIGINT) AS win_idx,
 FROM s GROUP BY item_id, win_idx"""
 
 
+def pii_scrub_sql(path: str) -> str:
+    """Mirror of extras.pii.pii_scrub_pipeline: pattern counts on the
+    original text + URL->EMAIL->PHONE ordered regexp_replace.  The
+    patterns are restricted to RE2-and-Python-identical constructs
+    (see extras/pii.py docstring), so counts and scrub output match
+    exactly."""
+    from .extras.pii import SCRUB_STEPS
+    expr = "text"
+    for pat, token in SCRUB_STEPS:
+        expr = f"regexp_replace({expr}, '{pat}', '{token}', 'g')"
+    (url_p, _), (email_p, _), (phone_p, _) = SCRUB_STEPS
+    return f"""SELECT doc_id,
+  CAST(len(regexp_extract_all(text, '{url_p}')) AS BIGINT) AS n_urls,
+  CAST(len(regexp_extract_all(text, '{email_p}')) AS BIGINT) AS n_emails,
+  CAST(len(regexp_extract_all(text, '{phone_p}')) AS BIGINT) AS n_phones,
+  {expr} AS scrubbed
+FROM read_parquet('{path}')"""
+
+
 def cgr_final_sql(path: str) -> str:
     """Final CGR walk point per clean row (vecsize=1): the x/y
     recurrences are separable, so two left-folds with the exact

@@ -494,6 +494,7 @@ def registry() -> dict:
         "quality_filter": q_quality_filter,
         "frame_sample": q_frame_sample,
         "audio_energy": q_audio_energy,
+        "pii_scrub": q_pii_scrub,
     }
     return {**head, **tail}
 
@@ -648,6 +649,7 @@ FROM ({oracle.events_dedup_sql()})""",
                                                 FRAME_STRIDE),
         "audio_energy": oracle.audio_energy_sql(_audio_path(),
                                                 AUDIO_WIN, AUDIO_HOP),
+        "pii_scrub": oracle.pii_scrub_sql(_webtext_path()),
         "decomp_project": f"""\
 SELECT CAST(0 AS BIGINT) AS variant, vec_id, comp, val
 FROM ({oracle.pca_check_sql(f"{sf_dir}/embeddings.parquet",
@@ -673,6 +675,20 @@ AUDIO_HOP = 64
 def _video_path() -> str:
     from .extras.multimodal import ensure_video_parquet
     return ensure_video_parquet()
+
+
+def _webtext_path() -> str:
+    from .extras.pii import ensure_webtext_parquet
+    return ensure_webtext_parquet()
+
+
+def q_pii_scrub(sf_dir: str):
+    """PII counting + scrubbing over the deterministic injected
+    web-text parquet: per-doc URL/email/phone counts on the original
+    text plus ordered placeholder substitution, bit-identical to the
+    RE2 oracle (patterns restricted to the dialect intersection)."""
+    from .extras.pii import pii_scrub_pipeline
+    return pii_scrub_pipeline(ray.data.read_parquet(_webtext_path()))
 
 
 def _audio_path() -> str:

@@ -375,6 +375,46 @@ def test_audio_energy(ray_session):
     assert tb.num_rows == max(0, (n1 - 64) // 64 + 1)
 
 
+def test_pii_scrub(ray_session):
+    """PII counts + ordered scrub vs a direct ``re`` reference,
+    including the userinfo-URL and adjacent-PII edges."""
+    import re
+
+    from kmerray.extras.pii import (SCRUB_STEPS, pii_scrub_fn,
+                                    pii_scrub_pipeline,
+                                    synth_webtext_table)
+    t = synth_webtext_table(120, seed=9)
+    out = pii_scrub_pipeline(ray.data.from_arrow(t)).to_pandas() \
+        .set_index("doc_id").sort_index()
+
+    url_p, email_p, phone_p = (p for p, _ in SCRUB_STEPS)
+    for row in t.to_pylist():
+        txt = row["text"]
+        r = out.loc[row["doc_id"]]
+        assert r["n_urls"] == len(re.findall(url_p, txt))
+        assert r["n_emails"] == len(re.findall(email_p, txt))
+        assert r["n_phones"] == len(re.findall(phone_p, txt))
+        s = txt
+        for pat, token in SCRUB_STEPS:
+            s = re.sub(pat, token, s)
+        assert r["scrubbed"] == s
+    # the fixture actually contains every pattern kind
+    assert out["n_urls"].sum() > 0
+    assert out["n_emails"].sum() > 0
+    assert out["n_phones"].sum() > 0
+    # userinfo URL scrubs as ONE url (the '@' rides the URL pass)
+    tb = pa.table({"doc_id": pa.array([0], pa.int64()),
+                   "text": pa.array(["x http://u@h.example/p y"])})
+    r0 = pii_scrub_fn(tb.to_pandas()).iloc[0]
+    assert r0["scrubbed"] == "x <URL> y"
+    assert r0["n_urls"] == 1
+    # no pii at all -> text unchanged
+    tb2 = pa.table({"doc_id": pa.array([1], pa.int64()),
+                    "text": pa.array(["plain words only"])})
+    assert pii_scrub_fn(tb2.to_pandas()).iloc[0]["scrubbed"] \
+        == "plain words only"
+
+
 def test_near_dup_survivors(ray_session, docs_with_dups):
     from kmerray.extras.dedup import near_dup_survivors
     ds = ray.data.from_arrow(docs_with_dups)
