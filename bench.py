@@ -260,6 +260,30 @@ def run_bench() -> dict:
                                 batch_format="pandas")).count())
     timed("quality_filter", lambda: quality_filter(docs()).count())
 
+    # r4 multimodal + hygiene legs: actor-pool stages over opaque
+    # binary payloads (synth built OUTSIDE the timer, sliced into
+    # blocks so the pool actually fans out) and the PII regex scan
+    # over the full doc corpus (pattern-miss scanning is the 100-TB
+    # common case; the injected-fixture correctness path lives in
+    # queries.py / check_oracle)
+    from kmerray.extras.multimodal import (audio_energy_pipeline,
+                                           frame_sample_pipeline,
+                                           synth_audio_table,
+                                           synth_video_table)
+    from kmerray.extras.pii import pii_scrub_pipeline
+
+    def _blocks(t, n=32):
+        step = max(1, t.num_rows // n)
+        return ray.data.from_arrow(
+            [t.slice(i, step) for i in range(0, t.num_rows, step)])
+    aud = synth_audio_table(max(2_000, int(20_000 * sf / 0.1)))
+    vid = synth_video_table(max(1_000, int(8_000 * sf / 0.1)))
+    timed("audio_energy", lambda: audio_energy_pipeline(
+        _blocks(aud), concurrency=8).count())
+    timed("frame_sample", lambda: frame_sample_pipeline(
+        _blocks(vid), concurrency=8).count())
+    timed("pii_scrub", lambda: pii_scrub_pipeline(docs()).count())
+
     def _with_lang(b):
         b = b.copy()
         b["lang"] = np.array(["en", "de", "fr", "es", "zh"],

@@ -399,17 +399,13 @@ def registry() -> dict:
         "m2s_index_counts": q_m2s_index_counts,
         "cov_hist": q_cov_hist,
         "asof_snapshots": q_asof_snapshots,
-        "asof_cov_hist": q_asof_cov_hist,
-        "asof_backfill": q_asof_backfill,
-        "lag_lead": q_lag_lead,
-        "sessionize": q_sessionize,
+        "asof_lagged": q_asof_lagged,
+        "windowed_all": q_windowed_all,
         # --- relational ---
         "pricing_summary": q_pricing_summary,
         "revenue_by_nation": q_revenue_by_nation,
-        "high_qty_orders": q_high_qty_orders,
-        "cust_no_big_order": q_cust_no_big_order,
-        "shipping_priority": q_shipping_priority,
-        "cust_order_rollup": q_cust_order_rollup,
+        "relational_exist": q_relational_exist,
+        "relational_rank": q_relational_rank,
         # --- text analysis ---
         "doc_stats": q_doc_stats,
         "lang_id": q_lang_id,
@@ -441,16 +437,30 @@ def registry() -> dict:
         "events_hourly": q_events_hourly,
         "events_enriched": q_events_enriched,
         "events_sessions": q_events_sessions,
-        "events_distinct": q_events_distinct,
-        "events_funnel": q_events_funnel,
+        "events_flow": q_events_flow,
         # --- decompositions / multimodal ---
         "decomp_project": q_decomp_project,
         "cluster_reps": q_cluster_reps,
         "media_features": q_media_features,
+        "frame_sample": q_frame_sample,
+        "audio_energy": q_audio_energy,
+        "pii_scrub": q_pii_scrub,
+        "dsir_weights": q_dsir_weights,
+        "quality_filter": q_quality_filter,
     }
     assert len(head) == 50, f"registry head must be 50, got {len(head)}"
     tail = {
         # composite constituents (hash-gated individually here)
+        "asof_cov_hist": q_asof_cov_hist,
+        "asof_backfill": q_asof_backfill,
+        "lag_lead": q_lag_lead,
+        "sessionize": q_sessionize,
+        "high_qty_orders": q_high_qty_orders,
+        "cust_no_big_order": q_cust_no_big_order,
+        "shipping_priority": q_shipping_priority,
+        "cust_order_rollup": q_cust_order_rollup,
+        "events_distinct": q_events_distinct,
+        "events_funnel": q_events_funnel,
         "cfv_raw": q_cfv_raw,
         "minimisers_s2m": q_minimisers,
         "whole_seq_minimiser": q_whole_seq_minimiser,
@@ -488,13 +498,6 @@ def registry() -> dict:
         "simhash_pairs": q_simhash_pairs,
         "emb_near_dup_lsh": q_emb_near_dup_lsh,
         "pca_project": q_pca_project,
-        # round-4 additions (new ops, evidenced via check_oracle +
-        # pytest until a future head rotation)
-        "dsir_weights": q_dsir_weights,
-        "quality_filter": q_quality_filter,
-        "frame_sample": q_frame_sample,
-        "audio_energy": q_audio_energy,
-        "pii_scrub": q_pii_scrub,
     }
     return {**head, **tail}
 
@@ -643,6 +646,42 @@ UNION ALL
 SELECT CAST(3 AS BIGINT), event_id, user_id, CAST(0 AS BIGINT),
        CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT)
 FROM ({oracle.events_dedup_sql()})""",
+        "relational_exist": f"""\
+SELECT CAST(0 AS BIGINT) AS variant, o_orderpriority AS key_str,
+       CAST(-1 AS BIGINT) AS key_id, n_orders AS n
+FROM ({oracle.high_qty_orders_sql(JOIN_MIN_QTY)})
+UNION ALL
+SELECT CAST(1 AS BIGINT), c_mktsegment, c_custkey, CAST(0 AS BIGINT)
+FROM ({oracle.cust_no_big_order_sql(JOIN_MIN_TOTAL)})""",
+        "relational_rank": f"""\
+SELECT CAST(0 AS BIGINT) AS variant, o_orderkey AS key,
+       o_orderpriority AS cat, o_date_us AS val1, revenue_e4 AS val2
+FROM ({oracle.shipping_priority_sql()})
+UNION ALL
+SELECT CAST(1 AS BIGINT), c_custkey, c_mktsegment,
+       CAST(n_orders AS DOUBLE), CAST(sum_cents AS DOUBLE)
+FROM ({oracle.cust_order_rollup_sql()})""",
+        "windowed_all": f"""\
+SELECT CAST(0 AS BIGINT) AS variant, doc_id, prev_n_tok AS v1,
+       next_n_tok AS v2
+FROM ({oracle.lag_lead_sql(path)})
+UNION ALL
+SELECT CAST(1 AS BIGINT), doc_id, session_seq, CAST(0 AS BIGINT)
+FROM ({oracle.sessionize_sql(path, SESSION_GAP_US)})""",
+        "events_flow": f"""\
+SELECT CAST(0 AS BIGINT) AS variant, event_type AS key_str,
+       win AS k1, n_events AS k2, n_users AS k3
+FROM ({oracle.events_distinct_sql()})
+UNION ALL
+SELECT CAST(1 AS BIGINT), '', user_id, abc_ts_us, CAST(0 AS BIGINT)
+FROM ({oracle.events_funnel_sql()})""",
+        "asof_lagged": f"""\
+SELECT CAST(0 AS BIGINT) AS variant, doc_id, bin, val
+FROM ({oracle.asof_cov_hist_sql(path, K_ASOF, *ASOF_BINS)})
+UNION ALL
+SELECT CAST(1 AS BIGINT), doc_id, bin, val
+FROM ({oracle.asof_backfill_sql(path, K_ASOF, *ASOF_BINS,
+                                BACKFILL_LAG_DAYS)})""",
         "dsir_weights": oracle.dsir_weights_sql("en", LM_DP),
         "quality_filter": oracle.quality_filter_sql(QF_KEEP_FRAC),
         "frame_sample": oracle.frame_sample_sql(_video_path(),
@@ -1368,6 +1407,125 @@ def _as_ds(x) -> "ray.data.Dataset":
     """Composites accept constituents that return either a Dataset or
     a small driver-side DataFrame (e.g. quantile picks)."""
     return x if hasattr(x, "map_batches") else ray.data.from_pandas(x)
+
+
+def q_relational_exist(sf_dir: str):
+    """Existence joins under both polarities: semi (variant 0,
+    per-priority counts of high-quantity orders) UNION anti
+    (variant 1, customers with no big order)."""
+    semi = q_high_qty_orders(sf_dir)
+    anti = q_cust_no_big_order(sf_dir)
+
+    def pad_s(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "variant": _const_i64(len(b), 0),
+            "key_str": b["o_orderpriority"],
+            "key_id": _const_i64(len(b), -1),
+            "n": b["n_orders"].astype(np.int64)})
+
+    def pad_a(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "variant": _const_i64(len(b), 1),
+            "key_str": b["c_mktsegment"],
+            "key_id": b["c_custkey"].astype(np.int64),
+            "n": _const_i64(len(b), 0)})
+
+    return (semi.map_batches(pad_s, batch_format="pandas")
+            .union(anti.map_batches(pad_a, batch_format="pandas")))
+
+
+def q_relational_rank(sf_dir: str):
+    """Ranked relational results: Q3-style top-k shipping priority
+    (variant 0) UNION LEFT-OUTER customer order rollup (variant 1);
+    exact int64 cents/counts ride as doubles (< 2^53)."""
+    topk = q_shipping_priority(sf_dir)
+    roll = q_cust_order_rollup(sf_dir)
+
+    def pad_t(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "variant": _const_i64(len(b), 0),
+            "key": b["o_orderkey"].astype(np.int64),
+            "cat": b["o_orderpriority"],
+            "val1": b["o_date_us"].astype(np.float64),
+            "val2": b["revenue_e4"].astype(np.float64)})
+
+    def pad_r(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "variant": _const_i64(len(b), 1),
+            "key": b["c_custkey"].astype(np.int64),
+            "cat": b["c_mktsegment"],
+            "val1": b["n_orders"].astype(np.float64),
+            "val2": b["sum_cents"].astype(np.float64)})
+
+    return (topk.map_batches(pad_t, batch_format="pandas")
+            .union(roll.map_batches(pad_r, batch_format="pandas")))
+
+
+def q_windowed_all(sf_dir: str):
+    """Ordered-window features over one source partitioning: lag/lead
+    neighbors (variant 0) UNION gap-sessionization (variant 1)."""
+    ll = q_lag_lead(sf_dir)
+    ss = q_sessionize(sf_dir)
+
+    def pad_l(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "variant": _const_i64(len(b), 0), "doc_id": b["doc_id"],
+            "v1": b["prev_n_tok"].astype(np.int64),
+            "v2": b["next_n_tok"].astype(np.int64)})
+
+    def pad_s(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "variant": _const_i64(len(b), 1), "doc_id": b["doc_id"],
+            "v1": b["session_seq"].astype(np.int64),
+            "v2": _const_i64(len(b), 0)})
+
+    return (ll.map_batches(pad_l, batch_format="pandas")
+            .union(ss.map_batches(pad_s, batch_format="pandas")))
+
+
+def q_events_flow(sf_dir: str):
+    """Event-stream analytics: exact distinct-user window counts
+    (variant 0) UNION earliest funnel completions (variant 1)."""
+    dist = q_events_distinct(sf_dir)
+    fun = q_events_funnel(sf_dir)
+
+    def pad_d(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "variant": _const_i64(len(b), 0),
+            "key_str": b["event_type"],
+            "k1": b["win"].astype(np.int64),
+            "k2": b["n_events"].astype(np.int64),
+            "k3": b["n_users"].astype(np.int64)})
+
+    def pad_f(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "variant": _const_i64(len(b), 1),
+            "key_str": np.full(len(b), "", dtype=object),
+            "k1": b["user_id"].astype(np.int64),
+            "k2": b["abc_ts_us"].astype(np.int64),
+            "k3": _const_i64(len(b), 0)})
+
+    return (dist.map_batches(pad_d, batch_format="pandas")
+            .union(fun.map_batches(pad_f, batch_format="pandas")))
+
+
+def q_asof_lagged(sf_dir: str):
+    """Point-in-time coverage under both lookup clocks: as-of ingest
+    ts (variant 0) UNION backfill as-of ts - lag (variant 1); the
+    two constituents share one output schema already."""
+    now = q_asof_cov_hist(sf_dir)
+    lag = q_asof_backfill(sf_dir)
+
+    def pad(variant):
+        def fn(b: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({
+                "variant": _const_i64(len(b), variant),
+                "doc_id": b["doc_id"], "bin": b["bin"].astype(np.int64),
+                "val": b["val"].astype(np.int64)})
+        return fn
+
+    return (now.map_batches(pad(0), batch_format="pandas")
+            .union(lag.map_batches(pad(1), batch_format="pandas")))
 
 
 def q_minimisers_all(sf_dir: str):
