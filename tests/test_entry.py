@@ -35,3 +35,41 @@ def test_registries_consistent():
     src = inspect.getsource(oracle_registry)
     for key in qs:
         assert callable(qs[key])
+
+
+def test_registry_head_covers_families():
+    """The driver runs the FIRST 50 registry entries; this pins the
+    head at exactly 50 and asserts one representative per op family
+    so a future edit can't silently push a family out of driver
+    evidence (VERDICT r3 next #1)."""
+    import __ray_entry__ as e
+    head = list(e.queries())[:50]
+    required = {
+        # reference §2 surface
+        "kmer_counts_per_doc", "ctr_global_counts", "cfv_norm",
+        "oligo_cgr", "cgr_final", "minimisers_all", "m2s_index_counts",
+        "cov_hist", "asof_snapshots", "asof_lagged", "windowed_all",
+        # relational
+        "pricing_summary", "revenue_by_nation", "relational_exist",
+        "relational_rank",
+        # text
+        "doc_stats", "lang_id", "rep_stats", "chunk_windows",
+        "text_rewrite", "df_counts", "tfidf_topk", "bigram_stats",
+        "unigram_logprob", "decontam", "zscore_by_source",
+        "top_quality_per_lang", "dsir_weights", "quality_filter",
+        "pii_scrub",
+        # dedup / similarity
+        "dedup_survivors2", "ngram_dupes", "near_dup_survivors",
+        "simhash_recall", "dup_spans", "emb_near_dup", "ann_topk",
+        "ann_topk_ivf_indexed",
+        # scans / sampling / events
+        "scan_features", "quantiles_all", "sampling_flags",
+        "events_hourly", "events_enriched", "events_sessions",
+        "events_flow",
+        # decompositions / multimodal
+        "decomp_project", "cluster_reps", "media_features",
+        "frame_sample", "audio_energy",
+    }
+    assert len(head) == 50
+    missing = required - set(head)
+    assert not missing, f"families missing from driver head: {missing}"
