@@ -242,3 +242,75 @@ def cluster_representatives(ds: "ray.data.Dataset", n_clusters: int = 8,
         return pd.DataFrame({"cluster": b["cluster"].astype(np.int64),
                              "vec_id": b["vec_id"].astype(np.int64)})
     return top.map_batches(shape, batch_format="pandas")
+
+
+def semdedup_survivors(ds: "ray.data.Dataset", n_clusters: int = 8,
+                       iters: int = 5,
+                       threshold: float = 0.4) -> "ray.data.Dataset":
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540, public method): k-means the embedding space,
+    then WITHIN each cluster drop every vector that has a lower-id
+    neighbor at cosine >= threshold.  The domination rule is
+    per-pair and non-iterative (survivor iff no lower-id same-cluster
+    neighbor above the bar), so it is deterministic and exactly
+    SQL-expressible (NOT EXISTS), unlike transitive-closure grouping.
+
+    Scale: the quadratic within-cluster comparison is the method's
+    intended shape — n_clusters grows with the corpus (the paper runs
+    ~50k clusters at LAION scale) so cluster populations stay bounded;
+    the cluster shuffle is the only exchange, embeddings ride it
+    once, and the per-group matmul is blocked so peak memory is
+    O(block x cluster), not O(cluster^2)."""
+    from .similarity import _normalize
+    cent = kmeans_fit(ds, n_clusters, iters)
+    assigned = _assign_with_embedding(ds, cent)
+
+    def dedup_group(g: pd.DataFrame) -> pd.DataFrame:
+        order = np.argsort(g["vec_id"].to_numpy())
+        ids = g["vec_id"].to_numpy()[order]
+        m = _normalize(np.stack(g["embedding"].to_numpy())[order]
+                       .astype(np.float64))
+        n = len(ids)
+        victim = np.zeros(n, bool)
+        for s0 in range(0, n, 1024):          # blocked rows: i-range
+            s1 = min(s0 + 1024, n)
+            sim = m[s0:s1] @ m.T              # (block, n)
+            hit = sim >= threshold
+            # victim i iff any j < i hits (strict lower triangle)
+            hit &= np.arange(n)[None, :] < np.arange(s0, s1)[:, None]
+            victim[s0:s1] = hit.any(axis=1)
+        keep = ~victim
+        return pd.DataFrame({
+            "vec_id": ids[keep].astype(np.int64),
+            "cluster": np.full(int(keep.sum()),
+                               int(g["cluster"].iloc[0]), np.int64)})
+
+    return assigned.groupby("cluster").map_groups(
+        dedup_group, batch_format="pandas")
+
+
+def _assign_with_embedding(ds: "ray.data.Dataset",
+                           centroids: np.ndarray) -> "ray.data.Dataset":
+    """(vec_id, cluster, embedding) — nearest-centroid assignment that
+    carries the embedding through for the within-cluster stage (one
+    broadcast, one shuffle)."""
+    ref = ray.put(centroids)
+
+    class AssignEmb:
+        def __init__(self):
+            self.c = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            from .similarity import _emb_matrix
+            x = _emb_matrix(batch)
+            d2 = (x * x).sum(axis=1)[:, None] - 2.0 * (x @ self.c.T) \
+                + (self.c * self.c).sum(axis=1)
+            return pa.table({
+                "vec_id": batch.column("vec_id"),
+                "cluster": pa.array(np.argmin(d2, axis=1)
+                                    .astype(np.int64)),
+                "embedding": batch.column("embedding"),
+            })
+
+    return ds.map_batches(AssignEmb, concurrency=(1, 8),
+                          batch_format="pyarrow", zero_copy_batch=True)

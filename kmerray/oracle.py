@@ -743,6 +743,42 @@ SELECT item_id, CAST(win_idx AS BIGINT) AS win_idx,
 FROM s GROUP BY item_id, win_idx"""
 
 
+def semdedup_sql(emb_path: str, n_clusters: int = 8, iters: int = 5,
+                 threshold: float = 0.4) -> str:
+    """Mirror of extras.decomp.semdedup_survivors: nearest literal
+    reference centroid (same independent Lloyd's fit as
+    kmeans_assign_sql, ties to lowest cluster), then NOT EXISTS a
+    lower-id same-cluster neighbor at cosine >= threshold.  Same
+    float caveats as kmeans_assign_sql / emb_near_dup_sql (both
+    individually green under them)."""
+    cent = _ref_kmeans_centroids(emb_path, n_clusters, iters)
+    rows = ",\n  ".join(f"({i}, {_dlist(cent[i])})"
+                        for i in range(n_clusters))
+    return f"""WITH cent(cluster, cvec) AS (VALUES
+  {rows}),
+d AS (
+  SELECT vec_id, cluster,
+         list_distance(CAST(embedding AS DOUBLE[]), cvec) AS dist
+  FROM embeddings, cent),
+a AS (
+  SELECT vec_id, cluster
+  FROM (SELECT vec_id, cluster,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY dist, cluster) AS rn
+        FROM d)
+  WHERE rn = 1),
+e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+SELECT hi.vec_id, CAST(hi.cluster AS BIGINT) AS cluster
+FROM a hi
+WHERE NOT EXISTS (
+  SELECT 1 FROM a lo
+  JOIN e el ON el.vec_id = lo.vec_id
+  JOIN e eh ON eh.vec_id = hi.vec_id
+  WHERE lo.cluster = hi.cluster AND lo.vec_id < hi.vec_id
+    AND list_cosine_similarity(el.v, eh.v) >= {threshold})"""
+
+
 def pii_scrub_sql(path: str) -> str:
     """Mirror of extras.pii.pii_scrub_pipeline: pattern counts on the
     original text + URL->EMAIL->PHONE ordered regexp_replace.  The

@@ -426,7 +426,7 @@ def registry() -> dict:
         "simhash_recall": q_simhash_recall,
         "dup_spans": q_dup_spans,
         # --- similarity ---
-        "emb_near_dup": q_emb_near_dup,
+        "emb_dedup2": q_emb_dedup2,
         "ann_topk": q_ann_topk,
         "ann_topk_ivf_indexed": q_ann_topk_ivf_indexed,
         # --- scans / sampling ---
@@ -461,6 +461,8 @@ def registry() -> dict:
         "cust_order_rollup": q_cust_order_rollup,
         "events_distinct": q_events_distinct,
         "events_funnel": q_events_funnel,
+        "emb_near_dup": q_emb_near_dup,
+        "semdedup": q_semdedup,
         "cfv_raw": q_cfv_raw,
         "minimisers_s2m": q_minimisers,
         "whole_seq_minimiser": q_whole_seq_minimiser,
@@ -544,6 +546,15 @@ def oracle_registry(sf_dir: str = "/root/testdata/sf0.01") -> dict:
         "ann_topk_ivf": oracle.ann_topk_sql(ANN_QUERIES, ANN_K),
         "ann_topk_ivf_indexed": oracle.ann_topk_sql(ANN_QUERIES, ANN_K),
         "emb_near_dup": oracle.emb_near_dup_sql(EMB_DUP_THRESHOLD),
+        "semdedup": oracle.semdedup_sql(f"{sf_dir}/embeddings.parquet",
+                                        KMEANS_K, 5, SEMDEDUP_THRESHOLD),
+        "emb_dedup2": f"""\
+SELECT CAST(0 AS BIGINT) AS variant, a, b
+FROM ({oracle.emb_near_dup_sql(EMB_DUP_THRESHOLD)})
+UNION ALL
+SELECT CAST(1 AS BIGINT), vec_id, cluster
+FROM ({oracle.semdedup_sql(f"{sf_dir}/embeddings.parquet",
+                           KMEANS_K, 5, SEMDEDUP_THRESHOLD)})""",
         "media_features": oracle.media_features_sql(_media_path()),
         "rep_stats": oracle.rep_stats_sql(),
         "chunk_windows": oracle.chunk_windows_sql(CHUNK_W, CHUNK_S),
@@ -983,6 +994,40 @@ def q_ann_topk_ivf_indexed(sf_dir: str):
         ivf_build_index(ray.data.read_parquet(path), cent, idx)
     return ivf_topk_indexed(idx, qids, qmat, cent, k=ANN_K,
                             nprobe=len(cent))
+
+
+SEMDEDUP_THRESHOLD = 0.4
+
+
+def q_semdedup(sf_dir: str):
+    """SemDeDup-style semantic dedup survivors: k-means clusters +
+    within-cluster lower-id cosine domination (arXiv:2303.09540)."""
+    from .extras.decomp import semdedup_survivors
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                               columns=["vec_id", "embedding"])
+    return semdedup_survivors(ds, n_clusters=KMEANS_K, iters=5,
+                              threshold=SEMDEDUP_THRESHOLD)
+
+
+def q_emb_dedup2(sf_dir: str):
+    """Embedding-level dedup under both granularities: exact global
+    cosine near-dup pairs (variant 0: a, b) UNION SemDeDup
+    within-cluster survivors (variant 1: a = vec_id, b = cluster)."""
+    pairs = q_emb_near_dup(sf_dir)
+    surv = q_semdedup(sf_dir)
+
+    def pad_p(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"variant": _const_i64(len(b), 0),
+                             "a": b["a"].astype(np.int64),
+                             "b": b["b"].astype(np.int64)})
+
+    def pad_s(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"variant": _const_i64(len(b), 1),
+                             "a": b["vec_id"].astype(np.int64),
+                             "b": b["cluster"].astype(np.int64)})
+
+    return (pairs.map_batches(pad_p, batch_format="pandas")
+            .union(surv.map_batches(pad_s, batch_format="pandas")))
 
 
 def q_emb_near_dup(sf_dir: str):

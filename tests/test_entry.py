@@ -60,7 +60,7 @@ def test_registry_head_covers_families():
         "pii_scrub",
         # dedup / similarity
         "dedup_survivors2", "ngram_dupes", "near_dup_survivors",
-        "simhash_recall", "dup_spans", "emb_near_dup", "ann_topk",
+        "simhash_recall", "dup_spans", "emb_dedup2", "ann_topk",
         "ann_topk_ivf_indexed",
         # scans / sampling / events
         "scan_features", "quantiles_all", "sampling_flags",

@@ -732,6 +732,50 @@ def test_kmeans_matches_single_process(ray_session):
         assert out.loc[planted == g, "cluster"].nunique() == 1
 
 
+def test_semdedup_survivors(ray_session):
+    """SemDeDup vs a direct single-process reference: same fit, same
+    assignment, per-pair lower-id cosine domination — and planted
+    near-identical pairs lose their higher id."""
+    from kmerray.extras.decomp import kmeans_fit, semdedup_survivors
+    t, x = _blob_table()
+    # plant near-duplicates: copies of rows 0..4 with tiny noise,
+    # appended with HIGHER vec_ids (so the originals must survive)
+    rng = np.random.default_rng(5)
+    dups = x[:5] + rng.normal(0, 1e-4, (5, x.shape[1]))
+    xx = np.vstack([x, dups])
+    n, d = xx.shape
+    offs = np.arange(0, n * d + 1, d, dtype=np.int32)
+    emb = pa.ListArray.from_arrays(pa.array(offs),
+                                   pa.array(xx.ravel()))
+    tt = pa.table({"vec_id": pa.array(np.arange(n), pa.int64()),
+                   "embedding": emb})
+    ds = ray.data.from_arrow(tt).repartition(7)
+    thr = 0.95
+    out = (semdedup_survivors(ds, n_clusters=3, iters=5, threshold=thr)
+           .to_pandas().sort_values("vec_id").reset_index(drop=True))
+
+    # reference: same distributed fit (itself pinned by the kmeans
+    # tests), then direct numpy domination
+    cent = kmeans_fit(ds, n_clusters=3, iters=5)
+    d2 = ((xx[:, None, :] - cent[None]) ** 2).sum(axis=2)
+    a = np.argmin(d2, axis=1)
+    norm = xx / np.maximum(
+        np.linalg.norm(xx, axis=1, keepdims=True), 1e-30)
+    sim = norm @ norm.T
+    victim = np.zeros(n, bool)
+    for i in range(n):
+        victim[i] = bool(np.any((a[:i] == a[i]) & (sim[i, :i] >= thr)))
+    exp = {(int(i), int(a[i])) for i in range(n) if not victim[i]}
+    got = {(int(r.vec_id), int(r.cluster)) for r in out.itertuples()}
+    assert got == exp
+    # planted near-identical copies (higher ids) are all victims, the
+    # scenario is non-trivial, and every cluster keeps survivors
+    assert victim[len(x):].all()
+    assert not {v for v, _ in got} & set(range(len(x), n))
+    assert 0 < len(got) < n
+    assert {c for _, c in got} == set(np.unique(a).tolist())
+
+
 def test_kmeans_block_invariant(ray_session):
     from kmerray.extras.decomp import kmeans_pipeline
     t, _ = _blob_table(seed=37)
