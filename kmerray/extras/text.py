@@ -708,37 +708,66 @@ def dsir_weights(ds: "ray.data.Dataset", target_lang: str = "en",
     like the target domain; the standard resampling score for mixing
     web data toward a target distribution.
 
-    Scale shape: two :func:`hash_unigram_counts` passes (the target
-    pass streams the same corpus with a filter pushed into the
-    partial), each a bounded vocab-sized dictionary materialized via
-    arrow-block gather and broadcast once (``ray.put``); the scoring
-    pass is a stateless searchsorted per batch — no shuffle of the
-    corpus rows.  Unseen-in-target words take the add-one count floor
+    Scale shape: ONE fused LM pass — each block's partial counts the
+    full corpus and the target slice simultaneously (two integer
+    columns on the same hash key), so the corpus is tokenized once
+    and there is one bucketed exchange instead of two; the bounded
+    vocab-sized dictionary is materialized via arrow-block gather and
+    broadcast once (``ray.put``), and the scoring pass is a stateless
+    searchsorted per batch — no shuffle of the corpus rows.  Unseen-in-target words take the add-one count floor
     (the fixed-LM convention, same as :func:`unigram_logprob`).
 
     ``logweight`` is rounded to ``dp`` decimals on both engines (sum
     order differs between numpy and SQL aggregation)."""
-    def only_target(b: pd.DataFrame) -> pd.DataFrame:
-        return b.loc[b["lang"].to_numpy() == target_lang,
-                     ["doc_id", "text"]]
+    n_buckets = 64
 
-    def lm_of(counts_ds):
-        tabs = [t for t in ray.get(counts_ds.to_arrow_refs())
-                if t.num_rows]
-        if not tabs:
-            raise ValueError("empty LM slice (no target docs?)")
-        dic = pa.concat_tables(tabs)
-        wh = dic.column("wh").to_numpy()
-        cnt = dic.column("cnt").to_numpy()
-        total = float(cnt.sum())
-        order = np.argsort(wh)
-        wh, cnt = wh[order], cnt[order]
-        keep = cnt >= min_count
-        return wh[keep], cnt[keep], total
+    def partial(batch: pd.DataFrame) -> pa.Table:
+        # ONE tokenization pass counts the full corpus AND the
+        # target slice: each word occurrence contributes to c_all
+        # always and to c_tgt iff its row is target-lang
+        vals, offs = flat_words(batch["text"])
+        h = content_hash64(vals)
+        rowid = np.repeat(np.arange(len(batch)), np.diff(offs))
+        is_t = (batch["lang"].to_numpy() == target_lang)[rowid]
+        uh, inv = np.unique(h, return_inverse=True)
+        c_all = np.bincount(inv, minlength=len(uh)).astype(np.int64)
+        c_tgt = np.bincount(inv[is_t],
+                            minlength=len(uh)).astype(np.int64)
+        return pa.table({
+            "wh": pa.array(uh.view(np.int64)),
+            "ca": pa.array(c_all),
+            "ct": pa.array(c_tgt),
+            "wb": pa.array((uh % np.uint64(n_buckets))
+                           .astype(np.int64)),
+        })
 
-    bg = lm_of(hash_unigram_counts(ds))
-    tgt = lm_of(hash_unigram_counts(
-        ds.map_batches(only_target, batch_format="pandas")))
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        wh = g["wh"].to_numpy()
+        order, starts, lens = _runs(wh)
+        out = {"wh": wh[order][starts]}
+        for col, name in (("ca", "cnt_all"), ("ct", "cnt_tgt")):
+            c = g[col].to_numpy()
+            csum = np.zeros(len(order) + 1, dtype=np.int64)
+            np.cumsum(c[order], out=csum[1:])
+            out[name] = csum[starts + lens] - csum[starts]
+        return pd.DataFrame(out)
+
+    dic_ds = (ds.map_batches(partial, batch_format="pandas")
+              .groupby("wb").map_groups(merge, batch_format="pandas"))
+    tabs = [t for t in ray.get(dic_ds.to_arrow_refs()) if t.num_rows]
+    if not tabs:
+        raise ValueError("empty corpus")
+    dic = pa.concat_tables(tabs)
+    wh = dic.column("wh").to_numpy()
+    ca = dic.column("cnt_all").to_numpy()
+    ct = dic.column("cnt_tgt").to_numpy()
+    if not ct.any():
+        raise ValueError("empty LM slice (no target docs?)")
+    order = np.argsort(wh)
+    wh, ca, ct = wh[order], ca[order], ct[order]
+    keep_a, keep_t = ca >= min_count, ct >= min_count
+    bg = (wh[keep_a], ca[keep_a], float(ca.sum()))
+    tgt = (wh[keep_t], ct[keep_t], float(ct.sum()))
     lm_ref = ray.put((bg, tgt))
 
     class Score:
