@@ -125,3 +125,32 @@ def ensure_webtext_parquet(n_docs: int = 400, seed: int = 45) -> str:
         import shutil
         shutil.rmtree(tmp_dir, ignore_errors=True)
     return path
+
+
+# optional userinfo@ before the host (both dialects support optional
+# non-capturing groups); capture group 1 = the host
+DOMAIN_PATTERN = r"https?://(?:[A-Za-z0-9._%+-]+@)?([A-Za-z0-9._-]+)"
+
+
+def domain_stats_pipeline(ds: "ray.data.Dataset") -> "ray.data.Dataset":
+    """Per-domain document counts from each doc's FIRST URL — the
+    standard crawl-curation rollup (domain blocklists, per-domain
+    caps).  Per-block value_counts partials ride a domain-keyed
+    groupby: the key space is the distinct-domain set (bounded, and
+    orders of magnitude below doc count on a real crawl), so the
+    exchange stays tiny while the regex scan streams.
+
+    Output: ``(domain:string, n_docs:int64)``."""
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        dom = b["text"].str.extract(DOMAIN_PATTERN, expand=False).dropna()
+        vc = dom.value_counts()
+        return pd.DataFrame({"domain": vc.index.to_numpy(object),
+                             "n": vc.to_numpy(np.int64)})
+
+    part = ds.map_batches(partial, batch_format="pandas")
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"domain": [g["domain"].iloc[0]],
+                             "n_docs": [np.int64(g["n"].sum())]})
+
+    return part.groupby("domain").map_groups(merge, batch_format="pandas")

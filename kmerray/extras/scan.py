@@ -391,3 +391,79 @@ def quality_filter(ds: "ray.data.Dataset", keep_frac: float = 0.5,
 
     return (q.map_batches(_assign, batch_format="pandas")
             .groupby("bucket").map_groups(_filter, batch_format="pandas"))
+
+
+def global_ntile(scored: "ray.data.Dataset", col: str,
+                 tiles: int = 3,
+                 n_buckets: int = 32) -> "ray.data.Dataset":
+    """Generic distributed ``ntile(tiles) OVER (ORDER BY (col,
+    doc_id))`` for a float score column — the :func:`rank_by_len`
+    composite-key range-partition shape (boundaries are (col, doc_id)
+    pairs so tied scores spread across buckets), reused for any
+    scored surface.  One row shuffle, O(buckets) driver scalars,
+    per-bucket local sorts only.
+
+    Output: ``(doc_id:int64, <col>:float64, tile:int64)``."""
+    def _sample(b: pd.DataFrame) -> pd.DataFrame:
+        if len(b) == 0:
+            return b[[col, "doc_id"]]
+        idx = np.unique(np.linspace(0, len(b) - 1, 8).astype(np.int64))
+        return b.iloc[idx][[col, "doc_id"]]
+
+    heads = scored.map_batches(_sample, batch_format="pandas").take_all()
+    if len(heads) > 1 and n_buckets > 1:
+        s_v = np.array([r[col] for r in heads], dtype=np.float64)
+        s_id = np.array([r["doc_id"] for r in heads], dtype=np.int64)
+        o = np.lexsort((s_id, s_v))
+        s_v, s_id = s_v[o], s_id[o]
+        picks = np.linspace(0, len(s_v) - 1,
+                            n_buckets + 1)[1:-1].astype(np.int64)
+        pairs = sorted({(float(s_v[i]), int(s_id[i])) for i in picks})
+        b_v = np.array([p[0] for p in pairs], dtype=np.float64)
+        b_id = np.array([p[1] for p in pairs], dtype=np.int64)
+    else:
+        b_v = np.empty(0, dtype=np.float64)
+        b_id = np.empty(0, dtype=np.int64)
+
+    def bucket_of(v: np.ndarray, did: np.ndarray) -> np.ndarray:
+        bk = np.zeros(len(v), dtype=np.int64)
+        for bv, bi in zip(b_v, b_id):
+            bk += (v > bv) | ((v == bv) & (did > bi))
+        return bk
+
+    def _counts(b: pd.DataFrame) -> pd.DataFrame:
+        bk = bucket_of(b[col].to_numpy(np.float64),
+                       b["doc_id"].to_numpy(np.int64))
+        tot = np.bincount(bk, minlength=len(b_v) + 1).astype(np.int64)
+        nz = np.flatnonzero(tot)
+        return pd.DataFrame({"bucket": nz, "part": tot[nz]})
+
+    parts = scored.map_batches(_counts, batch_format="pandas").take_all()
+    totals = np.zeros(len(b_v) + 1, dtype=np.int64)
+    for r in parts:
+        totals[r["bucket"]] += r["part"]
+    offsets = np.concatenate(([0], np.cumsum(totals)[:-1]))
+    total = int(totals.sum())
+
+    def _assign(b: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({
+            "doc_id": b["doc_id"].astype(np.int64),
+            col: b[col].astype(np.float64)})
+        out["bucket"] = bucket_of(out[col].to_numpy(),
+                                  out["doc_id"].to_numpy())
+        return out
+
+    def _rank(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([col, "doc_id"],
+                          kind="mergesort").reset_index(drop=True)
+        base = int(offsets[int(g["bucket"].iloc[0])])
+        rank0 = base + np.arange(len(g), dtype=np.int64)
+        return pd.DataFrame({
+            "doc_id": g["doc_id"],
+            col: g[col],
+            "tile": _ntile_of(rank0, total, tiles),
+        })
+
+    keyed = scored.map_batches(_assign, batch_format="pandas")
+    return keyed.groupby("bucket").map_groups(_rank,
+                                              batch_format="pandas")

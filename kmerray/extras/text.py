@@ -799,3 +799,25 @@ def dsir_weights(ds: "ray.data.Dataset", target_lang: str = "en",
 
     return ds.map_batches(Score, concurrency=(1, 8),
                           batch_format="pandas")
+
+
+def ppl_buckets(ds: "ray.data.Dataset", tiles: int = 3, dp: int = 4,
+                min_count: int = 1) -> "ray.data.Dataset":
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020): score
+    every doc with the unigram-LM log-probability proxy
+    (:func:`unigram_logprob`), then split the corpus into ``tiles``
+    global quantile buckets — tile ``tiles`` (highest logprob = least
+    perplexity) is the "head" slice CCNet keeps preferentially, tile
+    1 the "tail".  The tile edge is ``ntile() OVER (ORDER BY
+    (logprob, doc_id))``, deterministic because logprob is dp-rounded
+    identically on both engines.
+
+    Scale shape: the LM pass of unigram_logprob (bounded dictionary,
+    broadcast once) + the composite range-partition ntile of
+    :func:`~kmerray.extras.scan.global_ntile` — one scoring stream,
+    one rank shuffle, no global sort.
+
+    Output: ``(doc_id, avg_logprob, tile)``."""
+    from .scan import global_ntile
+    scored = unigram_logprob(ds, dp=dp, min_count=min_count)
+    return global_ntile(scored, col="avg_logprob", tiles=tiles)

@@ -779,6 +779,29 @@ WHERE NOT EXISTS (
     AND list_cosine_similarity(el.v, eh.v) >= {threshold})"""
 
 
+def domain_stats_sql(path: str) -> str:
+    """Mirror of extras.pii.domain_stats_pipeline: first-URL host per
+    doc (same optional-userinfo pattern, group 1), counted per
+    domain.  regexp_extract returns '' on no match in DuckDB, which
+    maps to the pandas dropna."""
+    from .extras.pii import DOMAIN_PATTERN
+    return f"""SELECT domain, CAST(count(*) AS BIGINT) AS n_docs
+FROM (SELECT regexp_extract(text, '{DOMAIN_PATTERN}', 1) AS domain
+      FROM read_parquet('{path}'))
+WHERE domain <> ''
+GROUP BY domain"""
+
+
+def ppl_buckets_sql(dp: int = 4, tiles: int = 3) -> str:
+    """Mirror of extras.text.ppl_buckets: the dp-rounded unigram-LM
+    logprob (identical to unigram_logprob_sql) + SQL ntile over the
+    composite (logprob, doc_id) order."""
+    return f"""SELECT doc_id, avg_logprob,
+       CAST(ntile({tiles}) OVER (ORDER BY avg_logprob, doc_id)
+            AS BIGINT) AS tile
+FROM ({unigram_logprob_sql(dp)})"""
+
+
 def pii_scrub_sql(path: str) -> str:
     """Mirror of extras.pii.pii_scrub_pipeline: pattern counts on the
     original text + URL->EMAIL->PHONE ordered regexp_replace.  The

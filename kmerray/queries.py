@@ -463,6 +463,8 @@ def registry() -> dict:
         "events_funnel": q_events_funnel,
         "emb_near_dup": q_emb_near_dup,
         "semdedup": q_semdedup,
+        "ppl_buckets": q_ppl_buckets,
+        "domain_stats": q_domain_stats,
         "cfv_raw": q_cfv_raw,
         "minimisers_s2m": q_minimisers,
         "whole_seq_minimiser": q_whole_seq_minimiser,
@@ -700,6 +702,8 @@ FROM ({oracle.asof_backfill_sql(path, K_ASOF, *ASOF_BINS,
         "audio_energy": oracle.audio_energy_sql(_audio_path(),
                                                 AUDIO_WIN, AUDIO_HOP),
         "pii_scrub": oracle.pii_scrub_sql(_webtext_path()),
+        "ppl_buckets": oracle.ppl_buckets_sql(LM_DP, PPL_TILES),
+        "domain_stats": oracle.domain_stats_sql(_webtext_path()),
         "decomp_project": f"""\
 SELECT CAST(0 AS BIGINT) AS variant, vec_id, comp, val
 FROM ({oracle.pca_check_sql(f"{sf_dir}/embeddings.parquet",
@@ -730,6 +734,24 @@ def _video_path() -> str:
 def _webtext_path() -> str:
     from .extras.pii import ensure_webtext_parquet
     return ensure_webtext_parquet()
+
+
+PPL_TILES = 3
+
+
+def q_ppl_buckets(sf_dir: str):
+    """CCNet-style head/middle/tail perplexity buckets over the
+    unigram-LM proxy (dp-rounded on both engines, composite ntile
+    order so ties are deterministic)."""
+    from .extras.text import ppl_buckets
+    return ppl_buckets(_docs(sf_dir), tiles=PPL_TILES, dp=LM_DP)
+
+
+def q_domain_stats(sf_dir: str):
+    """Per-domain doc counts from each doc's first URL over the
+    injected web-text parquet (crawl-curation rollup)."""
+    from .extras.pii import domain_stats_pipeline
+    return domain_stats_pipeline(ray.data.read_parquet(_webtext_path()))
 
 
 def q_pii_scrub(sf_dir: str):

@@ -415,6 +415,55 @@ def test_pii_scrub(ray_session):
         == "plain words only"
 
 
+def test_ppl_buckets_and_global_ntile(ray_session):
+    """global_ntile matches a direct sorted-ntile reference (ties
+    split by doc_id, block invariance) and ppl_buckets puts every doc
+    in exactly one of `tiles` buckets with monotone score edges."""
+    from kmerray.extras.scan import _ntile_of, global_ntile
+    rng = np.random.default_rng(21)
+    n = 500
+    # heavy ties: scores drawn from only 7 distinct values
+    score = rng.choice(np.round(rng.normal(0, 1, 7), 3), n)
+    t = pa.table({"doc_id": pa.array(np.arange(n), pa.int64()),
+                  "score": pa.array(score)})
+    out = (global_ntile(ray.data.from_arrow(t).repartition(11),
+                        col="score", tiles=4)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    order = np.lexsort((np.arange(n), score))
+    rank0 = np.empty(n, np.int64)
+    rank0[order] = np.arange(n)
+    exp = _ntile_of(rank0, n, 4)
+    assert out["tile"].to_numpy().tolist() == exp.tolist()
+    # block invariance
+    out2 = (global_ntile(ray.data.from_arrow(t).repartition(3),
+                         col="score", tiles=4)
+            .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert out2["tile"].tolist() == out["tile"].tolist()
+
+
+def test_domain_stats(ray_session):
+    """Domain rollup vs a direct re reference over the injected
+    webtext fixture (first URL only; userinfo skipped to the host)."""
+    import re
+
+    from kmerray.extras.pii import (DOMAIN_PATTERN, domain_stats_pipeline,
+                                    synth_webtext_table)
+    t = synth_webtext_table(150, seed=3)
+    out = domain_stats_pipeline(ray.data.from_arrow(t)).to_pandas()
+    exp: dict = {}
+    for row in t.to_pylist():
+        m = re.search(DOMAIN_PATTERN, row["text"])
+        if m:
+            exp[m.group(1)] = exp.get(m.group(1), 0) + 1
+    got = dict(zip(out["domain"], out["n_docs"]))
+    assert got == exp and len(exp) > 1
+    # userinfo URL maps to the host, not the user part
+    tb = pa.table({"doc_id": pa.array([0], pa.int64()),
+                   "text": pa.array(["x http://u9@h.example/p y"])})
+    one = domain_stats_pipeline(ray.data.from_arrow(tb)).to_pandas()
+    assert one["domain"].tolist() == ["h.example"]
+
+
 def test_near_dup_survivors(ray_session, docs_with_dups):
     from kmerray.extras.dedup import near_dup_survivors
     ds = ray.data.from_arrow(docs_with_dups)
