@@ -283,6 +283,10 @@ def run_bench() -> dict:
     timed("frame_sample", lambda: frame_sample_pipeline(
         _blocks(vid), concurrency=8).count())
     timed("pii_scrub", lambda: pii_scrub_pipeline(docs()).count())
+    from kmerray.extras.pii import domain_stats_pipeline
+    timed("domain_stats", lambda: domain_stats_pipeline(docs()).count())
+    from kmerray.extras.text import ppl_buckets
+    timed("ppl_buckets", lambda: ppl_buckets(docs_half()).count())
 
     def _with_lang(b):
         b = b.copy()
@@ -340,6 +344,13 @@ def run_bench() -> dict:
     from kmerray.extras.decomp import cluster_representatives
     timed("cluster_reps", lambda: cluster_representatives(
         emb(), n_clusters=8, iters=5, n_per=5).count())
+    # SemDeDup's scale discipline: cluster count grows with the
+    # corpus so within-cluster quadratic work stays bounded (k=64 at
+    # 200k vecs; measured 16.4 s vs 35.2 s at k=8 — more parallelism
+    # AND less pairwise work)
+    from kmerray.extras.decomp import semdedup_survivors
+    timed("semdedup", lambda: semdedup_survivors(
+        emb(), n_clusters=64, iters=5, threshold=0.4).count())
 
     # materialized IVF: one-time cell-partitioned build (cached,
     # untimed — amortized across query runs), then a pruned-regime

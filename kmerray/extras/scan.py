@@ -404,6 +404,18 @@ def global_ntile(scored: "ray.data.Dataset", col: str,
     per-bucket local sorts only.
 
     Output: ``(doc_id:int64, <col>:float64, tile:int64)``."""
+    # three passes follow (boundary sample, per-bucket counts, the
+    # rank shuffle); materialize the slim 16-byte/row scored surface
+    # ONCE so an expensive upstream scorer doesn't re-execute per pass
+    # (the quality_filter pattern)
+    def _slim(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "doc_id": b["doc_id"].astype(np.int64),
+            col: b[col].astype(np.float64)})
+
+    scored = scored.map_batches(_slim, batch_format="pandas") \
+        .materialize()
+
     def _sample(b: pd.DataFrame) -> pd.DataFrame:
         if len(b) == 0:
             return b[[col, "doc_id"]]
