@@ -128,8 +128,14 @@ def kmeans_fit(ds: "ray.data.Dataset", n_clusters: int = 8,
     index; empty clusters keep their previous centroid.  At 100 TB
     each round is one streaming pass; nothing but k x d floats ever
     sits on the driver."""
-    init = _bottom_ids_table(ds.select_columns(["vec_id", "embedding"]),
-                             n_clusters)
+    # the synchronous rounds below re-scan the input once per
+    # iteration; materialize the slim (vec_id, embedding) projection
+    # ONCE so iteration 2..n read object-store blocks instead of
+    # re-executing the upstream read/transform (the embedding table
+    # is orders of magnitude smaller than the doc corpus, and the
+    # object store spills if it doesn't fit)
+    ds = ds.select_columns(["vec_id", "embedding"]).materialize()
+    init = _bottom_ids_table(ds, n_clusters)
     cent = np.asarray(init.column("embedding").to_pylist(),
                       dtype=np.float64)
 
