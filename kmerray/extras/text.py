@@ -821,3 +821,74 @@ def ppl_buckets(ds: "ray.data.Dataset", tiles: int = 3, dp: int = 4,
     from .scan import global_ntile
     scored = unigram_logprob(ds, dp=dp, min_count=min_count)
     return global_ntile(scored, col="avg_logprob", tiles=tiles)
+
+
+def _md5_word_hash(vals: np.ndarray) -> np.ndarray:
+    """Engine-portable 64-bit word hash: md5 lower 8 bytes,
+    little-endian — exactly DuckDB's ``md5_number_lower`` (the
+    sample_split portability contract, oracle.py).  Hashed once per
+    UNIQUE word per batch (vocab-bounded), then scattered to
+    occurrences."""
+    import hashlib
+    uniq, inv = np.unique(vals, return_inverse=True)
+    hu = np.fromiter(
+        (int.from_bytes(hashlib.md5(s.encode()).digest()[8:16],
+                        "little") for s in uniq),
+        dtype=np.uint64, count=len(uniq))
+    return hu[inv]
+
+
+def winnow_fingerprints(ds: "ray.data.Dataset",
+                        w: int = 8) -> "ray.data.Dataset":
+    """Document fingerprinting by winnowing (Schleimer, Wilkerson &
+    Aiken 2003, SIGMOD — the MOSS algorithm): over each doc's word-
+    hash sequence, every window of ``w`` consecutive hashes selects
+    its minimum (ties -> RIGHTMOST, the paper's rule), and the
+    distinct selected (position, hash) pairs are the fingerprint set —
+    guaranteed to share fingerprints with any copy of >= w+1 matching
+    words, at ~2/(w+1) the density of full shingling.
+
+    This is the genomic minimizer idea (core/minimiser.py, reference
+    kmer/src/minimiser.rs:36-176) applied at the word level: same
+    windowed-min semantics, different alphabet.  Stateless vectorized
+    batch kernel — the window argmin runs on a stride view of the
+    FLAT batch hash buffer with cross-doc windows masked (the
+    minimiser kernels' flat-buffer pattern), no shuffle: at 100 TB
+    the fingerprint stream feeds the same bucketed gram machinery as
+    n-gram dedup.
+
+    Docs shorter than ``w`` words emit nothing (the wsize=0
+    whole-doc-min variant exists upstream as fingerprint_pipeline).
+
+    Output: ``(doc_id, pos:int64, fp:int64 — signed view of the
+    uint64 hash)``."""
+    if w < 1:
+        raise ValueError("w must be >= 1")
+
+    def fn(batch: pd.DataFrame) -> pd.DataFrame:
+        vals, offs = flat_words(batch["text"])
+        h = _md5_word_hash(vals)
+        n = len(h)
+        nw = n - w + 1
+        empty = pd.DataFrame({
+            "doc_id": np.empty(0, np.int64),
+            "pos": np.empty(0, np.int64),
+            "fp": np.empty(0, np.int64)})
+        if nw <= 0:
+            return empty
+        rowid = np.repeat(np.arange(len(batch)), np.diff(offs))
+        sw = np.lib.stride_tricks.sliding_window_view(h, w)
+        # rightmost argmin: first min of the reversed window
+        am = (w - 1) - np.argmin(sw[:, ::-1], axis=1)
+        starts = np.arange(nw)
+        valid = rowid[starts] == rowid[starts + w - 1]
+        picks = np.unique(starts[valid] + am[valid])
+        if len(picks) == 0:
+            return empty
+        pr = rowid[picks]
+        return pd.DataFrame({
+            "doc_id": batch["doc_id"].to_numpy(np.int64)[pr],
+            "pos": picks - offs[pr],
+            "fp": h[picks].view(np.int64)})
+
+    return ds.map_batches(fn, batch_format="pandas")

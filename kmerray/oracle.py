@@ -779,6 +779,38 @@ WHERE NOT EXISTS (
     AND list_cosine_similarity(el.v, eh.v) >= {threshold})"""
 
 
+def winnow_sql(w: int = 8) -> str:
+    """Mirror of extras.text.winnow_fingerprints: per-doc word
+    positions + md5_number_lower hashes, every width-``w`` window's
+    rightmost-tie minimum, DISTINCT picks.  The signed fp view is the
+    exact two's-complement of the UBIGINT hash (HUGEINT detour, no
+    overflow)."""
+    return f"""WITH words AS (
+  SELECT doc_id, ws[i] AS word, CAST(i AS BIGINT) - 1 AS pos
+  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+       LATERAL (SELECT unnest(generate_series(1, len(ws))) AS i) g
+),
+h AS (
+  SELECT doc_id, pos, md5_number_lower(word) AS hv,
+         count(*) OVER (PARTITION BY doc_id) AS n
+  FROM words
+),
+win AS (
+  SELECT a.doc_id, b.pos, b.hv,
+         row_number() OVER (PARTITION BY a.doc_id, a.pos
+                            ORDER BY b.hv, b.pos DESC) AS rn
+  FROM h a JOIN h b ON b.doc_id = a.doc_id
+       AND b.pos BETWEEN a.pos AND a.pos + {w - 1}
+  WHERE a.pos + {w} <= a.n
+)
+SELECT DISTINCT doc_id, pos,
+  CAST(CAST(hv AS HUGEINT)
+       - CASE WHEN hv >= 9223372036854775808 THEN
+           CAST(18446744073709551616 AS HUGEINT) ELSE 0 END
+       AS BIGINT) AS fp
+FROM win WHERE rn = 1"""
+
+
 def domain_stats_sql(path: str) -> str:
     """Mirror of extras.pii.domain_stats_pipeline: first-URL host per
     doc (same optional-userinfo pattern, group 1), counted per

@@ -465,6 +465,7 @@ def registry() -> dict:
         "semdedup": q_semdedup,
         "ppl_buckets": q_ppl_buckets,
         "domain_stats": q_domain_stats,
+        "winnow_fp": q_winnow_fp,
         "cfv_raw": q_cfv_raw,
         "minimisers_s2m": q_minimisers,
         "whole_seq_minimiser": q_whole_seq_minimiser,
@@ -704,6 +705,7 @@ FROM ({oracle.asof_backfill_sql(path, K_ASOF, *ASOF_BINS,
         "pii_scrub": oracle.pii_scrub_sql(_webtext_path()),
         "ppl_buckets": oracle.ppl_buckets_sql(LM_DP, PPL_TILES),
         "domain_stats": oracle.domain_stats_sql(_webtext_path()),
+        "winnow_fp": oracle.winnow_sql(WINNOW_W),
         "decomp_project": f"""\
 SELECT CAST(0 AS BIGINT) AS variant, vec_id, comp, val
 FROM ({oracle.pca_check_sql(f"{sf_dir}/embeddings.parquet",
@@ -745,6 +747,16 @@ def q_ppl_buckets(sf_dir: str):
     order so ties are deterministic)."""
     from .extras.text import ppl_buckets
     return ppl_buckets(_docs(sf_dir), tiles=PPL_TILES, dp=LM_DP)
+
+
+WINNOW_W = 8
+
+
+def q_winnow_fp(sf_dir: str):
+    """Winnowing document fingerprints (MOSS) over the documents
+    table: rightmost-tie window minima of md5-lower-64 word hashes."""
+    from .extras.text import winnow_fingerprints
+    return winnow_fingerprints(_docs(sf_dir), w=WINNOW_W)
 
 
 def q_domain_stats(sf_dir: str):

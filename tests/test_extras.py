@@ -464,6 +464,58 @@ def test_domain_stats(ray_session):
     assert one["domain"].tolist() == ["h.example"]
 
 
+def test_winnow_fingerprints(ray_session):
+    """Winnowing vs a direct per-doc reference (rightmost-tie window
+    minima over md5 word hashes), cross-doc window masking, the
+    short-doc drop, and the MOSS guarantee: docs sharing a >= 2w-word
+    run share fingerprint values."""
+    import hashlib
+
+    from kmerray.extras.text import winnow_fingerprints
+    w = 4
+    rng = np.random.default_rng(17)
+    vocab = np.array(["aa", "bb", "cc", "dd", "ee", "ff", "aa"])
+    shared = list(rng.choice(vocab, 2 * w))
+    docs = {
+        0: list(rng.choice(vocab, 30)) + shared,
+        1: shared + list(rng.choice(vocab, 25)),
+        2: list(rng.choice(vocab, 12)),
+        3: list(rng.choice(vocab, w - 1)),        # too short: no rows
+        4: ["aa"] * 10,                            # all-tied windows
+    }
+    t = pa.table({
+        "doc_id": pa.array(sorted(docs), pa.int64()),
+        "text": pa.array([" ".join(docs[k]) for k in sorted(docs)])})
+    out = winnow_fingerprints(ray.data.from_arrow(t), w=w).to_pandas()
+
+    def md5h(word):
+        return int.from_bytes(hashlib.md5(word.encode()).digest()[8:16],
+                              "little")
+
+    exp = set()
+    for did, words in docs.items():
+        h = [md5h(x) for x in words]
+        for i in range(len(h) - w + 1):
+            win = h[i:i + w]
+            m = min(win)
+            j = i + max(k for k in range(w) if win[k] == m)
+            exp.add((did, j, np.uint64(h[j]).astype(np.int64).item()))
+    got = {(r.doc_id, r.pos, r.fp) for r in out.itertuples()}
+    assert got == exp
+    assert not any(d == 3 for d, _, _ in got)
+    # all-tied doc: rightmost rule picks the window END each time
+    d4 = sorted(p for d, p, _ in got if d == 4)
+    assert d4 == list(range(w - 1, 10))
+    # MOSS guarantee: the shared 2w-word run yields shared fp values
+    f0 = {f for d, _, f in got if d == 0}
+    f1 = {f for d, _, f in got if d == 1}
+    assert f0 & f1
+    # batch-size invariance
+    out2 = winnow_fingerprints(
+        ray.data.from_arrow(t).repartition(5), w=w).to_pandas()
+    assert {(r.doc_id, r.pos, r.fp) for r in out2.itertuples()} == exp
+
+
 def test_near_dup_survivors(ray_session, docs_with_dups):
     from kmerray.extras.dedup import near_dup_survivors
     ds = ray.data.from_arrow(docs_with_dups)
