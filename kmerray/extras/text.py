@@ -892,3 +892,143 @@ def winnow_fingerprints(ds: "ray.data.Dataset",
             "fp": h[picks].view(np.int64)})
 
     return ds.map_batches(fn, batch_format="pandas")
+
+
+def word_counts(ds: "ray.data.Dataset") -> "ray.data.Dataset":
+    """Distributed (word:string, cnt:int64) dictionary: per-block
+    value_counts partials ride a word-keyed groupby.  Unlike
+    :func:`hash_unigram_counts` the strings survive (BPE needs the
+    characters); the exchange is vocab-sized, not corpus-sized,
+    because the partials pre-collapse each block."""
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        vals, _ = flat_words(b["text"])
+        uniq, cnt = np.unique(vals, return_counts=True)
+        return pd.DataFrame({"word": uniq.astype(object),
+                             "c": cnt.astype(np.int64)})
+
+    part = ds.map_batches(partial, batch_format="pandas")
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"word": [g["word"].iloc[0]],
+                             "cnt": [np.int64(g["c"].sum())]})
+
+    return part.groupby("word").map_groups(merge, batch_format="pandas")
+
+
+def _bpe_merge_loop(vocab: dict, n_merges: int) -> list:
+    """Driver-side BPE merge loop over the frequency-weighted word
+    dictionary (Sennrich et al. 2016: the trainer is corpus-size-
+    independent once the word counts exist).  ``vocab`` maps a word
+    to its count; symbols start as single characters plus the ``</w>``
+    end-of-word marker.  Each round merges the max-count adjacent
+    pair; ties break on the lexicographically smallest (left, right)
+    so the result is deterministic.  Stops early when no pair
+    remains.  Returns [(rank, left, right, cnt), ...]."""
+    seqs = {w: tuple(w) + ("</w>",) for w in vocab}
+    merges = []
+    for rank in range(n_merges):
+        pairs: dict = {}
+        for w, seq in seqs.items():
+            c = vocab[w]
+            for i in range(len(seq) - 1):
+                p = (seq[i], seq[i + 1])
+                pairs[p] = pairs.get(p, 0) + c
+        if not pairs:
+            break
+        # max count; ties -> lexicographically SMALLEST (left, right)
+        bc = max(pairs.values())
+        bestp = min(p for p, c in pairs.items() if c == bc)
+        merges.append((rank, bestp[0], bestp[1], bc))
+        new = bestp[0] + bestp[1]
+        out = {}
+        for w, seq in seqs.items():
+            s = []
+            i = 0
+            while i < len(seq):
+                if (i + 1 < len(seq) and seq[i] == bestp[0]
+                        and seq[i + 1] == bestp[1]):
+                    s.append(new)
+                    i += 2
+                else:
+                    s.append(seq[i])
+                    i += 1
+            out[w] = tuple(s)
+        seqs = out
+    return merges
+
+
+def bpe_merges(ds: "ray.data.Dataset",
+               n_merges: int = 40) -> "ray.data.Dataset":
+    """Distributed BPE vocabulary learning (Sennrich et al. 2016,
+    arXiv:1508.07909): ONE streaming word-count pass over the corpus
+    (the only corpus-sized work — the exchange is vocab-bounded),
+    then the standard merge loop on the driver's frequency-weighted
+    dictionary.  This is how production tokenizer trainers scale:
+    corpus size only affects the count pass; the merge loop is
+    O(vocab * merges) regardless of corpus bytes.
+
+    Output: ``(rank:int64, left:string, right:string, cnt:int64)`` —
+    the ordered merge table (deterministic: count-desc, lexicographic
+    tie-break)."""
+    wc = word_counts(ds).to_pandas()
+    vocab = dict(zip(wc["word"], wc["cnt"].astype(int)))
+    merges = _bpe_merge_loop(vocab, n_merges)
+    t = pa.table({
+        "rank": pa.array([m[0] for m in merges], pa.int64()),
+        "left": pa.array([m[1] for m in merges], pa.string()),
+        "right": pa.array([m[2] for m in merges], pa.string()),
+        "cnt": pa.array([m[3] for m in merges], pa.int64()),
+    })
+    return ray.data.from_arrow(t)
+
+
+def bpe_encode(ds: "ray.data.Dataset", merges_df: "pd.DataFrame"
+               ) -> "ray.data.Dataset":
+    """Apply a learned merge table to the corpus: per-doc BPE token
+    count (the cheap training-data surface: how many tokens will this
+    doc cost under the learned vocab).  The merge table is broadcast
+    once (``ray.put``); each actor memoizes word -> token-count so a
+    Zipf-shaped corpus encodes at dictionary speed.
+
+    Output: ``(doc_id, n_bpe:int64)``."""
+    ranks = {(l, r): i for i, (l, r) in
+             enumerate(zip(merges_df["left"], merges_df["right"]))}
+    ref = ray.put(ranks)
+
+    class Encode:
+        def __init__(self):
+            self.ranks = ray.get(ref)
+            self.memo: dict = {}
+
+        def _count(self, w: str) -> int:
+            got = self.memo.get(w)
+            if got is not None:
+                return got
+            seq = list(w) + ["</w>"]
+            ranks = self.ranks
+            while len(seq) > 1:
+                best, bi = None, -1
+                for i in range(len(seq) - 1):
+                    r = ranks.get((seq[i], seq[i + 1]))
+                    if r is not None and (best is None or r < best):
+                        best, bi = r, i
+                if best is None:
+                    break
+                seq[bi:bi + 2] = [seq[bi] + seq[bi + 1]]
+            n = len(seq)
+            self.memo[w] = n
+            return n
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            vals, offs = flat_words(batch["text"])
+            n = np.fromiter((self._count(w) for w in vals),
+                            dtype=np.int64, count=len(vals))
+            rowid = np.repeat(np.arange(len(batch)), np.diff(offs))
+            tot = np.bincount(rowid, weights=n,
+                              minlength=len(batch)).astype(np.int64)
+            return pd.DataFrame({
+                "doc_id": batch["doc_id"].astype(np.int64),
+                "n_bpe": tot})
+
+    return ds.map_batches(Encode, concurrency=(1, 8),
+                          batch_format="pandas")

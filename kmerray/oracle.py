@@ -779,6 +779,64 @@ WHERE NOT EXISTS (
     AND list_cosine_similarity(el.v, eh.v) >= {threshold})"""
 
 
+def _ref_bpe_merges(docs_path: str, n_merges: int):
+    """Independent single-process BPE fit (Sennrich et al. 2016) for
+    the oracle literal: plain-Python word Counter over the parquet +
+    a Counter-based merge loop — structurally different from the
+    engine's distributed count pass + numpy-assisted loop, same
+    deterministic rule (max count, ties to the lexicographically
+    smallest pair)."""
+    from collections import Counter
+
+    import pyarrow.parquet as pq
+    wc = Counter()
+    for txt in pq.read_table(docs_path, columns=["text"]).column(
+            "text").to_pylist():
+        wc.update(txt.split(" "))
+    seqs = {w: tuple(w) + ("</w>",) for w in wc}
+    merges = []
+    for rank in range(n_merges):
+        pc_ = Counter()
+        for w, seq in seqs.items():
+            c = wc[w]
+            for a, b in zip(seq, seq[1:]):
+                pc_[(a, b)] += c
+        if not pc_:
+            break
+        top = max(pc_.values())
+        pair = min(p for p, c in pc_.items() if c == top)
+        merges.append((rank, pair[0], pair[1], top))
+        joined = pair[0] + pair[1]
+        nxt = {}
+        for w, seq in seqs.items():
+            out, i = [], 0
+            while i < len(seq):
+                if i + 1 < len(seq) and (seq[i], seq[i + 1]) == pair:
+                    out.append(joined)
+                    i += 2
+                else:
+                    out.append(seq[i])
+                    i += 1
+            nxt[w] = tuple(out)
+        seqs = nxt
+    return merges
+
+
+def bpe_merges_sql(docs_path: str, n_merges: int = 40) -> str:
+    """The independently-fit merge table as a VALUES literal (the
+    kmeans-oracle pattern: reference fit embedded, not engine
+    output)."""
+    merges = _ref_bpe_merges(docs_path, n_merges)
+    def q(s):
+        return "'" + s.replace("'", "''") + "'"
+    rows = ",\n  ".join(
+        f"({r}, {q(l)}, {q(rt)}, {c})" for r, l, rt, c in merges)
+    return f"""SELECT CAST(rank AS BIGINT) AS rank, left_s AS "left",
+       right_s AS "right", CAST(cnt AS BIGINT) AS cnt
+FROM (VALUES
+  {rows}) AS t(rank, left_s, right_s, cnt)"""
+
+
 def winnow_sql(w: int = 8) -> str:
     """Mirror of extras.text.winnow_fingerprints: per-doc word
     positions + md5_number_lower hashes, every width-``w`` window's

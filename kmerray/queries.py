@@ -466,6 +466,8 @@ def registry() -> dict:
         "ppl_buckets": q_ppl_buckets,
         "domain_stats": q_domain_stats,
         "winnow_fp": q_winnow_fp,
+        "bpe_merges": q_bpe_merges,
+        "bpe_encode": q_bpe_encode,
         "cfv_raw": q_cfv_raw,
         "minimisers_s2m": q_minimisers,
         "whole_seq_minimiser": q_whole_seq_minimiser,
@@ -706,6 +708,8 @@ FROM ({oracle.asof_backfill_sql(path, K_ASOF, *ASOF_BINS,
         "ppl_buckets": oracle.ppl_buckets_sql(LM_DP, PPL_TILES),
         "domain_stats": oracle.domain_stats_sql(_webtext_path()),
         "winnow_fp": oracle.winnow_sql(WINNOW_W),
+        "bpe_merges": oracle.bpe_merges_sql(
+            f"{sf_dir}/documents.parquet", BPE_MERGES),
         "decomp_project": f"""\
 SELECT CAST(0 AS BIGINT) AS variant, vec_id, comp, val
 FROM ({oracle.pca_check_sql(f"{sf_dir}/embeddings.parquet",
@@ -750,6 +754,25 @@ def q_ppl_buckets(sf_dir: str):
 
 
 WINNOW_W = 8
+BPE_MERGES = 40
+
+
+def q_bpe_merges(sf_dir: str):
+    """Distributed BPE vocabulary learning: one vocab-bounded word
+    count pass + the driver merge loop; gated against an independent
+    single-process fit embedded as SQL literals."""
+    from .extras.text import bpe_merges
+    return bpe_merges(_docs(sf_dir), n_merges=BPE_MERGES)
+
+
+def q_bpe_encode(sf_dir: str):
+    """Rows-only twin: per-doc token count under the learned merges
+    (iterative BPE application is not SQL-expressible; the merge
+    TABLE itself is exactly gated by bpe_merges, and pytest pins the
+    encoder against a direct reference)."""
+    from .extras.text import bpe_encode, bpe_merges
+    m = bpe_merges(_docs(sf_dir), n_merges=BPE_MERGES).to_pandas()
+    return bpe_encode(_docs(sf_dir), m)
 
 
 def q_winnow_fp(sf_dir: str):

@@ -516,6 +516,53 @@ def test_winnow_fingerprints(ray_session):
     assert {(r.doc_id, r.pos, r.fp) for r in out2.itertuples()} == exp
 
 
+def test_bpe_learn_encode(ray_session):
+    """BPE trainer vs a hand-checkable corpus (first merges are the
+    dominant character pairs) and the encoder vs an independent
+    apply-merges-in-rank-order reference; block invariance of the
+    learned table."""
+    from kmerray.extras.text import bpe_encode, bpe_merges
+    texts = (["low low low lower lowest"] * 4
+             + ["new newer newest"] * 3 + ["wide wider"] * 2)
+    t = pa.table({"doc_id": pa.array(np.arange(len(texts)), pa.int64()),
+                  "text": pa.array(texts)})
+    m = (bpe_merges(ray.data.from_arrow(t), n_merges=12).to_pandas()
+         .sort_values("rank").reset_index(drop=True))
+    # dominant pair in this corpus: 'l'+'o' (weight 16 from low*12,
+    # lower*4... actually low appears 12 times, lower 4, lowest 4)
+    assert (m.loc[0, "left"], m.loc[0, "right"]) == ("l", "o")
+    # deterministic under repartition
+    m2 = (bpe_merges(ray.data.from_arrow(t).repartition(5), 12)
+          .to_pandas().sort_values("rank").reset_index(drop=True))
+    assert m.equals(m2)
+
+    # encoder vs independent reference: apply merges in rank order
+    out = (bpe_encode(ray.data.from_arrow(t), m).to_pandas()
+           .set_index("doc_id").sort_index())
+    merges = list(zip(m["left"], m["right"]))
+
+    def ref_count(word):
+        seq = list(word) + ["</w>"]
+        for left, right in merges:
+            i, out_s = 0, []
+            while i < len(seq):
+                if (i + 1 < len(seq) and seq[i] == left
+                        and seq[i + 1] == right):
+                    out_s.append(left + right)
+                    i += 2
+                else:
+                    out_s.append(seq[i])
+                    i += 1
+            seq = out_s
+        return len(seq)
+
+    for row in t.to_pylist():
+        exp = sum(ref_count(w) for w in row["text"].split(" "))
+        assert out.loc[row["doc_id"], "n_bpe"] == exp
+    # frequent whole words collapse below char counts
+    assert out.loc[0, "n_bpe"] < sum(len(w) + 1 for w in texts[0].split())
+
+
 def test_near_dup_survivors(ray_session, docs_with_dups):
     from kmerray.extras.dedup import near_dup_survivors
     ds = ray.data.from_arrow(docs_with_dups)
