@@ -1032,3 +1032,66 @@ def bpe_encode(ds: "ray.data.Dataset", merges_df: "pd.DataFrame"
 
     return ds.map_batches(Encode, concurrency=(1, 8),
                           batch_format="pandas")
+
+
+# Gopher quality-rule thresholds (Rae et al. 2021, arXiv:2112.11446
+# table A1, the subset computable from the word-level surfaces this
+# engine already gates bit-exactly)
+GOPHER_RULES = {
+    "min_words": 50,
+    "max_words": 100_000,
+    "min_avg_word_len": 3.0,
+    "max_avg_word_len": 10.0,
+    "min_stop_hits": 2,
+    "max_dup_word_frac": 0.30,
+    "max_top_2gram_frac": 0.18,
+}
+
+# fail-bit order (stable contract for the bitmask column)
+GOPHER_BITS = ("n_words_low", "n_words_high", "awl_low", "awl_high",
+               "stop_low", "dup_word", "top_2gram")
+
+
+def gopher_filter(ds: "ray.data.Dataset",
+                  rules: dict | None = None) -> "ray.data.Dataset":
+    """Gopher-style composite quality filter: the document passes iff
+    every rule holds; ``fail_mask`` records which rules fired (bit i
+    = GOPHER_BITS[i]).  ONE stateless pass computes all the signals
+    (doc_stats + rep_stats share the flat-words tokenization), so at
+    100 TB this is a single streaming scan with zero exchanges.
+
+    Every compared quantity is bit-identical to its SQL twin
+    (doc_stats_sql / rep_stats_sql are exactness-gated), so the
+    threshold comparisons are deterministic across engines."""
+    r = dict(GOPHER_RULES)
+    if rules:
+        r.update(rules)
+
+    def fn(batch: pd.DataFrame) -> pd.DataFrame:
+        stats = doc_stats_fn(pa.Table.from_pandas(
+            batch[["doc_id", "text"]], preserve_index=False)).to_pandas()
+        rep = rep_stats_fn(batch)
+        n = stats["n_words"].to_numpy()
+        awl = stats["avg_word_len"].to_numpy()
+        stop = stats["stop_cnt"].to_numpy()
+        dup = rep["dup_word_frac"].to_numpy()
+        g2 = rep["top_2gram_frac"].to_numpy()
+        fails = [
+            n < r["min_words"],
+            n > r["max_words"],
+            awl < r["min_avg_word_len"],
+            awl > r["max_avg_word_len"],
+            stop < r["min_stop_hits"],
+            dup > r["max_dup_word_frac"],
+            g2 > r["max_top_2gram_frac"],
+        ]
+        mask = np.zeros(len(batch), dtype=np.int64)
+        for i, f in enumerate(fails):
+            mask |= f.astype(np.int64) << i
+        return pd.DataFrame({
+            "doc_id": batch["doc_id"].astype(np.int64),
+            "keep": (mask == 0),
+            "fail_mask": mask,
+        })
+
+    return ds.map_batches(fn, batch_format="pandas")

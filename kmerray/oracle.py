@@ -837,6 +837,33 @@ FROM (VALUES
   {rows}) AS t(rank, left_s, right_s, cnt)"""
 
 
+def gopher_filter_sql() -> str:
+    """Mirror of extras.text.gopher_filter: the doc_stats/rep_stats
+    exact surfaces joined, each rule a CASE bit (identical doubles ->
+    deterministic threshold comparisons), keep = fail_mask == 0."""
+    from .extras.text import GOPHER_RULES as R
+    return f"""WITH s AS ({doc_stats_sql()}),
+r AS ({rep_stats_sql()}),
+j AS (
+  SELECT s.doc_id, s.n_words,
+         CAST(s.n_chars - s.n_words + 1 AS DOUBLE) / s.n_words AS awl,
+         s.stop_cnt, r.dup_word_frac, r.top_2gram_frac
+  FROM s JOIN r ON r.doc_id = s.doc_id),
+m AS (
+  SELECT doc_id,
+    (CASE WHEN n_words < {R["min_words"]} THEN 1 ELSE 0 END)
+    + (CASE WHEN n_words > {R["max_words"]} THEN 2 ELSE 0 END)
+    + (CASE WHEN awl < {R["min_avg_word_len"]} THEN 4 ELSE 0 END)
+    + (CASE WHEN awl > {R["max_avg_word_len"]} THEN 8 ELSE 0 END)
+    + (CASE WHEN stop_cnt < {R["min_stop_hits"]} THEN 16 ELSE 0 END)
+    + (CASE WHEN dup_word_frac > {R["max_dup_word_frac"]}
+       THEN 32 ELSE 0 END)
+    + (CASE WHEN top_2gram_frac > {R["max_top_2gram_frac"]}
+       THEN 64 ELSE 0 END) AS fm
+  FROM j)
+SELECT doc_id, fm = 0 AS keep, CAST(fm AS BIGINT) AS fail_mask FROM m"""
+
+
 def winnow_sql(w: int = 8) -> str:
     """Mirror of extras.text.winnow_fingerprints: per-doc word
     positions + md5_number_lower hashes, every width-``w`` window's

@@ -466,6 +466,7 @@ def registry() -> dict:
         "ppl_buckets": q_ppl_buckets,
         "domain_stats": q_domain_stats,
         "winnow_fp": q_winnow_fp,
+        "gopher_filter": q_gopher_filter,
         "bpe_merges": q_bpe_merges,
         "bpe_encode": q_bpe_encode,
         "cfv_raw": q_cfv_raw,
@@ -708,6 +709,7 @@ FROM ({oracle.asof_backfill_sql(path, K_ASOF, *ASOF_BINS,
         "ppl_buckets": oracle.ppl_buckets_sql(LM_DP, PPL_TILES),
         "domain_stats": oracle.domain_stats_sql(_webtext_path()),
         "winnow_fp": oracle.winnow_sql(WINNOW_W),
+        "gopher_filter": oracle.gopher_filter_sql(),
         "bpe_merges": oracle.bpe_merges_sql(
             f"{sf_dir}/documents.parquet", BPE_MERGES),
         "decomp_project": f"""\
@@ -755,6 +757,13 @@ def q_ppl_buckets(sf_dir: str):
 
 WINNOW_W = 8
 BPE_MERGES = 40
+
+
+def q_gopher_filter(sf_dir: str):
+    """Gopher composite quality rules (Rae et al. 2021): keep +
+    per-rule fail bitmask, one streaming pass."""
+    from .extras.text import gopher_filter
+    return gopher_filter(_docs(sf_dir))
 
 
 def q_bpe_merges(sf_dir: str):

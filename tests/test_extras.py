@@ -563,6 +563,29 @@ def test_bpe_learn_encode(ray_session):
     assert out.loc[0, "n_bpe"] < sum(len(w) + 1 for w in texts[0].split())
 
 
+def test_gopher_filter(ray_session):
+    """Rule bitmask semantics on crafted docs: each constructed
+    failure trips exactly the expected bits; a compliant doc keeps."""
+    from kmerray.extras.text import gopher_filter
+    good = " ".join([f"word{i:02d}x" for i in range(58)]
+                    + ["the", "and"])      # 60 distinct words, 2 stops
+    short = "just five little words here"                 # bit 0 (+16?)
+    repet = ("spam " * 80).strip()                        # dup + 2gram
+    longw = " ".join(["extraordinarily"] * 60)            # awl>10 + dup
+    t = pa.table({"doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+                  "text": pa.array([good, short, repet, longw])})
+    out = (gopher_filter(ray.data.from_arrow(t)).to_pandas()
+           .set_index("doc_id").sort_index())
+    assert bool(out.loc[0, "keep"]) and out.loc[0, "fail_mask"] == 0
+    assert out.loc[1, "fail_mask"] & 1            # too short
+    assert not out.loc[1, "keep"]
+    m2 = out.loc[2, "fail_mask"]
+    assert (m2 & 32) and (m2 & 64)                # dup word + top 2gram
+    m3 = out.loc[3, "fail_mask"]
+    assert (m3 & 8) and (m3 & 32) and (m3 & 16)   # awl high, dup, stops
+    assert not bool(out.loc[3, "keep"])
+
+
 def test_near_dup_survivors(ray_session, docs_with_dups):
     from kmerray.extras.dedup import near_dup_survivors
     ds = ray.data.from_arrow(docs_with_dups)
