@@ -1095,3 +1095,83 @@ def gopher_filter(ds: "ray.data.Dataset",
         })
 
     return ds.map_batches(fn, batch_format="pandas")
+
+
+def source_overlap(ds: "ray.data.Dataset",
+                   n_buckets: int = 64) -> "ray.data.Dataset":
+    """Cross-source vocabulary overlap matrix: for every source pair
+    (a < b), the number of distinct words present in both — the
+    contamination / mixture diagnostic behind source-level dedup
+    decisions.
+
+    Scale shape: per-block distinct (word-hash, source) partials (the
+    combiner bounds the exchange at vocab x sources x blocks, not
+    token occurrences), ONE word-hash-bucketed merge where each gram's
+    source set emits its pairs, then a pairs-sized (sources^2) final
+    sum.  Word strings never move; the usual 64-bit collision caveat
+    (~vocab^2/2^64) applies, same as df_counts."""
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        vals, offs = flat_words(b["text"])
+        rowid = np.repeat(np.arange(len(b)), np.diff(offs))
+        src = b["source"].to_numpy(object)[rowid]
+        wh = content_hash64(vals)
+        # distinct (source, wh) inside the block
+        key = pd.MultiIndex.from_arrays([src, wh.view(np.int64)])
+        first = ~key.duplicated()
+        u_src, u_wh = src[first], wh[first]
+        return pd.DataFrame({
+            "wh": u_wh.view(np.int64),
+            "source": u_src,
+            "wb": (u_wh % np.uint64(n_buckets)).astype(np.int64)})
+
+    part = ds.map_batches(partial, batch_format="pandas")
+
+    def pairs_of(g: pd.DataFrame) -> pd.DataFrame:
+        """Vectorized per-gram source-set pairing: factorize the
+        bucket's sources (bounded set, <= 63 by contract), OR one bit
+        per source into a per-gram mask with ``bitwise_or.reduceat``,
+        then loop only over DISTINCT masks (<= min(2^S, grams)) —
+        no per-gram Python."""
+        wh = g["wh"].to_numpy()
+        codes, uniq = pd.factorize(g["source"], sort=True)
+        if len(uniq) > 63:
+            raise ValueError("source_overlap supports <= 63 sources")
+        order = np.lexsort((codes, wh))
+        swh, sc = wh[order], codes[order]
+        keep = np.ones(len(order), bool)      # global distinct (wh, src)
+        keep[1:] = (swh[1:] != swh[:-1]) | (sc[1:] != sc[:-1])
+        swh, sc = swh[keep], sc[keep]
+        if len(swh) == 0:
+            return pd.DataFrame({"src_a": np.empty(0, object),
+                                 "src_b": np.empty(0, object),
+                                 "c": np.empty(0, np.int64)})
+        new = np.ones(len(swh), bool)
+        new[1:] = swh[1:] != swh[:-1]
+        starts = np.flatnonzero(new)
+        masks = np.bitwise_or.reduceat(
+            np.left_shift(np.int64(1), sc.astype(np.int64)), starts)
+        um, uc = np.unique(masks, return_counts=True)
+        a_out, b_out, c_out = [], [], []
+        for m, c in zip(um, uc):              # distinct masks only
+            bits = [i for i in range(len(uniq)) if m >> i & 1]
+            for x in range(len(bits)):
+                for y in range(x + 1, len(bits)):
+                    a_out.append(uniq[bits[x]])
+                    b_out.append(uniq[bits[y]])
+                    c_out.append(int(c))
+        return pd.DataFrame({
+            "src_a": np.array(a_out, object),
+            "src_b": np.array(b_out, object),
+            "c": np.array(c_out, np.int64)})
+
+    per_bucket = part.groupby("wb").map_groups(pairs_of,
+                                               batch_format="pandas")
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "src_a": [g["src_a"].iloc[0]],
+            "src_b": [g["src_b"].iloc[0]],
+            "shared_words": [np.int64(g["c"].sum())]})
+
+    return per_bucket.groupby(["src_a", "src_b"]).map_groups(
+        final, batch_format="pandas")

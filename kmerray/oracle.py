@@ -837,6 +837,21 @@ FROM (VALUES
   {rows}) AS t(rank, left_s, right_s, cnt)"""
 
 
+def source_overlap_sql() -> str:
+    """Mirror of extras.text.source_overlap: distinct (source, word)
+    self-joined on the word with source_a < source_b (engine counts
+    via 64-bit hashes — equal up to ~vocab^2/2^64 collisions, the
+    df_counts caveat)."""
+    return """WITH d AS (
+  SELECT DISTINCT source, unnest(string_split(text, ' ')) AS w
+  FROM documents
+)
+SELECT a.source AS src_a, b.source AS src_b,
+       CAST(count(*) AS BIGINT) AS shared_words
+FROM d a JOIN d b ON a.w = b.w AND a.source < b.source
+GROUP BY 1, 2"""
+
+
 def gopher_filter_sql() -> str:
     """Mirror of extras.text.gopher_filter: the doc_stats/rep_stats
     exact surfaces joined, each rule a CASE bit (identical doubles ->

@@ -467,6 +467,7 @@ def registry() -> dict:
         "domain_stats": q_domain_stats,
         "winnow_fp": q_winnow_fp,
         "gopher_filter": q_gopher_filter,
+        "source_overlap": q_source_overlap,
         "bpe_merges": q_bpe_merges,
         "bpe_encode": q_bpe_encode,
         "cfv_raw": q_cfv_raw,
@@ -710,6 +711,7 @@ FROM ({oracle.asof_backfill_sql(path, K_ASOF, *ASOF_BINS,
         "domain_stats": oracle.domain_stats_sql(_webtext_path()),
         "winnow_fp": oracle.winnow_sql(WINNOW_W),
         "gopher_filter": oracle.gopher_filter_sql(),
+        "source_overlap": oracle.source_overlap_sql(),
         "bpe_merges": oracle.bpe_merges_sql(
             f"{sf_dir}/documents.parquet", BPE_MERGES),
         "decomp_project": f"""\
@@ -757,6 +759,15 @@ def q_ppl_buckets(sf_dir: str):
 
 WINNOW_W = 8
 BPE_MERGES = 40
+
+
+def q_source_overlap(sf_dir: str):
+    """Cross-source shared-vocabulary matrix (contamination / mixture
+    diagnostic), distinct-hash combiner + one word-bucket exchange."""
+    from .extras.text import source_overlap
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text", "source"])
+    return source_overlap(ds)
 
 
 def q_gopher_filter(sf_dir: str):

@@ -563,6 +563,37 @@ def test_bpe_learn_encode(ray_session):
     assert out.loc[0, "n_bpe"] < sum(len(w) + 1 for w in texts[0].split())
 
 
+def test_source_overlap(ray_session):
+    """Pairwise shared-vocabulary counts vs direct set intersections;
+    pairs are lexicographic a<b; single-source words contribute
+    nothing."""
+    from kmerray.extras.text import source_overlap
+    corpora = {
+        "web": "alpha beta gamma shared1 shared2",
+        "books": "delta shared1 shared2 epsilon",
+        "code": "zeta shared2 eta",
+        "lonely": "unique only words",
+    }
+    rows = []
+    for s, txt in corpora.items():
+        for rep in range(2):          # duplicates must not inflate
+            rows.append((len(rows), txt, s))
+    t = pa.table({"doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                  "text": pa.array([r[1] for r in rows]),
+                  "source": pa.array([r[2] for r in rows])})
+    out = source_overlap(ray.data.from_arrow(t).repartition(3)).to_pandas()
+    got = {(r.src_a, r.src_b): r.shared_words for r in out.itertuples()}
+    sets = {s: set(txt.split()) for s, txt in corpora.items()}
+    exp = {}
+    for a in sorted(sets):
+        for b in sorted(sets):
+            if a < b and sets[a] & sets[b]:
+                exp[(a, b)] = len(sets[a] & sets[b])
+    assert got == exp
+    assert got[("books", "web")] == 2 and got[("books", "code")] == 1
+    assert not any("lonely" in k for k in got)
+
+
 def test_gopher_filter(ray_session):
     """Rule bitmask semantics on crafted docs: each constructed
     failure trips exactly the expected bits; a compliant doc keeps."""
