@@ -14,7 +14,11 @@ FAST = ["kmer_counts_per_doc", "whole_seq_minimiser", "lag_lead",
         "rep_stats", "chunk_windows", "stop_filter", "df_counts",
         "top_quality_per_lang", "dup_spans", "unigram_logprob",
         "zscore_by_source", "events_distinct", "events_funnel",
-        "grouped_quantiles"]
+        "grouped_quantiles",
+        # round-4 ops
+        "pii_scrub", "domain_stats", "frame_sample", "audio_energy",
+        "dsir_weights", "quality_filter", "ppl_buckets", "winnow_fp",
+        "bpe_merges", "gopher_filter", "source_overlap", "semdedup"]
 
 pytestmark = pytest.mark.skipif(not os.path.exists(SF),
                                 reason="driver testdata unavailable")
