@@ -101,3 +101,67 @@ def decontam_pipeline(ds: "ray.data.Dataset",
                              "contaminated": hits > 0})
 
     return ds.map_batches(_score, batch_format="pandas")
+
+
+def decontam_spans_pipeline(ds: "ray.data.Dataset",
+                            n: int = NGRAM) -> "ray.data.Dataset":
+    """Span-level decontamination (the Dolma-style upgrade to
+    :func:`decontam_pipeline`): instead of dropping a contaminated
+    doc, MASK exactly the words covered by any eval-matching n-gram
+    (every position in a hit gram's [i, i+n) span becomes
+    ``<MASKED>``) and keep the rest — the standard way to retain
+    training text that merely quotes a benchmark.
+
+    Same broadcast-probe scale shape as the doc-level op: eval gram
+    hashes ``ray.put`` once, the corpus streams, zero shuffles.  The
+    span mask is one diff-array cumsum over the FLAT batch word
+    buffer (gram spans never cross rows, so row bounds are
+    preserved), and the scrubbed text is reassembled with ONE Arrow
+    ``binary_join`` — no per-row Python in the mask or join.
+
+    Output: ``(doc_id, n_masked:int64, scrubbed:string)``."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    eval_ref = ray.put(eval_gram_hashes(ds, n))
+
+    def _scrub(b: pd.DataFrame) -> pd.DataFrame:
+        ev = ray.get(eval_ref)
+        b = (b[b["doc_id"].to_numpy() % EVAL_MOD != EVAL_REM]
+             .reset_index(drop=True))
+        vals, offs = flat_words(b["text"])
+        rowid, gk = _gram_keys(b["text"], n)
+        # positional hits: gram starts whose key is in the eval set
+        # (rowid from _gram_keys is per gram START, aligned with the
+        # flat word index of that start)
+        pos = np.searchsorted(ev, gk)
+        hit = (pos < len(ev)) & (ev[np.minimum(pos, len(ev) - 1)] == gk)
+        # flat start index of each (kept) gram: _gram_keys keeps grams
+        # in flat order, so reconstruct starts by scanning the same
+        # validity mask it used
+        wh_len = len(vals)
+        same = np.ones(wh_len, dtype=bool)
+        rid_full = np.repeat(np.arange(len(b)), np.diff(offs))
+        for j in range(1, n):
+            same = same[:-1] & (rid_full[: wh_len - j] == rid_full[j:])
+        starts_flat = np.flatnonzero(same)
+        assert len(starts_flat) == len(gk)
+        hs = starts_flat[hit]
+        # diff-array span mask over the flat buffer
+        diff = np.zeros(wh_len + 1, np.int64)
+        np.add.at(diff, hs, 1)
+        np.add.at(diff, hs + n, -1)
+        masked = np.cumsum(diff[:-1]) > 0
+        replaced = np.where(masked, "<MASKED>", vals).astype(object)
+        lists = pa.ListArray.from_arrays(
+            pa.array(offs, pa.int32()), pa.array(replaced, pa.string()))
+        scrubbed = pc.binary_join(lists, " ")
+        c = np.zeros(wh_len + 1, np.int64)
+        np.cumsum(masked, out=c[1:])
+        per_row = c[offs[1:]] - c[offs[:-1]]
+        return pd.DataFrame({
+            "doc_id": b["doc_id"].astype(np.int64),
+            "n_masked": per_row,
+            "scrubbed": scrubbed.to_pandas()})
+
+    return ds.map_batches(_scrub, batch_format="pandas")

@@ -1022,6 +1022,42 @@ FROM documents d LEFT JOIN h USING (doc_id)
 WHERE d.doc_id % {mod} <> {rem}"""
 
 
+def decontam_spans_sql(n: int = 3, mod: int = 10, rem: int = 7) -> str:
+    """Mirror of extras.decontam.decontam_spans_pipeline: positions
+    covered by any eval-matching gram span are masked, text
+    reassembled with ordered string_agg (gram join on STRINGS, same
+    collision-certifying role as decontam_sql)."""
+    return f"""WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+),
+ev AS (
+  SELECT DISTINCT array_to_string(array_slice(w, i, i + {n - 1}), ' ')
+    AS gram
+  FROM w, LATERAL (SELECT unnest(generate_series(1, len(w) - {n - 1}))
+                   AS i) s
+  WHERE doc_id % {mod} = {rem}
+),
+t AS (SELECT doc_id, w FROM w WHERE doc_id % {mod} <> {rem}),
+hits AS (
+  SELECT t.doc_id, i
+  FROM t, LATERAL (SELECT unnest(generate_series(1, len(w) - {n - 1}))
+                   AS i) s
+  WHERE array_to_string(array_slice(w, i, i + {n - 1}), ' ')
+        IN (SELECT gram FROM ev)
+),
+posmask AS (
+  SELECT t.doc_id, j, t.w[j] AS word,
+         EXISTS (SELECT 1 FROM hits h WHERE h.doc_id = t.doc_id
+                 AND j BETWEEN h.i AND h.i + {n - 1}) AS m
+  FROM t, LATERAL (SELECT unnest(generate_series(1, len(w))) AS j) s
+)
+SELECT doc_id,
+  CAST(sum(CASE WHEN m THEN 1 ELSE 0 END) AS BIGINT) AS n_masked,
+  string_agg(CASE WHEN m THEN '<MASKED>' ELSE word END,
+             ' ' ORDER BY j) AS scrubbed
+FROM posmask GROUP BY doc_id"""
+
+
 def sample_split_sql() -> str:
     """Mirror of extras.sampling.sample_split_fn: DuckDB
     md5_number_lower == Python int.from_bytes(md5[8:16], 'little')."""

@@ -468,6 +468,7 @@ def registry() -> dict:
         "winnow_fp": q_winnow_fp,
         "gopher_filter": q_gopher_filter,
         "source_overlap": q_source_overlap,
+        "decontam_spans": q_decontam_spans,
         "bpe_merges": q_bpe_merges,
         "bpe_encode": q_bpe_encode,
         "cfv_raw": q_cfv_raw,
@@ -712,6 +713,7 @@ FROM ({oracle.asof_backfill_sql(path, K_ASOF, *ASOF_BINS,
         "winnow_fp": oracle.winnow_sql(WINNOW_W),
         "gopher_filter": oracle.gopher_filter_sql(),
         "source_overlap": oracle.source_overlap_sql(),
+        "decontam_spans": oracle.decontam_spans_sql(),
         "bpe_merges": oracle.bpe_merges_sql(
             f"{sf_dir}/documents.parquet", BPE_MERGES),
         "decomp_project": f"""\
@@ -768,6 +770,13 @@ def q_source_overlap(sf_dir: str):
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
                                columns=["doc_id", "text", "source"])
     return source_overlap(ds)
+
+
+def q_decontam_spans(sf_dir: str):
+    """Span-level decontamination: mask exactly the words covered by
+    eval-matching n-grams, keep the rest (Dolma-style)."""
+    from .extras.decontam import decontam_spans_pipeline
+    return decontam_spans_pipeline(_docs(sf_dir))
 
 
 def q_gopher_filter(sf_dir: str):

@@ -594,6 +594,34 @@ def test_source_overlap(ray_session):
     assert not any("lonely" in k for k in got)
 
 
+def test_decontam_spans(ray_session):
+    """Span masking semantics: exactly the words covered by an
+    eval-matching 3-gram become <MASKED>; overlapping hits coalesce;
+    clean docs pass through byte-identical; eval docs emit no row."""
+    from kmerray.extras.decontam import decontam_spans_pipeline
+    eval_txt = "secret bench answer plus more eval words here"
+    # doc 7 (7 % 10 == 7) is the eval doc
+    contam = "intro words secret bench answer plus trailing text"
+    overlap = "x secret bench answer plus y"     # two overlapping hits
+    clean = "totally unrelated training words only"
+    t = pa.table({
+        "doc_id": pa.array([7, 1, 2, 3], pa.int64()),
+        "text": pa.array([eval_txt, contam, overlap, clean])})
+    out = (decontam_spans_pipeline(ray.data.from_arrow(t), n=3)
+           .to_pandas().set_index("doc_id").sort_index())
+    assert 7 not in out.index
+    # contam: grams "secret bench answer" and "bench answer plus" hit
+    # -> words 2..5 masked (coalesced span of 4)
+    assert out.loc[1, "scrubbed"] == \
+        "intro words <MASKED> <MASKED> <MASKED> <MASKED> trailing text"
+    assert out.loc[1, "n_masked"] == 4
+    assert out.loc[2, "scrubbed"] == \
+        "x <MASKED> <MASKED> <MASKED> <MASKED> y"
+    assert out.loc[2, "n_masked"] == 4
+    assert out.loc[3, "scrubbed"] == clean
+    assert out.loc[3, "n_masked"] == 0
+
+
 def test_gopher_filter(ray_session):
     """Rule bitmask semantics on crafted docs: each constructed
     failure trips exactly the expected bits; a compliant doc keeps."""
