@@ -417,3 +417,78 @@ def ivf_topk_indexed(index_path: str, query_ids: np.ndarray,
     ds = ray.data.read_parquet(files)
     return ivf_topk(ds, query_ids, query_mat, centroids, k=k,
                     nprobe=nprobe)
+
+
+def hard_negatives(ds: "ray.data.Dataset", query_ids: np.ndarray,
+                   query_mat: np.ndarray, query_labels: np.ndarray,
+                   k: int = 10) -> "ray.data.Dataset":
+    """Hard-negative mining for contrastive training data: per query,
+    the top-k most-similar vectors whose ``label`` DIFFERS from the
+    query's (similar-but-wrong examples are the informative
+    negatives).  Same shape as :func:`brute_force_topk` — one matmul
+    per batch, label mask applied before the local cut, exact tiny
+    merge; the query matrix + labels broadcast once."""
+    qn = _normalize(query_mat)
+    ref = ray.put((query_ids, qn, np.asarray(query_labels)))
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        qids, qmat, qlab = ray.get(ref)
+        em = _normalize(_emb_matrix(batch))
+        scores = em @ qmat.T
+        vec_ids = batch.column("vec_id").to_numpy()
+        labels = batch.column("label").to_numpy()
+        out = {"qid": [], "vec_id": [], "score": []}
+        for qi, qid in enumerate(qids):
+            ok = labels != qlab[qi]
+            if not ok.any():
+                continue
+            s = scores[ok, qi]
+            ids = vec_ids[ok]
+            kk = min(k, len(ids))
+            part = np.argpartition(-s, kk - 1)
+            kth = s[part[kk - 1]]
+            idx = np.flatnonzero(s >= kth)   # keep k-th-score ties
+            out["qid"].extend([qid] * len(idx))
+            out["vec_id"].extend(ids[idx])
+            out["score"].extend(s[idx])
+        return pa.table({"qid": pa.array(out["qid"], pa.int64()),
+                         "vec_id": pa.array(out["vec_id"], pa.int64()),
+                         "score": pa.array(out["score"], pa.float64())})
+
+    cand = ds.map_batches(local_topk, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["score", "vec_id"],
+                          ascending=[False, True]).head(k)
+        return g[["qid", "vec_id"]]
+    return cand.groupby("qid").map_groups(merge, batch_format="pandas")
+
+
+def quantize_embeddings(ds: "ray.data.Dataset") -> "ray.data.Dataset":
+    """Per-vector absmax int8 quantization (the standard vector-DB /
+    ANN compression step): ``q_j = floor(127 * x_j / amax + 0.5)``
+    with ``amax = max_j |x_j|`` (zero vectors quantize to zeros).
+    floor(x + 0.5) is used instead of round() because numpy and SQL
+    round() disagree on .5 (banker's vs half-away) while floor is
+    IEEE-identical — the exactness contract.
+
+    Stateless, zero shuffles.  Output: ``(vec_id, idx:int64,
+    q:int64, amax:double)`` — exploded so the oracle comparison is
+    scalar-exact."""
+    def fn(batch: pa.Table) -> pa.Table:
+        m = _emb_matrix(batch)           # float64 copy of the block
+        n, d = m.shape
+        amax = np.abs(m).max(axis=1)
+        safe = np.where(amax > 0, amax, 1.0)
+        q = np.floor(127.0 * m / safe[:, None] + 0.5).astype(np.int64)
+        vec = batch.column("vec_id").to_numpy()
+        return pa.table({
+            "vec_id": pa.array(np.repeat(vec, d), pa.int64()),
+            "idx": pa.array(np.tile(np.arange(d, dtype=np.int64), n)),
+            "q": pa.array(q.ravel()),
+            "amax": pa.array(np.repeat(amax, d)),
+        })
+
+    return ds.map_batches(fn, batch_format="pyarrow",
+                          zero_copy_batch=True)

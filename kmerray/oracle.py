@@ -619,6 +619,46 @@ r AS (
 SELECT qid, vec_id FROM r WHERE rn <= {k}"""
 
 
+def hard_negatives_sql(n_queries: int = 5, k: int = 10) -> str:
+    """Mirror of extras.similarity.hard_negatives: ann_topk_sql with
+    the different-label predicate applied before the rank."""
+    return f"""WITH q AS (
+  SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe,
+         label AS ql
+  FROM embeddings WHERE vec_id < {n_queries}
+),
+s AS (
+  SELECT q.qid, e.vec_id,
+         list_cosine_similarity(q.qe, CAST(e.embedding AS DOUBLE[]))
+           AS sc
+  FROM q, embeddings e WHERE e.label <> q.ql
+),
+r AS (
+  SELECT qid, vec_id,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY sc DESC, vec_id) AS rn
+  FROM s
+)
+SELECT qid, vec_id FROM r WHERE rn <= {k}"""
+
+
+def quantize_sql() -> str:
+    """Mirror of extras.similarity.quantize_embeddings: identical
+    operation order (127 * x / amax, then floor(.+0.5) — floor
+    because numpy and SQL round() disagree on .5)."""
+    return """WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         list_max(list_transform(CAST(embedding AS DOUBLE[]),
+                                 x -> abs(x))) AS amax
+  FROM embeddings
+)
+SELECT vec_id, CAST(i - 1 AS BIGINT) AS idx,
+  CAST(floor(127 * v[i] / (CASE WHEN amax > 0 THEN amax ELSE 1.0 END)
+             + 0.5) AS BIGINT) AS q,
+  amax
+FROM e, LATERAL (SELECT unnest(generate_series(1, len(v))) AS i) g"""
+
+
 def emb_near_dup_sql(threshold: float = 0.4) -> str:
     return f"""WITH e AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings

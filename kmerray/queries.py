@@ -469,6 +469,8 @@ def registry() -> dict:
         "gopher_filter": q_gopher_filter,
         "source_overlap": q_source_overlap,
         "decontam_spans": q_decontam_spans,
+        "hard_negatives": q_hard_negatives,
+        "quantize_emb": q_quantize_emb,
         "bpe_merges": q_bpe_merges,
         "bpe_encode": q_bpe_encode,
         "cfv_raw": q_cfv_raw,
@@ -714,6 +716,8 @@ FROM ({oracle.asof_backfill_sql(path, K_ASOF, *ASOF_BINS,
         "gopher_filter": oracle.gopher_filter_sql(),
         "source_overlap": oracle.source_overlap_sql(),
         "decontam_spans": oracle.decontam_spans_sql(),
+        "hard_negatives": oracle.hard_negatives_sql(ANN_QUERIES, ANN_K),
+        "quantize_emb": oracle.quantize_sql(),
         "bpe_merges": oracle.bpe_merges_sql(
             f"{sf_dir}/documents.parquet", BPE_MERGES),
         "decomp_project": f"""\
@@ -770,6 +774,31 @@ def q_source_overlap(sf_dir: str):
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
                                columns=["doc_id", "text", "source"])
     return source_overlap(ds)
+
+
+def q_hard_negatives(sf_dir: str):
+    """Hard-negative mining: per query, top-k most-similar vectors
+    with a DIFFERENT label (contrastive-training negatives)."""
+    import pyarrow.parquet as pq
+
+    from .extras.similarity import _emb_matrix, hard_negatives
+    path = f"{sf_dir}/embeddings.parquet"
+    t = pq.read_table(path, columns=["vec_id", "embedding", "label"])
+    t = t.filter(pa.compute.less(t.column("vec_id"), ANN_QUERIES))
+    ds = ray.data.read_parquet(path,
+                               columns=["vec_id", "embedding", "label"])
+    return hard_negatives(ds, t.column("vec_id").to_numpy(),
+                          _emb_matrix(t),
+                          t.column("label").to_numpy(), k=ANN_K)
+
+
+def q_quantize_emb(sf_dir: str):
+    """Per-vector absmax int8 quantization, exploded for scalar-exact
+    comparison."""
+    from .extras.similarity import quantize_embeddings
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                               columns=["vec_id", "embedding"])
+    return quantize_embeddings(ds)
 
 
 def q_decontam_spans(sf_dir: str):

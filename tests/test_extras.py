@@ -594,6 +594,49 @@ def test_source_overlap(ray_session):
     assert not any("lonely" in k for k in got)
 
 
+def test_hard_negatives_and_quantize(ray_session, emb_table):
+    """Hard negatives exclude the query's own label (incl. itself)
+    and match a direct label-masked reference; quantization matches
+    the floor(127x/amax+0.5) formula with zero-vector safety."""
+    from kmerray.extras.similarity import (_normalize, hard_negatives,
+                                           quantize_embeddings)
+    m = np.asarray(emb_table.column("embedding").combine_chunks()
+                   .to_pylist(), dtype=np.float64)
+    labels = (np.arange(len(m)) % 4).astype(np.int32)
+    t = emb_table.append_column("label", pa.array(labels))
+    qids = np.array([0, 1, 2])
+    out = hard_negatives(ray.data.from_arrow(t), qids, m[:3],
+                         labels[:3], k=5).to_pandas()
+    mn = _normalize(m)
+    for q in qids:
+        ok = labels != labels[q]
+        s = (mn @ mn[q])[ok]
+        ids = np.arange(len(m))[ok]
+        order = np.lexsort((ids, -s))
+        exp = ids[order[:5]].tolist()
+        got = out[out["qid"] == q]["vec_id"].tolist()
+        assert got == exp
+        assert q not in got
+        assert all(labels[v] != labels[q] for v in got)
+
+    # quantization: exact formula + zero-vector row
+    z = np.zeros((1, m.shape[1]), np.float32)
+    t2 = pa.table({
+        "vec_id": pa.array([0, 1], pa.int64()),
+        "embedding": pa.array(
+            [m[0].astype(np.float32), z[0]],
+            pa.list_(pa.float32()))})
+    qt = quantize_embeddings(ray.data.from_arrow(t2)).to_pandas()
+    r0 = qt[qt["vec_id"] == 0].sort_values("idx")
+    x = m[0].astype(np.float32).astype(np.float64)
+    amax = np.abs(x).max()
+    assert r0["q"].tolist() == \
+        np.floor(127.0 * x / amax + 0.5).astype(int).tolist()
+    assert (r0["q"].abs() <= 127).all()
+    r1 = qt[qt["vec_id"] == 1]
+    assert (r1["q"] == 0).all() and (r1["amax"] == 0).all()
+
+
 def test_decontam_spans(ray_session):
     """Span masking semantics: exactly the words covered by an
     eval-matching 3-gram become <MASKED>; overlapping hits coalesce;
