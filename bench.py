@@ -435,6 +435,22 @@ def run_bench() -> dict:
         "heavy_files_frac": round(len(heavy_files) / len(all_files), 3),
         "seqs_per_sec": round(n_docs / cfv_sec, 1),
         "tokens_per_sec": round(total_tokens / cfv_sec, 1),
+        # round-4 measured two-cluster-size evidence (paired fresh
+        # 2-cpu vs 8-cpu processes on the same input, eff =
+        # T_lo/(4*T_hi); sessions dated 2026-08-18, full
+        # distributions + methodology in BASELINE.md) — embedded here
+        # so the per-round BENCH json stays self-auditing per VERDICT
+        # r3 next #8; these are historical session results, NOT
+        # measured in this bench invocation
+        "scaling_r4": {
+            "rule": "paired 2->8 cpus, fresh ray.init each leg",
+            "min_31_7_pairs_eff": [0.693, 0.990, 0.808, 0.839],
+            "cfv_pairs_eff": [0.536, 0.569, 0.552, 0.625],
+            "note": ("minimizer = engine-representative (>=0.8 bar "
+                     "met, 4 r4 pairs); CFV pinned to the measured "
+                     "~120M tokens/s host DRAM ceiling, see "
+                     "BASELINE.md scaling section"),
+        },
     }
 
 
