@@ -1,0 +1,116 @@
+"""Sketch operators: distributed HyperLogLog distinct counting.
+
+At 100 TB an exact distinct count per group is an all-to-all shuffle
+of every key occurrence; the HLL sketch replaces it with one
+streaming pass — each block emits a fixed 2^p-byte register vector
+per group, merges are element-wise max (associative, commutative,
+idempotent → order- and partitioning-independent), and the estimate
+is a pure function of the merged registers.  The whole pipeline is
+therefore DETERMINISTIC for a given corpus, which is what lets a
+plain SQL-literal oracle gate it: an independent single-process HLL
+(same published spec, different code) must produce bit-identical
+registers and hence the identical estimate.
+
+Spec pinned here (classic Flajolet et al. 2007 HLL, no sparse mode):
+  - hash: splitmix64 of the int64 key (public mixer constants)
+  - p bits of the hash index the register, rho = leading-zero count
+    of the remaining (64-p) bits + 1
+  - estimate: alpha_m * m^2 / sum(2^-reg), linear counting below
+    2.5m with empty registers, no large-range correction (64-bit
+    hash space makes it irrelevant at these cardinalities)
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data
+
+HLL_P = 12
+_SM_GAMMA = np.uint64(0x9E3779B97F4A7C15)
+_SM_M1 = np.uint64(0xBF58476D1CE4E5B9)
+_SM_M2 = np.uint64(0x94D049BB133111EB)
+
+
+def splitmix64(x: np.ndarray) -> np.ndarray:
+    """Vectorized splitmix64 finalizer (public-domain mixer; the same
+    constants appear in the reference implementation of SplitMix and
+    in xoshiro seeding)."""
+    z = x.astype(np.uint64) + _SM_GAMMA
+    with np.errstate(over="ignore"):
+        z = (z ^ (z >> np.uint64(30))) * _SM_M1
+        z = (z ^ (z >> np.uint64(27))) * _SM_M2
+    return z ^ (z >> np.uint64(31))
+
+
+def _registers(keys: np.ndarray, p: int = HLL_P) -> np.ndarray:
+    """Dense register vector (2^p uint8) for a batch of int64 keys."""
+    m = 1 << p
+    h = splitmix64(keys.astype(np.uint64))
+    idx = (h >> np.uint64(64 - p)).astype(np.int64)
+    rest = (h << np.uint64(p)) | (np.uint64(1) << np.uint64(p - 1))
+    # rho = leading zeros of the remaining bits + 1 (the OR above
+    # plants a stop bit so rho is capped at 64 - p + 1 exactly)
+    rho = np.zeros(len(h), np.uint8)
+    cur = rest.copy()
+    ones = np.uint64(1)
+    # leading-zero count via float64 exponent is unsafe (53-bit
+    # mantissa); do a 6-step binary clz — fully vectorized
+    shift = 32
+    lz = np.zeros(len(h), np.uint64)
+    while shift >= 1:
+        s = np.uint64(shift)
+        mask = cur < (ones << np.uint64(64 - shift))
+        lz[mask] += s
+        with np.errstate(over="ignore"):
+            cur[mask] = cur[mask] << s
+        shift //= 2
+    rho = (lz + 1).astype(np.uint8)
+    regs = np.zeros(m, np.uint8)
+    np.maximum.at(regs, idx, rho)
+    return regs
+
+
+def _estimate(regs: np.ndarray) -> float:
+    m = float(len(regs))
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    est = alpha * m * m / np.sum(np.power(2.0, -regs.astype(np.float64)))
+    zeros = int((regs == 0).sum())
+    if est <= 2.5 * m and zeros:
+        est = m * np.log(m / zeros)
+    return float(est)
+
+
+def hll_distinct(ds: "ray.data.Dataset", key: str, group: str,
+                 p: int = HLL_P) -> "ray.data.Dataset":
+    """Per-``group`` approximate distinct ``key`` count.
+
+    Per-block partials emit one (group, registers) row (fixed
+    2^p bytes regardless of block size — the combiner), ONE tiny
+    group-keyed exchange max-merges them, and the estimate is
+    computed inside the group body.  Nothing corpus-sized moves.
+
+    Output: ``(<group>:string, est:double)`` — deterministic (max is
+    order-independent), so the exact independent-fit oracle matches
+    bit-for-bit."""
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        out_g, out_r = [], []
+        for g, sub in b.groupby(group, sort=False):
+            regs = _registers(sub[key].to_numpy(np.int64), p)
+            out_g.append(g)
+            out_r.append(regs)
+        return pd.DataFrame({group: np.array(out_g, object),
+                             "regs": [r.tobytes() for r in out_r]})
+
+    part = ds.map_batches(partial, batch_format="pandas")
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        acc = np.zeros(1 << p, np.uint8)
+        for blob in g["regs"]:
+            np.maximum(acc, np.frombuffer(blob, np.uint8), out=acc)
+        return pd.DataFrame({group: [g[group].iloc[0]],
+                             "est": [_estimate(acc)]})
+
+    return part.groupby(group).map_groups(merge, batch_format="pandas")

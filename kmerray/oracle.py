@@ -659,6 +659,61 @@ SELECT vec_id, CAST(i - 1 AS BIGINT) AS idx,
 FROM e, LATERAL (SELECT unnest(generate_series(1, len(v))) AS i) g"""
 
 
+def _ref_hll(events_path: str, p: int = 12):
+    """Independent single-process HLL fit for the oracle literal:
+    scalar-Python splitmix64 + bit_length rho per DISTINCT
+    (event_type, user_id) — structurally different from the engine's
+    vectorized occurrence-stream registers, same pinned spec, so the
+    register vectors (exact ints) and hence the estimates coincide.
+    The float estimate uses the same np.power/np.sum expression as
+    the engine (the pinned estimator), rounded to 4 dp on both
+    sides."""
+    import numpy as np
+    import pyarrow.parquet as pq
+    t = pq.read_table(events_path, columns=["event_type", "user_id"])
+    et = t.column("event_type").to_pylist()
+    uid = t.column("user_id").to_pylist()
+    per = {}
+    for e, u in zip(et, uid):
+        per.setdefault(e, set()).add(u)
+    M = (1 << 64) - 1
+    out = []
+    for e in sorted(per):
+        regs = [0] * (1 << p)
+        for u in per[e]:
+            z = (u + 0x9E3779B97F4A7C15) & M
+            z = ((z ^ (z >> 30)) * 0xBF58476D1CE4E5B9) & M
+            z = ((z ^ (z >> 27)) * 0x94D049BB133111EB) & M
+            h = z ^ (z >> 31)
+            idx = h >> (64 - p)
+            rest = ((h << p) | (1 << (p - 1))) & M
+            rho = 64 - rest.bit_length() + 1
+            if rho > regs[idx]:
+                regs[idx] = rho
+        r = np.asarray(regs, np.uint8)
+        m = float(len(r))
+        alpha = 0.7213 / (1.0 + 1.079 / m)
+        est = alpha * m * m / np.sum(np.power(2.0,
+                                              -r.astype(np.float64)))
+        zeros = int((r == 0).sum())
+        if est <= 2.5 * m and zeros:
+            est = m * np.log(m / zeros)
+        out.append((e, round(float(est), 4), len(per[e])))
+    return out
+
+
+def hll_users_sql(events_path: str, p: int = 12) -> str:
+    """The independently-fit per-type HLL estimates as literals, with
+    the TRUE exact distinct count alongside so the sketch error is
+    visible in the gated surface."""
+    rows = ",\n  ".join(f"('{e}', {est!r}, {exact})"
+                         for e, est, exact in _ref_hll(events_path, p))
+    return f"""SELECT event_type, CAST(est AS DOUBLE) AS est,
+       CAST(exact AS BIGINT) AS exact
+FROM (VALUES
+  {rows}) AS t(event_type, est, exact)"""
+
+
 def emb_near_dup_sql(threshold: float = 0.4) -> str:
     return f"""WITH e AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings

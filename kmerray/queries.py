@@ -471,6 +471,7 @@ def registry() -> dict:
         "decontam_spans": q_decontam_spans,
         "hard_negatives": q_hard_negatives,
         "quantize_emb": q_quantize_emb,
+        "hll_users": q_hll_users,
         "bpe_merges": q_bpe_merges,
         "bpe_encode": q_bpe_encode,
         "cfv_raw": q_cfv_raw,
@@ -718,6 +719,7 @@ FROM ({oracle.asof_backfill_sql(path, K_ASOF, *ASOF_BINS,
         "decontam_spans": oracle.decontam_spans_sql(),
         "hard_negatives": oracle.hard_negatives_sql(ANN_QUERIES, ANN_K),
         "quantize_emb": oracle.quantize_sql(),
+        "hll_users": oracle.hll_users_sql(f"{sf_dir}/events.parquet"),
         "bpe_merges": oracle.bpe_merges_sql(
             f"{sf_dir}/documents.parquet", BPE_MERGES),
         "decomp_project": f"""\
@@ -799,6 +801,40 @@ def q_quantize_emb(sf_dir: str):
     ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
                                columns=["vec_id", "embedding"])
     return quantize_embeddings(ds)
+
+
+def q_hll_users(sf_dir: str):
+    """Distributed HyperLogLog distinct-user estimate per event_type
+    (fixed 4 KB register partials, one tiny exchange), dp-rounded and
+    gated against an independent scalar-Python fit — plus the TRUE
+    exact count joined in so the gated surface shows the sketch
+    error."""
+    from .extras.sketch import hll_distinct
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_type", "user_id"])
+    est = hll_distinct(ds, key="user_id", group="event_type")
+
+    def rnd(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"event_type": b["event_type"],
+                             "est": np.round(b["est"], 4)})
+    est = est.map_batches(rnd, batch_format="pandas")
+    # exact distinct count rides along so the GATED surface exposes
+    # the sketch error (per-block drop_duplicates combiner, one
+    # type-keyed exchange — at test scale; the sketch is the 100-TB
+    # path, the exact count is the comparison yardstick)
+    dd = ds.map_batches(
+        lambda b: b.drop_duplicates(),
+        batch_format="pandas").groupby("event_type").map_groups(
+        lambda g: pd.DataFrame({
+            "event_type": [g["event_type"].iloc[0]],
+            "exact": [np.int64(g["user_id"].nunique())]}),
+        batch_format="pandas")
+
+    def attach(e: pd.DataFrame, x: pd.DataFrame) -> pd.DataFrame:
+        return e.merge(x, on="event_type")
+    epdf = est.to_pandas()
+    xpdf = dd.to_pandas()
+    return attach(epdf, xpdf)
 
 
 def q_decontam_spans(sf_dir: str):

@@ -637,6 +637,48 @@ def test_hard_negatives_and_quantize(ray_session, emb_table):
     assert (r1["q"] == 0).all() and (r1["amax"] == 0).all()
 
 
+def test_hll_distinct(ray_session):
+    """HLL registers bit-match a scalar-Python reference; the
+    estimate lands within the sketch's expected error (~1.04/sqrt(m)
+    at p=12 -> ~1.6%); merging is partition-invariant."""
+    from kmerray.extras.sketch import (HLL_P, _estimate, _registers,
+                                       hll_distinct)
+    # scalar reference registers for a small key set
+    keys = np.arange(1000, dtype=np.int64) * 7919 + 3
+    M = (1 << 64) - 1
+    ref = [0] * (1 << HLL_P)
+    for u in keys.tolist():
+        z = (u + 0x9E3779B97F4A7C15) & M
+        z = ((z ^ (z >> 30)) * 0xBF58476D1CE4E5B9) & M
+        z = ((z ^ (z >> 27)) * 0x94D049BB133111EB) & M
+        h = z ^ (z >> 31)
+        idx = h >> (64 - HLL_P)
+        rest = ((h << HLL_P) | (1 << (HLL_P - 1))) & M
+        rho = 64 - rest.bit_length() + 1
+        ref[idx] = max(ref[idx], rho)
+    assert _registers(keys).tolist() == ref
+
+    # end-to-end: 20k distinct users with repeats, two partitionings
+    rng = np.random.default_rng(31)
+    users = rng.integers(0, 20_000, 60_000, dtype=np.int64)
+    t = pa.table({
+        "event_type": pa.array(np.where(users % 2 == 0, "a", "b")),
+        "user_id": pa.array(users)})
+    for parts in (4, 17):
+        out = (hll_distinct(ray.data.from_arrow(t).repartition(parts),
+                            key="user_id", group="event_type")
+               .to_pandas().set_index("event_type").sort_index())
+        for g in ("a", "b"):
+            exact = len(np.unique(users[(users % 2 == 0)
+                                        == (g == "a")]))
+            assert abs(out.loc[g, "est"] - exact) / exact < 0.05
+        if parts == 4:
+            first = out.copy()
+    assert (first["est"] == out["est"]).all()   # partition-invariant
+    # estimate formula sanity: empty registers -> 0-ish via linear
+    assert _estimate(np.zeros(1 << HLL_P, np.uint8)) == 0.0
+
+
 def test_decontam_spans(ray_session):
     """Span masking semantics: exactly the words covered by an
     eval-matching 3-gram become <MASKED>; overlapping hits coalesce;
