@@ -1175,3 +1175,42 @@ def source_overlap(ds: "ray.data.Dataset",
 
     return per_bucket.groupby(["src_a", "src_b"]).map_groups(
         final, batch_format="pandas")
+
+
+def feature_hash(ds: "ray.data.Dataset", dim: int = 1024
+                 ) -> "ray.data.Dataset":
+    """The hashing trick (Weinberger et al. 2009): each doc becomes a
+    fixed-``dim`` sparse feature vector — index = word-hash mod dim,
+    value = signed occurrence count (sign from the hash's top bit,
+    which keeps the inner product an unbiased kernel estimate).
+    Fixed output dimensionality regardless of vocabulary growth is
+    the point at 100 TB: no vocab dictionary, no shuffle, one
+    stateless streaming pass.
+
+    Word hash = md5 lower 8 bytes (engine-portable; DuckDB
+    ``md5_number_lower`` mirror).  Output: nonzero entries only,
+    ``(doc_id, idx:int64, val:int64)``."""
+    def fn(b: pd.DataFrame) -> pd.DataFrame:
+        vals, offs = flat_words(b["text"])
+        h = _md5_word_hash(vals)
+        rowid = np.repeat(np.arange(len(b)), np.diff(offs))
+        idx = (h % np.uint64(dim)).astype(np.int64)
+        sign = np.where((h >> np.uint64(63)).astype(bool), -1, 1) \
+            .astype(np.int64)
+        # segment-sum signs per (row, idx): lexsort run reduction
+        order = np.lexsort((idx, rowid))
+        sr, si, ss = rowid[order], idx[order], sign[order]
+        new = np.ones(len(sr), bool)
+        new[1:] = (sr[1:] != sr[:-1]) | (si[1:] != si[:-1])
+        starts = np.flatnonzero(new)
+        csum = np.zeros(len(ss) + 1, np.int64)
+        np.cumsum(ss, out=csum[1:])
+        ends = np.append(starts[1:], len(ss))
+        v = csum[ends] - csum[starts]
+        keep = v != 0                       # sign cancellations drop
+        docs = b["doc_id"].to_numpy(np.int64)[sr[starts][keep]]
+        return pd.DataFrame({"doc_id": docs,
+                             "idx": si[starts][keep],
+                             "val": v[keep]})
+
+    return ds.map_batches(fn, batch_format="pandas")

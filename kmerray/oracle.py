@@ -932,6 +932,26 @@ FROM (VALUES
   {rows}) AS t(rank, left_s, right_s, cnt)"""
 
 
+def feature_hash_sql(dim: int = 1024) -> str:
+    """Mirror of extras.text.feature_hash: md5_number_lower word
+    hash, index = hash % dim, sign from the top bit, zero-sum
+    entries dropped."""
+    return f"""WITH w AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS word
+  FROM documents
+),
+h AS (
+  SELECT doc_id,
+         CAST(md5_number_lower(word) % {dim} AS BIGINT) AS idx,
+         CASE WHEN md5_number_lower(word) >= 9223372036854775808
+              THEN -1 ELSE 1 END AS sign
+  FROM w
+)
+SELECT doc_id, idx, CAST(sum(sign) AS BIGINT) AS val
+FROM h GROUP BY doc_id, idx
+HAVING sum(sign) <> 0"""
+
+
 def source_overlap_sql() -> str:
     """Mirror of extras.text.source_overlap: distinct (source, word)
     self-joined on the word with source_a < source_b (engine counts

@@ -472,6 +472,7 @@ def registry() -> dict:
         "hard_negatives": q_hard_negatives,
         "quantize_emb": q_quantize_emb,
         "hll_users": q_hll_users,
+        "feature_hash": q_feature_hash,
         "bpe_merges": q_bpe_merges,
         "bpe_encode": q_bpe_encode,
         "cfv_raw": q_cfv_raw,
@@ -720,6 +721,7 @@ FROM ({oracle.asof_backfill_sql(path, K_ASOF, *ASOF_BINS,
         "hard_negatives": oracle.hard_negatives_sql(ANN_QUERIES, ANN_K),
         "quantize_emb": oracle.quantize_sql(),
         "hll_users": oracle.hll_users_sql(f"{sf_dir}/events.parquet"),
+        "feature_hash": oracle.feature_hash_sql(FEATURE_DIM),
         "bpe_merges": oracle.bpe_merges_sql(
             f"{sf_dir}/documents.parquet", BPE_MERGES),
         "decomp_project": f"""\
@@ -801,6 +803,16 @@ def q_quantize_emb(sf_dir: str):
     ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
                                columns=["vec_id", "embedding"])
     return quantize_embeddings(ds)
+
+
+FEATURE_DIM = 1024
+
+
+def q_feature_hash(sf_dir: str):
+    """Hashing-trick sparse feature vectors (fixed dim, no vocab, no
+    shuffle): nonzero (doc_id, idx, signed count) entries."""
+    from .extras.text import feature_hash
+    return feature_hash(_docs(sf_dir), dim=FEATURE_DIM)
 
 
 def q_hll_users(sf_dir: str):

@@ -637,6 +637,37 @@ def test_hard_negatives_and_quantize(ray_session, emb_table):
     assert (r1["q"] == 0).all() and (r1["amax"] == 0).all()
 
 
+def test_feature_hash(ray_session):
+    """Hashing-trick vectors vs a direct per-doc reference: signed
+    counts at hash-mod indices, zero-sum cancellations dropped, dim
+    bound respected."""
+    import hashlib
+
+    from kmerray.extras.text import feature_hash
+    texts = ["alpha beta alpha", "gamma", "alpha beta beta gamma"]
+    t = pa.table({"doc_id": pa.array([0, 1, 2], pa.int64()),
+                  "text": pa.array(texts)})
+    dim = 64
+    out = feature_hash(ray.data.from_arrow(t), dim=dim).to_pandas()
+
+    def h64(w):
+        return int.from_bytes(hashlib.md5(w.encode()).digest()[8:16],
+                              "little")
+    exp = {}
+    for did, txt in enumerate(texts):
+        acc: dict = {}
+        for w in txt.split(" "):
+            h = h64(w)
+            s = -1 if h >> 63 else 1
+            acc[h % dim] = acc.get(h % dim, 0) + s
+        for i, v in acc.items():
+            if v != 0:
+                exp[(did, i)] = v
+    got = {(r.doc_id, r.idx): r.val for r in out.itertuples()}
+    assert got == exp
+    assert (out["idx"] < dim).all() and (out["idx"] >= 0).all()
+
+
 def test_hll_distinct(ray_session):
     """HLL registers bit-match a scalar-Python reference; the
     estimate lands within the sketch's expected error (~1.04/sqrt(m)
