@@ -117,7 +117,8 @@ def _bottom_ids_table(ds: "ray.data.Dataset", c: int) -> pa.Table:
 
 
 def kmeans_fit(ds: "ray.data.Dataset", n_clusters: int = 8,
-               iters: int = 5) -> np.ndarray:
+               iters: int = 5,
+               pre_materialized: bool = False) -> np.ndarray:
     """Distributed Lloyd's k-means over the embedding column.
 
     Deterministic init (the ``n_clusters`` lowest vec_ids), then
@@ -134,7 +135,8 @@ def kmeans_fit(ds: "ray.data.Dataset", n_clusters: int = 8,
     # re-executing the upstream read/transform (the embedding table
     # is orders of magnitude smaller than the doc corpus, and the
     # object store spills if it doesn't fit)
-    ds = ds.select_columns(["vec_id", "embedding"]).materialize()
+    if not pre_materialized:
+        ds = ds.select_columns(["vec_id", "embedding"]).materialize()
     init = _bottom_ids_table(ds, n_clusters)
     cent = np.asarray(init.column("embedding").to_pylist(),
                       dtype=np.float64)
@@ -193,8 +195,11 @@ def kmeans_assign(ds: "ray.data.Dataset",
 
 def kmeans_pipeline(ds: "ray.data.Dataset", n_clusters: int = 8,
                     iters: int = 5) -> "ray.data.Dataset":
-    cent = kmeans_fit(ds, n_clusters, iters)
-    return kmeans_assign(ds, cent)
+    # one materialized slim projection serves fit iterations AND the
+    # assignment pass (no re-execution of the upstream read)
+    slim = ds.select_columns(["vec_id", "embedding"]).materialize()
+    cent = kmeans_fit(slim, n_clusters, iters, pre_materialized=True)
+    return kmeans_assign(slim, cent)
 
 
 def assign_with_dist(ds: "ray.data.Dataset",
@@ -239,8 +244,9 @@ def cluster_representatives(ds: "ray.data.Dataset", n_clusters: int = 8,
     surface ``(cluster, vec_id)`` only — the float distance orders
     but is never emitted, so the oracle comparison is exact."""
     from .grouped import grouped_topk
-    cent = kmeans_fit(ds, n_clusters, iters)
-    assigned = assign_with_dist(ds, cent)
+    slim = ds.select_columns(["vec_id", "embedding"]).materialize()
+    cent = kmeans_fit(slim, n_clusters, iters, pre_materialized=True)
+    assigned = assign_with_dist(slim, cent)
     top = grouped_topk(assigned, key="cluster", score="d2", k=n_per,
                        tiebreak="vec_id", ascending=True)
 
@@ -268,8 +274,9 @@ def semdedup_survivors(ds: "ray.data.Dataset", n_clusters: int = 8,
     once, and the per-group matmul is blocked so peak memory is
     O(block x cluster), not O(cluster^2)."""
     from .similarity import _normalize
-    cent = kmeans_fit(ds, n_clusters, iters)
-    assigned = _assign_with_embedding(ds, cent)
+    slim = ds.select_columns(["vec_id", "embedding"]).materialize()
+    cent = kmeans_fit(slim, n_clusters, iters, pre_materialized=True)
+    assigned = _assign_with_embedding(slim, cent)
 
     def dedup_group(g: pd.DataFrame) -> pd.DataFrame:
         order = np.argsort(g["vec_id"].to_numpy())

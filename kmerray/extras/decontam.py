@@ -93,8 +93,12 @@ def decontam_pipeline(ds: "ray.data.Dataset",
              .reset_index(drop=True))
         rowid, gk = _gram_keys(b["text"], n)
         drow, dk = _distinct_per_row(rowid, gk)
-        pos = np.searchsorted(ev, dk)
-        hit = (pos < len(ev)) & (ev[np.minimum(pos, len(ev) - 1)] == dk)
+        if len(ev):
+            pos = np.searchsorted(ev, dk)
+            hit = (pos < len(ev)) \
+                & (ev[np.minimum(pos, len(ev) - 1)] == dk)
+        else:                       # empty eval slice: nothing hits
+            hit = np.zeros(len(dk), bool)
         hits = np.bincount(drow[hit], minlength=len(b)).astype(np.int64)
         return pd.DataFrame({"doc_id": b["doc_id"],
                              "n_hits": hits,
@@ -134,8 +138,12 @@ def decontam_spans_pipeline(ds: "ray.data.Dataset",
         # positional hits: gram starts whose key is in the eval set
         # (rowid from _gram_keys is per gram START, aligned with the
         # flat word index of that start)
-        pos = np.searchsorted(ev, gk)
-        hit = (pos < len(ev)) & (ev[np.minimum(pos, len(ev) - 1)] == gk)
+        if len(ev):
+            pos = np.searchsorted(ev, gk)
+            hit = (pos < len(ev)) \
+                & (ev[np.minimum(pos, len(ev) - 1)] == gk)
+        else:                       # empty eval slice: nothing hits
+            hit = np.zeros(len(gk), bool)
         # flat start index of each (kept) gram: _gram_keys keeps grams
         # in flat order, so reconstruct starts by scanning the same
         # validity mask it used

@@ -46,28 +46,30 @@ def synth_media_table(n_items: int, seed: int = 42,
     })
 
 
-def ensure_media_parquet(n_items: int = 500, seed: int = 42) -> str:
-    """Write-once deterministic media parquet under the shared cache
-    root, so the Ray pipeline and the DuckDB oracle read the SAME
-    bytes (the pattern of ``sources.synth.ensure_sequences``)."""
+def _ensure_cached_parquet(dir_name: str, file_name: str, build,
+                           meta: dict, row_group_size: int) -> str:
+    """Write-once deterministic parquet under the shared cache root
+    (the ``sources.synth.ensure_sequences`` pattern), shared by every
+    synthetic fixture so the Ray pipeline and the DuckDB oracle read
+    the SAME bytes.  The atomic tmp-dir rename + marker-recheck race
+    recovery lives in exactly one place."""
     import json
     import os
 
     import pyarrow.parquet as pq
 
     from ..sources.synth import CACHE_ROOT
-    out_dir = os.path.join(CACHE_ROOT, f"media-n{n_items}-s{seed}-v1")
-    path = os.path.join(out_dir, "media.parquet")
+    out_dir = os.path.join(CACHE_ROOT, dir_name)
+    path = os.path.join(out_dir, file_name)
     marker = os.path.join(out_dir, "_SUCCESS")
     if os.path.exists(marker):
         return path
     tmp_dir = out_dir + f".tmp.{os.getpid()}"
     os.makedirs(tmp_dir, exist_ok=True)
-    pq.write_table(synth_media_table(n_items, seed=seed),
-                   os.path.join(tmp_dir, "media.parquet"),
-                   row_group_size=128)
+    pq.write_table(build(), os.path.join(tmp_dir, file_name),
+                   row_group_size=row_group_size)
     with open(os.path.join(tmp_dir, "_SUCCESS"), "w") as fh:
-        json.dump({"n_items": n_items, "seed": seed}, fh)
+        json.dump(meta, fh)
     try:
         os.rename(tmp_dir, out_dir)
     except OSError:
@@ -76,6 +78,13 @@ def ensure_media_parquet(n_items: int = 500, seed: int = 42) -> str:
         import shutil
         shutil.rmtree(tmp_dir, ignore_errors=True)
     return path
+
+
+def ensure_media_parquet(n_items: int = 500, seed: int = 42) -> str:
+    return _ensure_cached_parquet(
+        f"media-n{n_items}-s{seed}-v1", "media.parquet",
+        lambda: synth_media_table(n_items, seed=seed),
+        {"n_items": n_items, "seed": seed}, 128)
 
 
 def _try_import_pil():
@@ -172,7 +181,7 @@ class DecodeStage:
         # rest; anything else is the documented codec boundary and
         # raises NotImplementedError at decode time).
         self._pil = _try_import_pil()
-        self.fake = bool(fake) if fake is not None else False
+        self.fake = fake            # None = auto-detect per payload
         self.resize_to = resize_to
         self._hist_bins = np.arange(257)
 
@@ -212,9 +221,15 @@ class DecodeStage:
         payloads = batch.column("payload").to_pylist()
         widths = batch.column("width").to_numpy()
         heights = batch.column("height").to_numpy()
-        decode = self._fake_decode if self.fake else self._real_decode
         for i, p in enumerate(payloads):
-            frame = decode(p, widths[i], heights[i])
+            if self.fake is True:
+                frame = self._fake_decode(p, widths[i], heights[i])
+            elif self.fake is False:
+                frame = self._real_decode(p, widths[i], heights[i])
+            elif p[:2] in (b"P5", b"P6", b"BM") or self._pil is not None:
+                frame = self._real_decode(p, widths[i], heights[i])
+            else:                   # auto + undecodable here -> stub
+                frame = self._fake_decode(p, widths[i], heights[i])
             hist, _ = np.histogram(frame, bins=16, range=(0, 256))
             hist = hist / frame.size
             probs = hist[hist > 0]
@@ -272,34 +287,10 @@ def synth_video_table(n_items: int, seed: int = 43) -> pa.Table:
 
 
 def ensure_video_parquet(n_items: int = 200, seed: int = 43) -> str:
-    """Write-once deterministic video parquet (same shared-cache
-    pattern as ensure_media_parquet)."""
-    import json
-    import os
-
-    import pyarrow.parquet as pq
-
-    from ..sources.synth import CACHE_ROOT
-    out_dir = os.path.join(CACHE_ROOT, f"video-n{n_items}-s{seed}-v1")
-    path = os.path.join(out_dir, "video.parquet")
-    marker = os.path.join(out_dir, "_SUCCESS")
-    if os.path.exists(marker):
-        return path
-    tmp_dir = out_dir + f".tmp.{os.getpid()}"
-    os.makedirs(tmp_dir, exist_ok=True)
-    pq.write_table(synth_video_table(n_items, seed=seed),
-                   os.path.join(tmp_dir, "video.parquet"),
-                   row_group_size=64)
-    with open(os.path.join(tmp_dir, "_SUCCESS"), "w") as fh:
-        json.dump({"n_items": n_items, "seed": seed}, fh)
-    try:
-        os.rename(tmp_dir, out_dir)
-    except OSError:
-        if not os.path.exists(marker):
-            raise
-        import shutil
-        shutil.rmtree(tmp_dir, ignore_errors=True)
-    return path
+    return _ensure_cached_parquet(
+        f"video-n{n_items}-s{seed}-v1", "video.parquet",
+        lambda: synth_video_table(n_items, seed=seed),
+        {"n_items": n_items, "seed": seed}, 64)
 
 
 class FrameSampleStage:
@@ -321,6 +312,8 @@ class FrameSampleStage:
         items = batch.column("item_id").to_pylist()
         for i, p in enumerate(batch.column("payload").to_pylist()):
             fsize = int(widths[i]) * int(heights[i])
+            if fsize == 0:          # untrusted metadata: 0-area drops
+                continue
             arr = np.frombuffer(p, dtype=np.uint8)
             n_frames = len(arr) // fsize
             if n_frames == 0:
@@ -379,34 +372,10 @@ def synth_audio_table(n_items: int, seed: int = 44) -> pa.Table:
 
 
 def ensure_audio_parquet(n_items: int = 150, seed: int = 44) -> str:
-    """Write-once deterministic audio parquet (same shared-cache
-    pattern as ensure_media_parquet)."""
-    import json
-    import os
-
-    import pyarrow.parquet as pq
-
-    from ..sources.synth import CACHE_ROOT
-    out_dir = os.path.join(CACHE_ROOT, f"audio-n{n_items}-s{seed}-v1")
-    path = os.path.join(out_dir, "audio.parquet")
-    marker = os.path.join(out_dir, "_SUCCESS")
-    if os.path.exists(marker):
-        return path
-    tmp_dir = out_dir + f".tmp.{os.getpid()}"
-    os.makedirs(tmp_dir, exist_ok=True)
-    pq.write_table(synth_audio_table(n_items, seed=seed),
-                   os.path.join(tmp_dir, "audio.parquet"),
-                   row_group_size=64)
-    with open(os.path.join(tmp_dir, "_SUCCESS"), "w") as fh:
-        json.dump({"n_items": n_items, "seed": seed}, fh)
-    try:
-        os.rename(tmp_dir, out_dir)
-    except OSError:
-        if not os.path.exists(marker):
-            raise
-        import shutil
-        shutil.rmtree(tmp_dir, ignore_errors=True)
-    return path
+    return _ensure_cached_parquet(
+        f"audio-n{n_items}-s{seed}-v1", "audio.parquet",
+        lambda: synth_audio_table(n_items, seed=seed),
+        {"n_items": n_items, "seed": seed}, 64)
 
 
 class AudioEnergyStage:

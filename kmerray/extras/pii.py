@@ -99,32 +99,11 @@ def synth_webtext_table(n_docs: int, seed: int = 45) -> pa.Table:
 
 
 def ensure_webtext_parquet(n_docs: int = 400, seed: int = 45) -> str:
-    import json
-    import os
-
-    import pyarrow.parquet as pq
-
-    from ..sources.synth import CACHE_ROOT
-    out_dir = os.path.join(CACHE_ROOT, f"webtext-n{n_docs}-s{seed}-v1")
-    path = os.path.join(out_dir, "webtext.parquet")
-    marker = os.path.join(out_dir, "_SUCCESS")
-    if os.path.exists(marker):
-        return path
-    tmp_dir = out_dir + f".tmp.{os.getpid()}"
-    os.makedirs(tmp_dir, exist_ok=True)
-    pq.write_table(synth_webtext_table(n_docs, seed=seed),
-                   os.path.join(tmp_dir, "webtext.parquet"),
-                   row_group_size=128)
-    with open(os.path.join(tmp_dir, "_SUCCESS"), "w") as fh:
-        json.dump({"n_docs": n_docs, "seed": seed}, fh)
-    try:
-        os.rename(tmp_dir, out_dir)
-    except OSError:
-        if not os.path.exists(marker):
-            raise
-        import shutil
-        shutil.rmtree(tmp_dir, ignore_errors=True)
-    return path
+    from .multimodal import _ensure_cached_parquet
+    return _ensure_cached_parquet(
+        f"webtext-n{n_docs}-s{seed}-v1", "webtext.parquet",
+        lambda: synth_webtext_table(n_docs, seed=seed),
+        {"n_docs": n_docs, "seed": seed}, 128)
 
 
 # optional userinfo@ before the host (both dialects support optional

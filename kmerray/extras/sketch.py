@@ -53,7 +53,6 @@ def _registers(keys: np.ndarray, p: int = HLL_P) -> np.ndarray:
     rest = (h << np.uint64(p)) | (np.uint64(1) << np.uint64(p - 1))
     # rho = leading zeros of the remaining bits + 1 (the OR above
     # plants a stop bit so rho is capped at 64 - p + 1 exactly)
-    rho = np.zeros(len(h), np.uint8)
     cur = rest.copy()
     ones = np.uint64(1)
     # leading-zero count via float64 exponent is unsafe (53-bit

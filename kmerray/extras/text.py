@@ -824,18 +824,14 @@ def ppl_buckets(ds: "ray.data.Dataset", tiles: int = 3, dp: int = 4,
 
 
 def _md5_word_hash(vals: np.ndarray) -> np.ndarray:
-    """Engine-portable 64-bit word hash: md5 lower 8 bytes,
-    little-endian — exactly DuckDB's ``md5_number_lower`` (the
-    sample_split portability contract, oracle.py).  Hashed once per
+    """Engine-portable 64-bit word hash (DuckDB ``md5_number_lower``
+    mirror): :func:`~kmerray.extras.sampling.md5_lower64` — the ONE
+    home of the byte-slice/endianness contract — applied once per
     UNIQUE word per batch (vocab-bounded), then scattered to
     occurrences."""
-    import hashlib
+    from .sampling import md5_lower64
     uniq, inv = np.unique(vals, return_inverse=True)
-    hu = np.fromiter(
-        (int.from_bytes(hashlib.md5(s.encode()).digest()[8:16],
-                        "little") for s in uniq),
-        dtype=np.uint64, count=len(uniq))
-    return hu[inv]
+    return md5_lower64(uniq)[inv]
 
 
 def winnow_fingerprints(ds: "ray.data.Dataset",
