@@ -710,6 +710,54 @@ def test_hll_distinct(ray_session):
     assert _estimate(np.zeros(1 << HLL_P, np.uint8)) == 0.0
 
 
+def test_review_fix_edges(ray_session):
+    """Round-4 self-review regressions: empty eval slice (no doc_id %
+    10 == 7) must not crash either decontamination probe; fake=None
+    decode falls back to the stub for unrecognized payloads without
+    PIL; zero-area video metadata drops instead of dividing by
+    zero."""
+    from kmerray.extras.decontam import (decontam_pipeline,
+                                         decontam_spans_pipeline)
+    from kmerray.extras.multimodal import (DecodeStage,
+                                           FrameSampleStage)
+    t = pa.table({"doc_id": pa.array([1, 2, 3], pa.int64()),
+                  "text": pa.array(["a b c d", "e f g h", "i j k l"])})
+    flat = decontam_pipeline(ray.data.from_arrow(t)).to_pandas()
+    assert len(flat) == 3 and (flat["n_hits"] == 0).all()
+    spans = decontam_spans_pipeline(ray.data.from_arrow(t)).to_pandas()
+    assert len(spans) == 3 and (spans["n_masked"] == 0).all()
+    assert sorted(spans["scrubbed"]) == sorted(t.column("text")
+                                               .to_pylist())
+
+    # fake=None on a random (non-PGM/PPM/BMP) payload: stub, not raise
+    stage = DecodeStage(fake=None)
+    tb = pa.table({"item_id": pa.array(["x"]),
+                   "payload": pa.array([b"\x00\x01\x02\x03"],
+                                       pa.binary()),
+                   "media_type": pa.array(["image"]),
+                   "width": pa.array([4], pa.int32()),
+                   "height": pa.array([4], pa.int32())})
+    feats = stage(tb)
+    assert feats.num_rows == 1
+    try:
+        import PIL  # noqa: F401
+    except ImportError:
+        # without PIL the auto path must have used the stub
+        ref = DecodeStage(fake=True)(tb)
+        assert feats.column("features").to_pylist() \
+            == ref.column("features").to_pylist()
+
+    # zero-area metadata drops the row, keeps the batch alive
+    vb = pa.table({"item_id": pa.array(["z", "ok"]),
+                   "payload": pa.array([b"\x01" * 64, b"\x02" * 64],
+                                       pa.binary()),
+                   "media_type": pa.array(["video", "video"]),
+                   "width": pa.array([0, 4], pa.int32()),
+                   "height": pa.array([4, 4], pa.int32())})
+    out = FrameSampleStage(stride=1)(vb).to_pylist()
+    assert {r["item_id"] for r in out} == {"ok"}
+
+
 def test_decontam_spans(ray_session):
     """Span masking semantics: exactly the words covered by an
     eval-matching 3-gram become <MASKED>; overlapping hits coalesce;
