@@ -444,10 +444,12 @@ def run_bench() -> dict:
         # measured in this bench invocation
         "scaling_r4": {
             "rule": "paired 2->8 cpus, fresh ray.init each leg",
-            "min_31_7_pairs_eff": [0.693, 0.990, 0.808, 0.839],
-            "cfv_pairs_eff": [0.536, 0.569, 0.552, 0.625],
+            "min_31_7_pairs_eff": [0.693, 0.990, 0.808, 0.839,
+                                   0.854, 0.882],
+            "cfv_pairs_eff": [0.536, 0.569, 0.552, 0.625,
+                              0.354, 0.572],
             "note": ("minimizer = engine-representative (>=0.8 bar "
-                     "met, 4 r4 pairs); CFV pinned to the measured "
+                     "met, 5 of 6 r4 pairs); CFV pinned to the measured "
                      "~120M tokens/s host DRAM ceiling, see "
                      "BASELINE.md scaling section"),
         },
