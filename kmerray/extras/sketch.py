@@ -113,3 +113,72 @@ def hll_distinct(ds: "ray.data.Dataset", key: str, group: str,
                              "est": [_estimate(acc)]})
 
     return part.groupby(group).map_groups(merge, batch_format="pandas")
+
+
+CMS_DEPTH = 4
+CMS_WIDTH = 1024
+# per-row salts for the d independent hash functions (splitmix64 of
+# the salted key); arbitrary public constants, pinned as part of the
+# spec so the independent oracle fit reproduces the registers exactly
+CMS_SALTS = (0x0, 0x5DEECE66D, 0x2545F4914F6CDD1D, 0x9E3779B9)
+
+
+def cms_registers(keys: np.ndarray, counts: np.ndarray,
+                  depth: int = CMS_DEPTH,
+                  width: int = CMS_WIDTH) -> np.ndarray:
+    """Count-min register matrix (depth x width int64) for weighted
+    keys: row j uses splitmix64(key ^ salt_j) % width.  Registers are
+    SUMS, so the merge is element-wise addition — exact integers,
+    order/partition-invariant."""
+    regs = np.zeros((depth, width), np.int64)
+    k = keys.astype(np.uint64)
+    for j in range(depth):
+        h = splitmix64(k ^ np.uint64(CMS_SALTS[j])) % np.uint64(width)
+        np.add.at(regs[j], h.astype(np.int64), counts)
+    return regs
+
+
+def cms_estimate(regs: np.ndarray, keys: np.ndarray,
+                 width: int = CMS_WIDTH) -> np.ndarray:
+    """Point estimates: min over rows of the hashed register (the CM
+    guarantee: est >= true, est <= true + eps*N w.h.p.)."""
+    k = keys.astype(np.uint64)
+    est = None
+    for j in range(len(regs)):
+        h = (splitmix64(k ^ np.uint64(CMS_SALTS[j]))
+             % np.uint64(width)).astype(np.int64)
+        e = regs[j][h]
+        est = e if est is None else np.minimum(est, e)
+    return est
+
+
+def cms_word_counts(ds: "ray.data.Dataset",
+                    depth: int = CMS_DEPTH,
+                    width: int = CMS_WIDTH) -> np.ndarray:
+    """Distributed count-min over the corpus's word stream (Cormode &
+    Muthukrishnan 2005): each block emits ONE fixed depth x width
+    int64 partial built from its pre-collapsed word uniques, and the
+    driver sums the tiny matrices — heavy-hitter count estimates with
+    NO vocabulary shuffle and corpus-size-independent exchange (the
+    register stream is blocks x 32 KB).
+
+    Returns the merged register matrix."""
+    from .text import _md5_word_hash, flat_words
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        vals, _ = flat_words(b["text"])
+        uh, cnt = np.unique(_md5_word_hash(vals), return_counts=True)
+        regs = cms_registers(uh, cnt.astype(np.int64), depth, width)
+        return pd.DataFrame({"row": np.arange(depth, dtype=np.int64),
+                             "regs": [r.tobytes() for r in regs]})
+
+    out = ds.map_batches(partial, batch_format="pandas")
+    import ray as _ray
+    tabs = [t for t in _ray.get(out.to_arrow_refs()) if t.num_rows]
+    regs = np.zeros((depth, width), np.int64)
+    for t in tabs:
+        rows = t.column("row").to_pylist()
+        blobs = t.column("regs").to_pylist()
+        for r, blob in zip(rows, blobs):
+            regs[r] += np.frombuffer(blob, np.int64)
+    return regs

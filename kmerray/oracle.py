@@ -702,6 +702,60 @@ def _ref_hll(events_path: str, p: int = 12):
     return out
 
 
+def _ref_cms_topwords(docs_path: str, k: int = 10):
+    """Independent single-process count-min fit (scalar-Python word
+    Counter + per-word register updates) for the oracle literal —
+    same pinned spec (md5-lower-64 word hash, splitmix64(key^salt_j)
+    % width), different code path from the engine's vectorized
+    block partials.  Returns the corpus's exact top-k words (count
+    desc, word asc) with their CM estimates and true counts."""
+    import hashlib
+    from collections import Counter
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from .extras.sketch import CMS_DEPTH, CMS_SALTS, CMS_WIDTH
+    wc = Counter()
+    for txt in pq.read_table(docs_path, columns=["text"]).column(
+            "text").to_pylist():
+        wc.update(txt.split(" "))
+    M = (1 << 64) - 1
+
+    def mix(x):
+        z = (x + 0x9E3779B97F4A7C15) & M
+        z = ((z ^ (z >> 30)) * 0xBF58476D1CE4E5B9) & M
+        z = ((z ^ (z >> 27)) * 0x94D049BB133111EB) & M
+        return z ^ (z >> 31)
+
+    regs = [[0] * CMS_WIDTH for _ in range(CMS_DEPTH)]
+    hashes = {}
+    for w, c in wc.items():
+        h = int.from_bytes(hashlib.md5(w.encode()).digest()[8:16],
+                           "little")
+        hashes[w] = h
+        for j in range(CMS_DEPTH):
+            regs[j][mix(h ^ CMS_SALTS[j]) % CMS_WIDTH] += c
+    top = sorted(wc.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+    out = []
+    for w, c in top:
+        h = hashes[w]
+        est = min(regs[j][mix(h ^ CMS_SALTS[j]) % CMS_WIDTH]
+                  for j in range(CMS_DEPTH))
+        out.append((w, est, c))
+    return out
+
+
+def cms_topwords_sql(docs_path: str, k: int = 10) -> str:
+    rows = ",\n  ".join(
+        f"('{w}', {est}, {c})" for w, est, c in
+        _ref_cms_topwords(docs_path, k))
+    return f"""SELECT word, CAST(est AS BIGINT) AS est,
+       CAST(exact AS BIGINT) AS exact
+FROM (VALUES
+  {rows}) AS t(word, est, exact)"""
+
+
 def hll_users_sql(events_path: str, p: int = 12) -> str:
     """The independently-fit per-type HLL estimates as literals, with
     the TRUE exact distinct count alongside so the sketch error is

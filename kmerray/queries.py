@@ -473,6 +473,7 @@ def registry() -> dict:
         "quantize_emb": q_quantize_emb,
         "hll_users": q_hll_users,
         "feature_hash": q_feature_hash,
+        "cms_topwords": q_cms_topwords,
         "bpe_merges": q_bpe_merges,
         "bpe_encode": q_bpe_encode,
         "cfv_raw": q_cfv_raw,
@@ -722,6 +723,8 @@ FROM ({oracle.asof_backfill_sql(path, K_ASOF, *ASOF_BINS,
         "quantize_emb": oracle.quantize_sql(),
         "hll_users": oracle.hll_users_sql(f"{sf_dir}/events.parquet"),
         "feature_hash": oracle.feature_hash_sql(FEATURE_DIM),
+        "cms_topwords": oracle.cms_topwords_sql(
+            f"{sf_dir}/documents.parquet", CMS_TOPK),
         "bpe_merges": oracle.bpe_merges_sql(
             f"{sf_dir}/documents.parquet", BPE_MERGES),
         "decomp_project": f"""\
@@ -806,6 +809,27 @@ def q_quantize_emb(sf_dir: str):
 
 
 FEATURE_DIM = 1024
+CMS_TOPK = 10
+
+
+def q_cms_topwords(sf_dir: str):
+    """Count-min heavy-hitter estimates: the distributed CM register
+    matrix (fixed 32 KB partial per block, exact-int sum merge) probed
+    at the corpus's exact top-10 words — est and true count side by
+    side, gated against an independent scalar-Python fit."""
+    from .extras.sketch import cms_estimate, cms_word_counts
+    from .extras.text import word_counts
+    from .extras.sampling import md5_lower64
+    docs = _docs(sf_dir)
+    regs = cms_word_counts(docs)
+    wc = word_counts(docs).to_pandas()
+    wc = wc.sort_values(["cnt", "word"],
+                        ascending=[False, True]).head(CMS_TOPK)
+    words = wc["word"].to_numpy(object)
+    est = cms_estimate(regs, md5_lower64(words))
+    return pd.DataFrame({"word": words,
+                         "est": est.astype(np.int64),
+                         "exact": wc["cnt"].to_numpy(np.int64)})
 
 
 def q_feature_hash(sf_dir: str):

@@ -668,6 +668,37 @@ def test_feature_hash(ray_session):
     assert (out["idx"] < dim).all() and (out["idx"] >= 0).all()
 
 
+def test_cms_word_counts(ray_session):
+    """Count-min invariants: est >= true always (one-sided error),
+    est == true for heavy hitters far above the noise floor,
+    partition-invariant registers, exact-int merge."""
+    from kmerray.extras.sampling import md5_lower64
+    from kmerray.extras.sketch import cms_estimate, cms_word_counts
+    rng = np.random.default_rng(13)
+    vocab = [f"w{i:03d}" for i in range(300)]
+    texts = []
+    for _ in range(200):
+        ws = list(rng.choice(vocab, 20))
+        ws += ["heavy"] * 5                      # planted heavy hitter
+        texts.append(" ".join(ws))
+    t = pa.table({"doc_id": pa.array(np.arange(200), pa.int64()),
+                  "text": pa.array(texts)})
+    regs = cms_word_counts(ray.data.from_arrow(t).repartition(7))
+    regs2 = cms_word_counts(ray.data.from_arrow(t).repartition(3))
+    assert np.array_equal(regs, regs2)           # sum merge invariant
+    true = {}
+    for txt in texts:
+        for w in txt.split(" "):
+            true[w] = true.get(w, 0) + 1
+    words = np.array(list(true), object)
+    est = cms_estimate(regs, md5_lower64(words))
+    tv = np.array([true[w] for w in words])
+    assert (est >= tv).all()                     # one-sided
+    assert est[list(words).index("heavy")] >= 1000
+    # total mass conservation per register row
+    assert (regs.sum(axis=1) == tv.sum()).all()
+
+
 def test_hll_distinct(ray_session):
     """HLL registers bit-match a scalar-Python reference; the
     estimate lands within the sketch's expected error (~1.04/sqrt(m)
