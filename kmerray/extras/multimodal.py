@@ -227,7 +227,14 @@ class DecodeStage:
             elif self.fake is False:
                 frame = self._real_decode(p, widths[i], heights[i])
             elif p[:2] in (b"P5", b"P6", b"BM") or self._pil is not None:
-                frame = self._real_decode(p, widths[i], heights[i])
+                # auto mode: a magic-byte sniff can false-positive on
+                # arbitrary payloads ('P5'/'BM' by chance) — a parse
+                # failure falls back to the stub rather than raising
+                try:
+                    frame = self._real_decode(p, widths[i], heights[i])
+                except (ValueError, IndexError, OSError,
+                        NotImplementedError):
+                    frame = self._fake_decode(p, widths[i], heights[i])
             else:                   # auto + undecodable here -> stub
                 frame = self._fake_decode(p, widths[i], heights[i])
             hist, _ = np.histogram(frame, bins=16, range=(0, 256))

@@ -792,9 +792,13 @@ def dsir_weights(ds: "ray.data.Dataset", target_lang: str = "en",
             rowid = np.repeat(np.arange(nrows), np.diff(offs))
             n = np.maximum(np.diff(offs), 1)
             avg = np.bincount(rowid, weights=lw, minlength=nrows) / n
+            # tie-safe dp rounding (floor(x*10^dp+0.5)): numpy round is
+            # half-even, the DuckDB oracle's round() half-away — this
+            # convention is identical on both engines
+            scale = 10.0 ** dp
             return pd.DataFrame({
                 "doc_id": batch["doc_id"].astype(np.int64),
-                "logweight": np.round(avg, dp),
+                "logweight": np.floor(avg * scale + 0.5) / scale,
             })
 
     return ds.map_batches(Score, concurrency=(1, 8),
@@ -1147,18 +1151,22 @@ def source_overlap(ds: "ray.data.Dataset",
         masks = np.bitwise_or.reduceat(
             np.left_shift(np.int64(1), sc.astype(np.int64)), starts)
         um, uc = np.unique(masks, return_counts=True)
-        a_out, b_out, c_out = [], [], []
-        for m, c in zip(um, uc):              # distinct masks only
-            bits = [i for i in range(len(uniq)) if m >> i & 1]
-            for x in range(len(bits)):
-                for y in range(x + 1, len(bits)):
-                    a_out.append(uniq[bits[x]])
-                    b_out.append(uniq[bits[y]])
-                    c_out.append(int(c))
+        # vectorized pair-count matrix: expand distinct masks to an
+        # (n_masks x S) bit matrix, then M = B^T (B * counts) sums
+        # every co-occurring source pair in one matmul — no per-mask
+        # Python loop even at 2^S distinct masks
+        S = len(uniq)
+        bits = ((um[:, None] >> np.arange(S, dtype=np.int64)) & 1) \
+            .astype(np.int64)
+        mat = bits.T @ (bits * uc[:, None].astype(np.int64))
+        xi, yi = np.triu_indices(S, k=1)
+        cnt = mat[xi, yi]
+        keep = cnt > 0
+        src_arr = np.asarray(uniq, object)
         return pd.DataFrame({
-            "src_a": np.array(a_out, object),
-            "src_b": np.array(b_out, object),
-            "c": np.array(c_out, np.int64)})
+            "src_a": src_arr[xi[keep]],
+            "src_b": src_arr[yi[keep]],
+            "c": cnt[keep].astype(np.int64)})
 
     per_bucket = part.groupby("wb").map_groups(pairs_of,
                                                batch_format="pandas")

@@ -746,9 +746,15 @@ def _ref_cms_topwords(docs_path: str, k: int = 10):
     return out
 
 
+def _qlit(s: str) -> str:
+    """SQL string literal with '' escaping (same convention as
+    bpe_merges_sql's local q())."""
+    return "'" + s.replace("'", "''") + "'"
+
+
 def cms_topwords_sql(docs_path: str, k: int = 10) -> str:
     rows = ",\n  ".join(
-        f"('{w}', {est}, {c})" for w, est, c in
+        f"({_qlit(w)}, {est}, {c})" for w, est, c in
         _ref_cms_topwords(docs_path, k))
     return f"""SELECT word, CAST(est AS BIGINT) AS est,
        CAST(exact AS BIGINT) AS exact
@@ -760,7 +766,7 @@ def hll_users_sql(events_path: str, p: int = 12) -> str:
     """The independently-fit per-type HLL estimates as literals, with
     the TRUE exact distinct count alongside so the sketch error is
     visible in the gated surface."""
-    rows = ",\n  ".join(f"('{e}', {est!r}, {exact})"
+    rows = ",\n  ".join(f"({_qlit(e)}, {est!r}, {exact})"
                          for e, est, exact in _ref_hll(events_path, p))
     return f"""SELECT event_type, CAST(est AS DOUBLE) AS est,
        CAST(exact AS BIGINT) AS exact
@@ -1698,7 +1704,10 @@ def dsir_weights_sql(target_lang: str = "en", dp: int = 4) -> str:
     ``ln p_target - ln p_background``; target LM over the
     ``lang == target_lang`` slice, background over the whole corpus,
     unseen-in-target words at the add-one count floor (COALESCE 1).
-    Rounded to ``dp`` on both engines (sum-order ulp)."""
+    Tie-safe dp rounding: floor(x*10^dp + 0.5)/10^dp on BOTH engines
+    (numpy round is half-even, DuckDB round is half-away — the
+    quantize_embeddings convention sidesteps the disagreement)."""
+    scale = 10 ** dp
     return f"""WITH w AS (
   SELECT doc_id, lang, unnest(string_split(text, ' ')) AS word
   FROM documents),
@@ -1708,7 +1717,8 @@ ct AS (SELECT word, CAST(count(*) AS BIGINT) AS c FROM w
 tb AS (SELECT CAST(sum(c) AS DOUBLE) AS tot FROM cb),
 tt AS (SELECT CAST(sum(c) AS DOUBLE) AS tot FROM ct)
 SELECT w.doc_id,
-  round(avg(ln(COALESCE(ct.c, 1) / tt.tot) - ln(cb.c / tb.tot)), {dp})
+  floor(avg(ln(COALESCE(ct.c, 1) / tt.tot) - ln(cb.c / tb.tot))
+        * {scale} + 0.5) / {scale}
     AS logweight
 FROM w JOIN cb ON w.word = cb.word
        LEFT JOIN ct ON w.word = ct.word, tb, tt
