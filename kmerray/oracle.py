@@ -1584,6 +1584,39 @@ SELECT docs.doc_id,
 FROM documents docs LEFT JOIN per p ON docs.doc_id = p.doc_id"""
 
 
+def dup_span_scrub_sql(w: int = 5) -> str:
+    """Mirror of extras.dedup.dup_span_scrub: a window is dup iff its
+    exact w-word string occurs in >= 2 distinct docs; the keeper (min
+    doc_id) keeps every occurrence, every other doc drops all words
+    covered by any dup-window span, text reassembled with ordered
+    string_agg over the surviving positions.  The engine keys windows
+    by the 64-bit word-hash fold; the SQL compares gram STRINGS
+    (collision-certifying role, same as dup_spans_sql)."""
+    return f"""WITH d AS (
+  SELECT doc_id, text, string_split(text, ' ') AS ws FROM documents),
+g AS (
+  SELECT doc_id, pos,
+         array_to_string(list_slice(ws, pos, pos + {w - 1}), ' ')
+           AS gram
+  FROM d, unnest(range(1, len(ws) - {w} + 2)) AS t(pos)),
+gs AS (
+  SELECT gram, min(doc_id) AS keeper
+  FROM g GROUP BY gram HAVING count(DISTINCT doc_id) >= 2),
+hits AS (
+  SELECT g.doc_id, g.pos FROM g JOIN gs USING (gram)
+  WHERE g.doc_id <> gs.keeper),
+posmask AS (
+  SELECT d.doc_id, j, d.ws[j] AS word,
+         EXISTS (SELECT 1 FROM hits h WHERE h.doc_id = d.doc_id
+                 AND j BETWEEN h.pos AND h.pos + {w - 1}) AS m
+  FROM d, unnest(range(1, len(ws) + 1)) AS t(j))
+SELECT doc_id,
+  CAST(sum(CASE WHEN m THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+  COALESCE(string_agg(CASE WHEN NOT m THEN word END,
+                      ' ' ORDER BY j), '') AS scrubbed
+FROM posmask GROUP BY doc_id"""
+
+
 def unigram_logprob_sql(dp: int = 4) -> str:
     """Mean unigram log-probability per doc under the corpus's own
     unigram LM.  Both engines round to ``dp`` decimals: sum order

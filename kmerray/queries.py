@@ -462,6 +462,7 @@ def registry() -> dict:
         "events_distinct": q_events_distinct,
         "events_funnel": q_events_funnel,
         "emb_near_dup": q_emb_near_dup,
+        "dup_span_scrub": q_dup_span_scrub,
         "semdedup": q_semdedup,
         "ppl_buckets": q_ppl_buckets,
         "domain_stats": q_domain_stats,
@@ -605,6 +606,7 @@ FROM ({oracle.semdedup_sql(f"{sf_dir}/embeddings.parquet",
         "cluster_reps": oracle.cluster_reps_sql(
             f"{sf_dir}/embeddings.parquet", KMEANS_K, 5, CLUSTER_REPS_N),
         "dup_spans": oracle.dup_spans_sql(DUP_SPAN_W),
+        "dup_span_scrub": oracle.dup_span_scrub_sql(DUP_SPAN_W),
         "unigram_logprob": oracle.unigram_logprob_sql(LM_DP),
         "zscore_by_source": oracle.zscore_by_source_sql(),
         "events_distinct": oracle.events_distinct_sql(),
@@ -1563,6 +1565,16 @@ def q_dup_spans(sf_dir: str):
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
                                columns=["doc_id", "text"])
     return dup_span_stats(ds, w=DUP_SPAN_W)
+
+
+def q_dup_span_scrub(sf_dir: str):
+    """Corpus-rewriting exact-substring dedup (Lee et al. 2022): dup
+    windows removed everywhere but their keeper doc — the rewritten
+    corpus, not just the per-doc signal."""
+    from .extras.dedup import dup_span_scrub
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+    return dup_span_scrub(ds, w=DUP_SPAN_W)
 
 
 def q_unigram_logprob(sf_dir: str):

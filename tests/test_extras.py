@@ -1232,6 +1232,33 @@ def test_dup_span_stats_planted(ray_session):
     assert out.loc[3, "n_windows"] == 0 and out.loc[3, "dup_frac"] == 0.0
 
 
+def test_dup_span_scrub_keeper_survives(ray_session):
+    """Corpus rewrite: keeper (min doc_id) keeps every occurrence,
+    other docs drop all words under any dup 5-window; overlapping
+    spans merge; short/untouched docs pass through verbatim."""
+    from kmerray.extras.dedup import dup_span_scrub
+    docs = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4, 5],
+        "text": [
+            "a b c d e f g",          # keeper of the shared grams
+            "x a b c d e y z",        # shares "a b c d e" -> scrubbed
+            "q r s t u",              # unique -> untouched
+            "a b c d e f g h",        # overlapping dup spans merge
+            "",                       # empty doc passes through
+        ],
+    })
+    out = dup_span_scrub(ray.data.from_pandas(docs), w=5, n_buckets=4) \
+        .to_pandas().set_index("doc_id").sort_index()
+    assert out.loc[1, "scrubbed"] == "a b c d e f g"
+    assert out.loc[1, "n_removed"] == 0
+    assert out.loc[2, "scrubbed"] == "x y z"
+    assert out.loc[2, "n_removed"] == 5
+    assert out.loc[3, "scrubbed"] == "q r s t u"
+    assert out.loc[4, "scrubbed"] == "h"      # 3 dup grams cover 0..6
+    assert out.loc[4, "n_removed"] == 7
+    assert out.loc[5, "scrubbed"] == "" and out.loc[5, "n_removed"] == 0
+
+
 def test_unigram_logprob_ranks_rare_docs_lower(ray_session):
     from kmerray.extras.text import unigram_logprob
     docs = pd.DataFrame({
