@@ -1109,6 +1109,19 @@ def ppl_buckets_sql(dp: int = 4, tiles: int = 3) -> str:
 FROM ({unigram_logprob_sql(dp)})"""
 
 
+def ppl_buckets_scored_sql(tiles: int = 3) -> str:
+    """Mirror of extras.text.ppl_buckets(score_col=...): the
+    external-model-score path — here the deterministic stand-in score
+    is the doc's n_chars (an upstream inference stage would attach
+    real LM perplexities the same way); ntile over the composite
+    (score, doc_id) order."""
+    return f"""SELECT doc_id, CAST(n_chars AS DOUBLE) AS model_score,
+       CAST(ntile({tiles}) OVER (ORDER BY CAST(n_chars AS DOUBLE),
+                                 doc_id)
+            AS BIGINT) AS tile
+FROM documents"""
+
+
 def pii_scrub_sql(path: str) -> str:
     """Mirror of extras.pii.pii_scrub_pipeline: pattern counts on the
     original text + URL->EMAIL->PHONE ordered regexp_replace.  The

@@ -465,6 +465,7 @@ def registry() -> dict:
         "dup_span_scrub": q_dup_span_scrub,
         "semdedup": q_semdedup,
         "ppl_buckets": q_ppl_buckets,
+        "ppl_buckets_scored": q_ppl_buckets_scored,
         "domain_stats": q_domain_stats,
         "winnow_fp": q_winnow_fp,
         "gopher_filter": q_gopher_filter,
@@ -716,6 +717,7 @@ FROM ({oracle.asof_backfill_sql(path, K_ASOF, *ASOF_BINS,
                                                 AUDIO_WIN, AUDIO_HOP),
         "pii_scrub": oracle.pii_scrub_sql(_webtext_path()),
         "ppl_buckets": oracle.ppl_buckets_sql(LM_DP, PPL_TILES),
+        "ppl_buckets_scored": oracle.ppl_buckets_scored_sql(PPL_TILES),
         "domain_stats": oracle.domain_stats_sql(_webtext_path()),
         "winnow_fp": oracle.winnow_sql(WINNOW_W),
         "gopher_filter": oracle.gopher_filter_sql(),
@@ -774,6 +776,24 @@ def q_ppl_buckets(sf_dir: str):
 
 WINNOW_W = 8
 BPE_MERGES = 40
+
+
+def q_ppl_buckets_scored(sf_dir: str):
+    """CCNet bucketing over an EXTERNAL precomputed score column
+    (the real deployment: an upstream inference stage attaches model
+    perplexities; here the deterministic stand-in is n_chars) — the
+    unigram proxy is skipped entirely."""
+    from .extras.text import ppl_buckets
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "n_chars"])
+
+    def as_score(b):
+        return pd.DataFrame({
+            "doc_id": b["doc_id"].astype(np.int64),
+            "model_score": b["n_chars"].astype(np.float64)})
+
+    scored = ds.map_batches(as_score, batch_format="pandas")
+    return ppl_buckets(scored, tiles=PPL_TILES, score_col="model_score")
 
 
 def q_source_overlap(sf_dir: str):

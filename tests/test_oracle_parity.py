@@ -20,7 +20,8 @@ FAST = ["kmer_counts_per_doc", "whole_seq_minimiser", "lag_lead",
         "dsir_weights", "quality_filter", "ppl_buckets", "winnow_fp",
         "bpe_merges", "gopher_filter", "source_overlap", "semdedup",
         "decontam_spans", "hard_negatives", "quantize_emb", "hll_users",
-        "feature_hash", "cms_topwords", "dup_span_scrub"]
+        "feature_hash", "cms_topwords", "dup_span_scrub",
+        "ppl_buckets_scored"]
 
 pytestmark = pytest.mark.skipif(not os.path.exists(SF),
                                 reason="driver testdata unavailable")
