@@ -101,6 +101,23 @@ def run_bench() -> dict:
 
     queries = {}
 
+    def fresh_section(*warms):
+        """Reset the Ray session between bench sections so mid/late
+        legs measure their op, not the preceding legs' object-store
+        eviction (VERDICT r4: four mid/late legs' in-bench samples
+        sat 2-3x above their standalone steady-state bands, making
+        regression detection impossible).  Each section re-warms its
+        worker pool with a tiny untimed run so worker spawn + module
+        import stay out of the first timed leg."""
+        ray.shutdown()
+        ray.init(address="local", num_cpus=NUM_CPUS,
+                 include_dashboard=False, ignore_reinit_error=True,
+                 logging_level="ERROR")
+        c = DataContext.get_current()
+        c.enable_progress_bars = False
+        for w in warms:
+            w()
+
     def timed(name, fn, repeat: int = 1):
         """Best-of-N wall time (first-touch page-cache / worker-startup
         noise on this VM is large; the steady-state number is the one
@@ -191,7 +208,8 @@ def run_bench() -> dict:
     def docs_half():
         return ray.data.read_parquet(half_doc_files,
                                      override_num_blocks=n_blocks)
-    doc_stats_pipeline(docs().limit(2048)).count()   # warm workers
+    # --- section: documents (dedup + stats) ---
+    fresh_section(lambda: doc_stats_pipeline(docs().limit(2048)).count())
     timed("dedup_exact", lambda: exact_dedup_survivors(docs()).count())
     timed("dedup_minhash",
           lambda: minhash_lsh_candidates(docs(), n=3, num_perm=64,
@@ -225,9 +243,8 @@ def run_bench() -> dict:
     # and the unigram-LM quality proxy
     from kmerray.extras.dedup import dup_span_stats
     from kmerray.extras.text import unigram_logprob
-    # repeat=2: the most expensive doc leg pays prior legs' object
-    # store eviction on its first sample (standalone steady-state is
-    # 32-35 s; single in-run samples have hit 70 s)
+    # --- section: documents (heavy LM / span legs) ---
+    fresh_section(lambda: doc_stats_pipeline(docs().limit(2048)).count())
     timed("dup_spans", lambda: dup_span_stats(docs()).count(), repeat=2)
     timed("unigram_logprob", lambda: unigram_logprob(docs()).count())
 
@@ -272,6 +289,9 @@ def run_bench() -> dict:
                                            synth_video_table)
     from kmerray.extras.pii import pii_scrub_pipeline
 
+    # --- section: multimodal + hygiene + bucketed ntile ---
+    fresh_section(lambda: doc_stats_pipeline(docs().limit(2048)).count())
+
     def _blocks(t, n=32):
         step = max(1, t.num_rows // n)
         return ray.data.from_arrow(
@@ -295,6 +315,9 @@ def run_bench() -> dict:
         return b
     timed("sample_split", lambda: sample_split_pipeline(
         docs().map_batches(_with_lang, batch_format="pandas")).count())
+
+    # --- section: sequences round 2 + gram self-join ---
+    fresh_section(lambda: cfv_pipeline(rseq().limit(4096), k=4).count())
 
     def _pack_run():
         ds = ray.data.read_parquet(all_files,
@@ -329,6 +352,9 @@ def run_bench() -> dict:
     def emb():
         return ray.data.read_parquet(emb_files,
                                      override_num_blocks=n_blocks)
+    # --- section: embeddings (ANN / decomposition / semdedup) ---
+    fresh_section(lambda: brute_force_topk(
+        emb().limit(4096), qids[:4], qmat[:4], k=10).count())
     timed("ann_topk", lambda: brute_force_topk(
         emb(), qids, qmat, k=10).count())
     cent = train_ivf_centroids(_emb_matrix(pq.read_table(emb_files[0])),
@@ -378,6 +404,10 @@ def run_bench() -> dict:
     ev_path = ensure_events(f"bench-{os.path.basename(SF_DIR)}",
                             n_events=n_events, n_users=n_events // 100)
     ev_files = sorted(glob.glob(os.path.join(ev_path, "*.parquet")))
+
+    # --- section: events + relational joins ---
+    fresh_section(lambda: ray.data.read_parquet(
+        ev_files, columns=["event_id"]).limit(2048).count())
 
     # One materialized read shared by all six legs (VERDICT r3 next
     # #6): these short legs were dominated by repeating the same
