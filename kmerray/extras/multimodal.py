@@ -217,10 +217,11 @@ class DecodeStage:
         return np.tile(arr, reps)[:need].reshape(int(height), int(width))
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        feats = np.empty((batch.num_rows, 18), dtype=np.float64)
+        n = batch.num_rows
         payloads = batch.column("payload").to_pylist()
         widths = batch.column("width").to_numpy()
         heights = batch.column("height").to_numpy()
+        frames = []
         for i, p in enumerate(payloads):
             if self.fake is True:
                 frame = self._fake_decode(p, widths[i], heights[i])
@@ -237,13 +238,31 @@ class DecodeStage:
                     frame = self._fake_decode(p, widths[i], heights[i])
             else:                   # auto + undecodable here -> stub
                 frame = self._fake_decode(p, widths[i], heights[i])
-            hist, _ = np.histogram(frame, bins=16, range=(0, 256))
-            hist = hist / frame.size
-            probs = hist[hist > 0]
-            entropy = float(-(probs * np.log2(probs)).sum())
-            feats[i, :16] = hist
-            feats[i, 16] = entropy
-            feats[i, 17] = frame.mean()
+            frames.append(frame.ravel())
+        # one vectorized feature pass over the stacked frames (VERDICT
+        # r4 next #5 — decode is per-item by nature, features are not):
+        # all per-frame 16-bin histograms via a single bincount over
+        # (frame_id * 16 + byte >> 4) — exact integer counts, so the
+        # oracle-gated freq = count / size doubles are bit-identical to
+        # the per-frame np.histogram they replace — and exact int64
+        # frame sums via one cumsum + boundary gather for the means.
+        sizes = np.array([f.size for f in frames], dtype=np.int64)
+        allb = (np.concatenate(frames) if frames
+                else np.empty(0, np.uint8))
+        owner = np.repeat(np.arange(n, dtype=np.int64), sizes)
+        counts = np.bincount(owner * 16 + (allb >> 4),
+                             minlength=n * 16).reshape(n, 16)
+        feats = np.empty((n, 18), dtype=np.float64)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            hist = counts / sizes[:, None]          # NaN row iff size 0
+            feats[:, :16] = hist
+            plogp = np.where(counts > 0, hist * np.log2(hist), 0.0)
+        feats[:, 16] = -plogp.sum(axis=1)
+        cs = np.zeros(allb.size + 1, np.int64)
+        np.cumsum(allb, dtype=np.int64, out=cs[1:])
+        ends = np.cumsum(sizes)
+        with np.errstate(invalid="ignore"):
+            feats[:, 17] = (cs[ends] - cs[ends - sizes]) / sizes
         flat = pa.array(feats.ravel(), pa.float64())
         return pa.table({
             "item_id": batch.column("item_id"),
@@ -313,10 +332,17 @@ class FrameSampleStage:
         self.stride = int(stride)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        ids, fidx, means = [], [], []
+        # Demux loop is per-item (codec boundary); the feature math is
+        # one batch-wide pass (VERDICT r4 next #5): concatenate every
+        # item's kept frames, a single int64 cumsum, then each sampled
+        # frame's exact byte sum is two boundary gathers.  Same exact
+        # int-sum / fsize doubles as the per-item reduction it replaces
+        # (the frame_sample oracle pins them bit-identically).
+        ids, fidx, chunks, starts, fsz = [], [], [], [], []
         widths = batch.column("width").to_numpy()
         heights = batch.column("height").to_numpy()
         items = batch.column("item_id").to_pylist()
+        base = 0
         for i, p in enumerate(batch.column("payload").to_pylist()):
             fsize = int(widths[i]) * int(heights[i])
             if fsize == 0:          # untrusted metadata: 0-area drops
@@ -325,18 +351,27 @@ class FrameSampleStage:
             n_frames = len(arr) // fsize
             if n_frames == 0:
                 continue
-            frames = arr[:n_frames * fsize].reshape(n_frames, fsize)
-            take = np.arange(0, n_frames, self.stride)
-            m = frames[take].sum(axis=1, dtype=np.int64) / float(fsize)
+            chunks.append(arr[:n_frames * fsize])
+            take = np.arange(0, n_frames, self.stride, dtype=np.int64)
             ids.extend([items[i]] * len(take))
-            fidx.append(take.astype(np.int64))
-            means.append(m)
+            fidx.append(take)
+            starts.append(base + take * fsize)
+            fsz.append(np.full(len(take), fsize, np.int64))
+            base += n_frames * fsize
+        if chunks:
+            allb = np.concatenate(chunks)
+            cs = np.zeros(allb.size + 1, np.int64)
+            np.cumsum(allb, dtype=np.int64, out=cs[1:])
+            st = np.concatenate(starts)
+            fz = np.concatenate(fsz)
+            means = (cs[st + fz] - cs[st]) / fz
+        else:
+            means = np.empty(0)
         return pa.table({
             "item_id": pa.array(ids, pa.string()),
             "frame_idx": pa.array(
                 np.concatenate(fidx) if fidx else np.empty(0, np.int64)),
-            "mean": pa.array(
-                np.concatenate(means) if means else np.empty(0)),
+            "mean": pa.array(means),
         })
 
 
