@@ -424,7 +424,7 @@ def registry() -> dict:
         "ngram_dupes": q_ngram_dupes,
         "near_dup_survivors": q_near_dup_survivors,
         "simhash_recall": q_simhash_recall,
-        "dup_spans": q_dup_spans,
+        "dup_spans2": q_dup_spans2,
         # --- similarity ---
         "emb_dedup2": q_emb_dedup2,
         "ann_topk": q_ann_topk,
@@ -442,8 +442,8 @@ def registry() -> dict:
         "decomp_project": q_decomp_project,
         "cluster_reps": q_cluster_reps,
         "media_features": q_media_features,
-        "frame_sample": q_frame_sample,
-        "audio_energy": q_audio_energy,
+        "media_windows": q_media_windows,
+        "ppl_buckets2": q_ppl_buckets2,
         "pii_scrub": q_pii_scrub,
         "dsir_weights": q_dsir_weights,
         "quality_filter": q_quality_filter,
@@ -462,7 +462,10 @@ def registry() -> dict:
         "events_distinct": q_events_distinct,
         "events_funnel": q_events_funnel,
         "emb_near_dup": q_emb_near_dup,
+        "dup_spans": q_dup_spans,
         "dup_span_scrub": q_dup_span_scrub,
+        "frame_sample": q_frame_sample,
+        "audio_energy": q_audio_energy,
         "semdedup": q_semdedup,
         "ppl_buckets": q_ppl_buckets,
         "ppl_buckets_scored": q_ppl_buckets_scored,
@@ -608,6 +611,14 @@ FROM ({oracle.semdedup_sql(f"{sf_dir}/embeddings.parquet",
             f"{sf_dir}/embeddings.parquet", KMEANS_K, 5, CLUSTER_REPS_N),
         "dup_spans": oracle.dup_spans_sql(DUP_SPAN_W),
         "dup_span_scrub": oracle.dup_span_scrub_sql(DUP_SPAN_W),
+        "dup_spans2": f"""\
+SELECT CAST(0 AS BIGINT) AS variant, doc_id, n_windows AS v1,
+       dup_windows AS v2, dup_frac AS vf, '' AS txt
+FROM ({oracle.dup_spans_sql(DUP_SPAN_W)})
+UNION ALL
+SELECT CAST(1 AS BIGINT), doc_id, n_removed, CAST(-1 AS BIGINT),
+       CAST(0.0 AS DOUBLE), scrubbed
+FROM ({oracle.dup_span_scrub_sql(DUP_SPAN_W)})""",
         "unigram_logprob": oracle.unigram_logprob_sql(LM_DP),
         "zscore_by_source": oracle.zscore_by_source_sql(),
         "events_distinct": oracle.events_distinct_sql(),
@@ -718,6 +729,20 @@ FROM ({oracle.asof_backfill_sql(path, K_ASOF, *ASOF_BINS,
         "pii_scrub": oracle.pii_scrub_sql(_webtext_path()),
         "ppl_buckets": oracle.ppl_buckets_sql(LM_DP, PPL_TILES),
         "ppl_buckets_scored": oracle.ppl_buckets_scored_sql(PPL_TILES),
+        "ppl_buckets2": f"""\
+SELECT CAST(0 AS BIGINT) AS variant, doc_id, avg_logprob AS score,
+       tile
+FROM ({oracle.ppl_buckets_sql(LM_DP, PPL_TILES)})
+UNION ALL
+SELECT CAST(1 AS BIGINT), doc_id, model_score, tile
+FROM ({oracle.ppl_buckets_scored_sql(PPL_TILES)})""",
+        "media_windows": f"""\
+SELECT CAST(0 AS BIGINT) AS variant, item_id, frame_idx AS idx,
+       mean AS val
+FROM ({oracle.frame_sample_sql(_video_path(), FRAME_STRIDE)})
+UNION ALL
+SELECT CAST(1 AS BIGINT), item_id, win_idx, energy
+FROM ({oracle.audio_energy_sql(_audio_path(), AUDIO_WIN, AUDIO_HOP)})""",
         "domain_stats": oracle.domain_stats_sql(_webtext_path()),
         "winnow_fp": oracle.winnow_sql(WINNOW_W),
         "gopher_filter": oracle.gopher_filter_sql(),
@@ -1850,6 +1875,81 @@ def q_dedup_survivors2(sf_dir: str):
 
     return (first.map_batches(pad(0), batch_format="pandas")
             .union(best.map_batches(pad(1), batch_format="pandas")))
+
+
+def q_dup_spans2(sf_dir: str):
+    """Lee-et-al exact-substring dedup, signal AND rewrite: per-doc
+    dup-window stats (variant 0) UNION the scrubbed corpus (variant 1,
+    dup spans removed everywhere but their keeper doc)."""
+    stats = q_dup_spans(sf_dir)
+    scrub = q_dup_span_scrub(sf_dir)
+
+    def pad_s(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "variant": _const_i64(len(b), 0),
+            "doc_id": b["doc_id"].astype(np.int64),
+            "v1": b["n_windows"].astype(np.int64),
+            "v2": b["dup_windows"].astype(np.int64),
+            "vf": b["dup_frac"].astype(np.float64),
+            "txt": np.full(len(b), "", dtype=object)})
+
+    def pad_r(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "variant": _const_i64(len(b), 1),
+            "doc_id": b["doc_id"].astype(np.int64),
+            "v1": b["n_removed"].astype(np.int64),
+            "v2": _const_i64(len(b), -1),
+            "vf": np.zeros(len(b)),
+            "txt": b["scrubbed"]})
+
+    return (stats.map_batches(pad_s, batch_format="pandas")
+            .union(scrub.map_batches(pad_r, batch_format="pandas")))
+
+
+def q_media_windows(sf_dir: str):
+    """Per-window multimodal features: sampled video-frame means
+    (variant 0) UNION hop-strided audio window energies (variant 1) —
+    both actor-pool decode stages over opaque binary payloads."""
+    vid = q_frame_sample(sf_dir)
+    aud = q_audio_energy(sf_dir)
+
+    def pad_v(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "variant": _const_i64(len(b), 0), "item_id": b["item_id"],
+            "idx": b["frame_idx"].astype(np.int64),
+            "val": b["mean"].astype(np.float64)})
+
+    def pad_a(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "variant": _const_i64(len(b), 1), "item_id": b["item_id"],
+            "idx": b["win_idx"].astype(np.int64),
+            "val": b["energy"].astype(np.float64)})
+
+    return (vid.map_batches(pad_v, batch_format="pandas")
+            .union(aud.map_batches(pad_a, batch_format="pandas")))
+
+
+def q_ppl_buckets2(sf_dir: str):
+    """CCNet perplexity bucketing under both scoring regimes: the
+    unigram-LM proxy (variant 0) UNION an external precomputed model
+    score column (variant 1) — one global-ntile machinery, two score
+    sources."""
+    proxy = q_ppl_buckets(sf_dir)
+    scored = q_ppl_buckets_scored(sf_dir)
+
+    def pad(variant, col):
+        def fn(b: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({
+                "variant": _const_i64(len(b), variant),
+                "doc_id": b["doc_id"].astype(np.int64),
+                "score": b[col].astype(np.float64),
+                "tile": b["tile"].astype(np.int64)})
+        return fn
+
+    return (proxy.map_batches(pad(0, "avg_logprob"),
+                              batch_format="pandas")
+            .union(scored.map_batches(pad(1, "model_score"),
+                                      batch_format="pandas")))
 
 
 def q_scan_features(sf_dir: str):

@@ -57,10 +57,10 @@ def test_registry_head_covers_families():
         "text_rewrite", "df_counts", "tfidf_topk", "bigram_stats",
         "unigram_logprob", "decontam", "zscore_by_source",
         "top_quality_per_lang", "dsir_weights", "quality_filter",
-        "pii_scrub",
+        "pii_scrub", "ppl_buckets2",
         # dedup / similarity
         "dedup_survivors2", "ngram_dupes", "near_dup_survivors",
-        "simhash_recall", "dup_spans", "emb_dedup2", "ann_topk",
+        "simhash_recall", "dup_spans2", "emb_dedup2", "ann_topk",
         "ann_topk_ivf_indexed",
         # scans / sampling / events
         "scan_features", "quantiles_all", "sampling_flags",
@@ -68,7 +68,7 @@ def test_registry_head_covers_families():
         "events_flow",
         # decompositions / multimodal
         "decomp_project", "cluster_reps", "media_features",
-        "frame_sample", "audio_energy",
+        "media_windows",
     }
     assert len(head) == 50
     missing = required - set(head)
