@@ -87,3 +87,67 @@ def group_sample(ds: "ray.data.Dataset", key: str = "lang",
                        ascending=True)
     return out.map_batches(lambda b: b[["doc_id", key]],
                            batch_format="pandas")
+
+
+TEMP_ALPHA = 0.5
+TEMP_TARGET_FRAC = 0.5
+TEMP_SALT = "#temp"
+
+
+def temperature_sample(ds: "ray.data.Dataset", key: str = "lang",
+                       alpha: float = TEMP_ALPHA,
+                       target_frac: float = TEMP_TARGET_FRAC,
+                       salt: str = TEMP_SALT) -> "ray.data.Dataset":
+    """Temperature-based corpus rebalancing (the multilingual
+    alpha-sampling of Lample & Conneau 2019 / XLM-R, arXiv:1911.02116
+    §3): group g with count ``n_g`` is kept with probability
+    proportional to ``(n_g/N)^alpha / n_g`` so the SAMPLED mix follows
+    ``p_g ∝ (n_g/N)^alpha`` — alpha<1 upweights low-resource groups,
+    alpha=1 preserves the natural mix.  ``target_frac`` scales the
+    expected kept volume to ``target_frac * N`` rows (capped at 100%
+    per group).
+
+    Keep decisions are the engine-portable md5 permille idiom of
+    :func:`sample_split_fn` (rate in parts-per-million here so small
+    keep probabilities stay resolvable): a resharded / re-run corpus
+    samples identically on any engine.
+
+    Scale design: pass 1 is a per-block partial count — the driver
+    merges O(blocks × distinct keys) scalars, never rows (key
+    cardinality is languages/domains, i.e. bounded); pass 2 is a
+    stateless ``map_batches`` with the tiny rate table captured in
+    the closure.  No shuffle at any scale.
+
+    Float caveat (the dsir_weights convention): the per-group rate is
+    ``floor(q*1e6 + 0.5)`` of a double computed with the same
+    operation order as the SQL oracle; engines could disagree only if
+    libm ``pow`` differs by an ulp AND ``q*1e6 + 0.5`` straddles an
+    integer — ~2^-40 per group, and the oracle gate would catch it."""
+    parts = ds.select_columns([key]).map_batches(
+        lambda b: b[key].value_counts().rename_axis(key)
+                   .reset_index(name="n"),
+        batch_format="pandas").take_all()
+    cnt: dict = {}
+    for r in parts:
+        cnt[r[key]] = cnt.get(r[key], 0) + int(r["n"])
+    tot = float(sum(cnt.values()))
+    # SQL mirrors this exact op order: power(n/tot, alpha), sum in
+    # sorted-key order (DuckDB's aggregate order is unspecified but
+    # the sum of a handful of doubles is order-insensitive far beyond
+    # the rate's 1e-6 resolution)
+    w = {g: (n / tot) ** alpha for g, n in cnt.items()}
+    sw = sum(w[g] for g in sorted(w))
+    rate = {g: int(np.floor(min(1.0, target_frac * (w[g] / sw) * tot
+                                / cnt[g]) * 1_000_000 + 0.5))
+            for g in cnt}
+
+    def flag(b: pd.DataFrame) -> pd.DataFrame:
+        ids = (b["doc_id"].astype(str) + salt).to_numpy(dtype=object)
+        hv = (md5_lower64(ids) % np.uint64(1_000_000)).astype(np.int64)
+        r = b[key].map(rate).to_numpy(dtype=np.int64)
+        keep = hv < r
+        out = b.loc[keep, ["doc_id", key]].reset_index(drop=True)
+        out["rate"] = r[keep]
+        return out
+
+    return ds.map_batches(flag, batch_format="pandas")

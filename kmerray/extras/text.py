@@ -1258,3 +1258,94 @@ def feature_hash(ds: "ray.data.Dataset", dim: int = 1024
                              "val": v[keep]})
 
     return ds.map_batches(fn, batch_format="pandas")
+
+
+C4_BADWORDS = ("slow",)  # registry instance; real runs pass the LDNOOBW list
+
+
+def c4_filter(ds: "ray.data.Dataset", line_delim: str = "\n",
+              min_words_per_line: int = 3, min_lines: int = 5,
+              badwords: tuple = C4_BADWORDS,
+              require_terminal_punct: bool = True
+              ) -> "ray.data.Dataset":
+    """The C4 cleaning rules (Raffel et al. 2020, arXiv:1910.10683
+    §2.2) in one stateless vectorized pass:
+
+    line rules (a line survives iff ALL hold):
+      * >= ``min_words_per_line`` space-separated parts (SQL
+        ``len(string_split(trim(ln), ' '))`` convention: an empty
+        line counts 1);
+      * no word equal to ``javascript`` (case-insensitive);
+      * ends in terminal punctuation ``. ! ? "`` when
+        ``require_terminal_punct`` (the synthetic corpus has no
+        punctuation, so the registry instance disables this rule;
+        the pytest gates it on planted punctuated docs).
+
+    page rules (``keep`` = 1 iff ALL hold):
+      * >= ``min_lines`` surviving lines;
+      * no ``lorem ipsum`` (case-insensitive) and no ``{``;
+      * no word on the ``badwords`` list (case-insensitive, whole
+        word — the paper's "List of Dirty, Naughty ..." slot).
+
+    Output for EVERY doc: ``(doc_id, n_lines, n_kept, keep:int64,
+    clean_text)`` — ``clean_text`` is the surviving trimmed lines
+    re-joined with ``line_delim`` (kept even for dropped pages so
+    the oracle certifies the rewrite, not just the verdict).
+
+    Scale design: zero shuffles — one Arrow split/trim/match pipeline
+    per batch, numpy segment sums per doc, ListArray/binary_join
+    reassembly; streams at read speed at any corpus size."""
+
+    def fn(batch: pd.DataFrame) -> pd.DataFrame:
+        doc = batch["doc_id"].to_numpy().astype(np.int64)
+        arr = pa.array(batch["text"].to_numpy(dtype=object),
+                       pa.string())
+        lines = pc.split_pattern(arr, line_delim)
+        if isinstance(lines, pa.ChunkedArray):
+            lines = lines.combine_chunks()
+        offs = lines.offsets.to_numpy().astype(np.int64)
+        offs = offs - offs[0]
+        ln = pc.utf8_trim(lines.values, " ")  # SQL trim(): spaces only
+        low = pc.utf8_lower(ln)
+        nw = pc.add(pc.count_substring(ln, " "), 1).to_numpy()
+        ok = nw >= min_words_per_line
+        padded = pc.binary_join_element_wise(
+            pa.scalar(" "), low, pa.scalar(" "), "")
+        ok &= ~pc.match_substring(padded, " javascript ")\
+            .to_numpy(zero_copy_only=False)
+        if require_terminal_punct:
+            punct = np.zeros(len(ok), dtype=bool)
+            for p in (".", "!", "?", '"'):
+                punct |= pc.ends_with(ln, pattern=p)\
+                    .to_numpy(zero_copy_only=False)
+            ok &= punct
+        c = np.zeros(len(ok) + 1, np.int64)
+        np.cumsum(ok, out=c[1:])
+        n_kept = c[offs[1:]] - c[offs[:-1]]
+        n_lines = np.diff(offs)
+        # page verdict
+        full_low = pc.utf8_lower(arr)
+        page_ok = n_kept >= min_lines
+        page_ok &= ~pc.match_substring(full_low, "lorem ipsum")\
+            .to_numpy(zero_copy_only=False)
+        page_ok &= ~pc.match_substring(arr, "{")\
+            .to_numpy(zero_copy_only=False)
+        if badwords:
+            fpad = pc.binary_join_element_wise(
+                pa.scalar(" "), full_low, pa.scalar(" "), "")
+            for bw in badwords:
+                page_ok &= ~pc.match_substring(fpad, f" {bw} ")\
+                    .to_numpy(zero_copy_only=False)
+        # reassemble surviving trimmed lines with the delimiter
+        kept_lists = pa.ListArray.from_arrays(
+            pa.array(c[offs], pa.int32()),
+            pc.array_filter(ln, pa.array(ok)))
+        clean = pc.binary_join(kept_lists, line_delim)
+        return pd.DataFrame({
+            "doc_id": doc,
+            "n_lines": n_lines.astype(np.int64),
+            "n_kept": n_kept.astype(np.int64),
+            "keep": page_ok.astype(np.int64),
+            "clean_text": clean.to_pandas()})
+
+    return ds.map_batches(fn, batch_format="pandas")

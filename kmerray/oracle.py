@@ -1782,3 +1782,102 @@ r AS (SELECT doc_id,
       FROM q)
 SELECT doc_id FROM r
 WHERE rnk > n - CAST(floor({keep_frac!r} * n) AS BIGINT)"""
+
+
+def temperature_sample_sql(key: str = "lang") -> str:
+    """Mirror of extras.sampling.temperature_sample: per-group rate =
+    floor(min(1, tf * (w/sw) * tot / n) * 1e6 + 0.5) with
+    w = power(n/tot, alpha) — the exact operation order of the engine
+    (see the float caveat there); keep decision is the portable
+    md5_number_lower ppm idiom."""
+    from .extras.sampling import TEMP_ALPHA, TEMP_SALT, TEMP_TARGET_FRAC
+    h = (f"md5_number_lower(CAST(d.doc_id AS VARCHAR) || "
+         f"'{TEMP_SALT}')")
+    return f"""WITH c AS (
+  SELECT {key}, CAST(count(*) AS BIGINT) AS n
+  FROM documents GROUP BY {key}),
+t AS (SELECT CAST(sum(n) AS DOUBLE) AS tot FROM c),
+p AS (SELECT {key}, n, power(n / t.tot, {TEMP_ALPHA!r}) AS w
+      FROM c, t),
+z AS (SELECT sum(w) AS sw FROM p),
+r AS (SELECT {key}, n,
+        CAST(floor(LEAST(1.0, {TEMP_TARGET_FRAC!r} * (w / z.sw)
+                          * t.tot / n) * 1000000 + 0.5) AS BIGINT)
+          AS rate
+      FROM p, z, t)
+SELECT d.doc_id, d.{key}, r.rate
+FROM documents d JOIN r USING ({key})
+WHERE CAST({h} % 1000000 AS BIGINT) < r.rate"""
+
+
+def block_dedup_sql(w: int = 8) -> str:
+    """Mirror of extras.dedup.block_dedup: blocks are disjoint
+    ``w``-word slices; the global first occurrence per distinct block
+    TEXT (ORDER BY doc_id, idx) survives, docs reassemble from kept
+    blocks in order.  The engine keys blocks by a 64-bit fold; this
+    compares strings (collision-certifying, the dup_spans role)."""
+    return f"""WITH d AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+b AS (
+  SELECT doc_id, i AS idx,
+         array_to_string(
+           list_slice(ws, i * {w} + 1,
+                      LEAST((i + 1) * {w}, len(ws))), ' ') AS blk
+  FROM d, unnest(range(0, (len(ws) + {w - 1}) // {w})) AS t(i)),
+r AS (
+  SELECT doc_id, idx, blk,
+         row_number() OVER (PARTITION BY blk
+                            ORDER BY doc_id, idx) AS rn
+  FROM b)
+SELECT doc_id,
+  CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_removed,
+  COALESCE(string_agg(CASE WHEN rn = 1 THEN blk END,
+                      ' ' ORDER BY idx), '') AS text2
+FROM r GROUP BY doc_id"""
+
+
+def c4_filter_sql(line_delim: str = "\n", min_words_per_line: int = 3,
+                  min_lines: int = 5, badwords: tuple = None,
+                  require_terminal_punct: bool = True) -> str:
+    """Mirror of extras.text.c4_filter down to the rewritten
+    clean_text.  Word counting follows the SQL split convention (an
+    empty trimmed line counts 1 part); whole-word matches use the
+    space-padded contains idiom, exactly as the engine."""
+    from .extras.text import C4_BADWORDS
+    if badwords is None:
+        badwords = C4_BADWORDS
+    d = line_delim.replace("'", "''")
+    punct = ""
+    if require_terminal_punct:
+        punct = ("\n         AND (ln LIKE '%.' OR ln LIKE '%!' "
+                 "OR ln LIKE '%?' OR ln LIKE '%\"')")
+    bad = "".join(
+        "\n        AND NOT contains(' ' || lower(d.text) || ' ', "
+        f"' {b.replace(chr(39), chr(39) * 2)} ')" for b in badwords)
+    return f"""WITH d AS (
+  SELECT doc_id, text, string_split(text, '{d}') AS ls
+  FROM documents),
+l AS (
+  SELECT doc_id, j, trim(ls[j], ' ') AS ln
+  FROM d, unnest(range(1, len(ls) + 1)) AS t(j)),
+k AS (
+  SELECT doc_id, j, ln,
+         (len(string_split(ln, ' ')) >= {min_words_per_line}
+          AND NOT contains(' ' || lower(ln) || ' ', ' javascript '){punct})
+           AS kp
+  FROM l),
+agg AS (
+  SELECT doc_id,
+         CAST(count(*) AS BIGINT) AS n_lines,
+         CAST(sum(CASE WHEN kp THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         COALESCE(string_agg(CASE WHEN kp THEN ln END,
+                             '{d}' ORDER BY j), '') AS clean_text
+  FROM k GROUP BY doc_id)
+SELECT d.doc_id, a.n_lines, a.n_kept,
+  CAST(CASE WHEN a.n_kept >= {min_lines}
+        AND NOT contains(lower(d.text), 'lorem ipsum')
+        AND NOT contains(d.text, '{{'){bad}
+       THEN 1 ELSE 0 END AS BIGINT) AS keep,
+  a.clean_text
+FROM d JOIN agg a USING (doc_id)"""

@@ -446,7 +446,7 @@ def registry() -> dict:
         "ppl_buckets2": q_ppl_buckets2,
         "pii_scrub": q_pii_scrub,
         "dsir_weights": q_dsir_weights,
-        "quality_filter": q_quality_filter,
+        "quality_filter2": q_quality_filter2,
     }
     assert len(head) == 50, f"registry head must be 50, got {len(head)}"
     tail = {
@@ -464,6 +464,10 @@ def registry() -> dict:
         "emb_near_dup": q_emb_near_dup,
         "dup_spans": q_dup_spans,
         "dup_span_scrub": q_dup_span_scrub,
+        "block_dedup": q_block_dedup,
+        "c4_filter": q_c4_filter,
+        "temperature_sample": q_temperature_sample,
+        "quality_filter": q_quality_filter,
         "frame_sample": q_frame_sample,
         "audio_energy": q_audio_energy,
         "semdedup": q_semdedup,
@@ -618,7 +622,11 @@ FROM ({oracle.dup_spans_sql(DUP_SPAN_W)})
 UNION ALL
 SELECT CAST(1 AS BIGINT), doc_id, n_removed, CAST(-1 AS BIGINT),
        CAST(0.0 AS DOUBLE), scrubbed
-FROM ({oracle.dup_span_scrub_sql(DUP_SPAN_W)})""",
+FROM ({oracle.dup_span_scrub_sql(DUP_SPAN_W)})
+UNION ALL
+SELECT CAST(2 AS BIGINT), doc_id, n_removed, CAST(-2 AS BIGINT),
+       CAST(0.0 AS DOUBLE), text2
+FROM ({oracle.block_dedup_sql(BLOCK_W)})""",
         "unigram_logprob": oracle.unigram_logprob_sql(LM_DP),
         "zscore_by_source": oracle.zscore_by_source_sql(),
         "events_distinct": oracle.events_distinct_sql(),
@@ -666,7 +674,10 @@ SELECT CAST(0 AS BIGINT) AS variant, doc_id, lang, bucket, split
 FROM ({oracle.sample_split_sql()})
 UNION ALL
 SELECT CAST(1 AS BIGINT), doc_id, lang, CAST(-1 AS BIGINT), ''
-FROM ({oracle.group_sample_sql(GROUP_SAMPLE_N)})""",
+FROM ({oracle.group_sample_sql(GROUP_SAMPLE_N)})
+UNION ALL
+SELECT CAST(2 AS BIGINT), doc_id, lang, rate, ''
+FROM ({oracle.temperature_sample_sql()})""",
         "events_enriched": f"""\
 SELECT CAST(0 AS BIGINT) AS variant, event_id, k AS v1,
        CAST(0 AS BIGINT) AS v2, CAST(0 AS BIGINT) AS v3,
@@ -722,6 +733,18 @@ FROM ({oracle.asof_backfill_sql(path, K_ASOF, *ASOF_BINS,
                                 BACKFILL_LAG_DAYS)})""",
         "dsir_weights": oracle.dsir_weights_sql("en", LM_DP),
         "quality_filter": oracle.quality_filter_sql(QF_KEEP_FRAC),
+        "c4_filter": oracle.c4_filter_sql(
+            C4_DELIM, C4_MWL, C4_MIN_LINES, None, False),
+        "block_dedup": oracle.block_dedup_sql(BLOCK_W),
+        "temperature_sample": oracle.temperature_sample_sql(),
+        "quality_filter2": f"""\
+SELECT CAST(0 AS BIGINT) AS variant, doc_id, CAST(-1 AS BIGINT) AS v1,
+       CAST(-1 AS BIGINT) AS v2, CAST(1 AS BIGINT) AS keep, '' AS txt
+FROM ({oracle.quality_filter_sql(QF_KEEP_FRAC)})
+UNION ALL
+SELECT CAST(1 AS BIGINT), doc_id, n_lines, n_kept, keep, clean_text
+FROM ({oracle.c4_filter_sql(C4_DELIM, C4_MWL, C4_MIN_LINES, None,
+                            False)})""",
         "frame_sample": oracle.frame_sample_sql(_video_path(),
                                                 FRAME_STRIDE),
         "audio_energy": oracle.audio_energy_sql(_audio_path(),
@@ -1878,11 +1901,14 @@ def q_dedup_survivors2(sf_dir: str):
 
 
 def q_dup_spans2(sf_dir: str):
-    """Lee-et-al exact-substring dedup, signal AND rewrite: per-doc
-    dup-window stats (variant 0) UNION the scrubbed corpus (variant 1,
-    dup spans removed everywhere but their keeper doc)."""
+    """Corpus-rewriting dedup family: per-doc dup-window stats
+    (variant 0), the Lee-et-al scrubbed corpus (variant 1, dup spans
+    removed everywhere but their keeper doc), and CCNet-style block
+    (paragraph) dedup (variant 2, global first occurrence per block
+    survives)."""
     stats = q_dup_spans(sf_dir)
     scrub = q_dup_span_scrub(sf_dir)
+    blocks = q_block_dedup(sf_dir)
 
     def pad_s(b: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame({
@@ -1902,8 +1928,18 @@ def q_dup_spans2(sf_dir: str):
             "vf": np.zeros(len(b)),
             "txt": b["scrubbed"]})
 
+    def pad_b(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "variant": _const_i64(len(b), 2),
+            "doc_id": b["doc_id"].astype(np.int64),
+            "v1": b["n_removed"].astype(np.int64),
+            "v2": _const_i64(len(b), -2),
+            "vf": np.zeros(len(b)),
+            "txt": b["text2"]})
+
     return (stats.map_batches(pad_s, batch_format="pandas")
-            .union(scrub.map_batches(pad_r, batch_format="pandas")))
+            .union(scrub.map_batches(pad_r, batch_format="pandas"))
+            .union(blocks.map_batches(pad_b, batch_format="pandas")))
 
 
 def q_media_windows(sf_dir: str):
@@ -1995,9 +2031,12 @@ def q_quantiles_all(sf_dir: str):
 
 def q_sampling_flags(sf_dir: str):
     """Stratified permille sample+split (variant 0) UNION per-group
-    deterministic top-n sample (variant 1, no bucket/split)."""
+    deterministic top-n sample (variant 1, no bucket/split) UNION
+    alpha-temperature language rebalancing (variant 2, bucket = the
+    ppm keep rate)."""
     split = _as_ds(q_sample_split(sf_dir))
     grp = _as_ds(q_group_sample(sf_dir))
+    temp = _as_ds(q_temperature_sample(sf_dir))
 
     def pad_s(b: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame({
@@ -2011,8 +2050,15 @@ def q_sampling_flags(sf_dir: str):
             "lang": b["lang"], "bucket": _const_i64(len(b), -1),
             "split": np.full(len(b), "", dtype=object)})
 
+    def pad_t(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "variant": _const_i64(len(b), 2), "doc_id": b["doc_id"],
+            "lang": b["lang"], "bucket": b["rate"].astype(np.int64),
+            "split": np.full(len(b), "", dtype=object)})
+
     return (split.map_batches(pad_s, batch_format="pandas")
-            .union(grp.map_batches(pad_g, batch_format="pandas")))
+            .union(grp.map_batches(pad_g, batch_format="pandas"))
+            .union(temp.map_batches(pad_t, batch_format="pandas")))
 
 
 def q_events_enriched(sf_dir: str):
@@ -2062,3 +2108,71 @@ def q_decomp_project(sf_dir: str):
 
     return (pca.map_batches(pad_p, batch_format="pandas")
             .union(km.map_batches(pad_k, batch_format="pandas")))
+
+
+# --- round-5 ops: C4 cleaning, block (paragraph) dedup, temperature
+# resampling -------------------------------------------------------------
+
+C4_DELIM = " line "   # pseudo-paragraph delimiter for the synthetic corpus
+C4_MWL = 3
+C4_MIN_LINES = 2
+BLOCK_W = 8
+
+
+def q_c4_filter(sf_dir: str):
+    """C4 (Raffel et al. 2020) line+page cleaning rules.  The
+    synthetic corpus has no newlines or punctuation, so this instance
+    splits pseudo-lines on the literal ' line ' token and disables
+    the terminal-punctuation rule (the pytest gates that rule on
+    planted punctuated docs); the badword/min-words/min-lines rules
+    fire for real."""
+    from .extras.text import c4_filter
+    return c4_filter(_docs(sf_dir), line_delim=C4_DELIM,
+                     min_words_per_line=C4_MWL, min_lines=C4_MIN_LINES,
+                     require_terminal_punct=False)
+
+
+def q_block_dedup(sf_dir: str):
+    """CCNet-style corpus-level block (paragraph) dedup: global first
+    occurrence of each distinct 8-word block survives, docs rewritten
+    from surviving blocks."""
+    from .extras.dedup import block_dedup
+    return block_dedup(_docs(sf_dir), w=BLOCK_W)
+
+
+def q_temperature_sample(sf_dir: str):
+    """XLM-R alpha-temperature language rebalancing (alpha=0.5,
+    target half the corpus), md5-ppm deterministic keeps."""
+    from .extras.sampling import temperature_sample
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "lang"])
+    return temperature_sample(ds)
+
+
+def q_quality_filter2(sf_dir: str):
+    """Quality gating both ways: global-percentile survivor filter
+    (variant 0) UNION the C4 line+page cleaning rules (variant 1,
+    incl. the rewritten clean_text)."""
+    qf = q_quality_filter(sf_dir)
+    c4 = q_c4_filter(sf_dir)
+
+    def pad_q(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "variant": _const_i64(len(b), 0),
+            "doc_id": b["doc_id"].astype(np.int64),
+            "v1": _const_i64(len(b), -1),
+            "v2": _const_i64(len(b), -1),
+            "keep": _const_i64(len(b), 1),
+            "txt": np.full(len(b), "", dtype=object)})
+
+    def pad_c(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "variant": _const_i64(len(b), 1),
+            "doc_id": b["doc_id"].astype(np.int64),
+            "v1": b["n_lines"].astype(np.int64),
+            "v2": b["n_kept"].astype(np.int64),
+            "keep": b["keep"].astype(np.int64),
+            "txt": b["clean_text"]})
+
+    return (qf.map_batches(pad_q, batch_format="pandas")
+            .union(c4.map_batches(pad_c, batch_format="pandas")))

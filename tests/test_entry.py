@@ -56,7 +56,7 @@ def test_registry_head_covers_families():
         "doc_stats", "lang_id", "rep_stats", "chunk_windows",
         "text_rewrite", "df_counts", "tfidf_topk", "bigram_stats",
         "unigram_logprob", "decontam", "zscore_by_source",
-        "top_quality_per_lang", "dsir_weights", "quality_filter",
+        "top_quality_per_lang", "dsir_weights", "quality_filter2",
         "pii_scrub", "ppl_buckets2",
         # dedup / similarity
         "dedup_survivors2", "ngram_dupes", "near_dup_survivors",

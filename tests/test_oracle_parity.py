@@ -21,7 +21,9 @@ FAST = ["kmer_counts_per_doc", "whole_seq_minimiser", "lag_lead",
         "bpe_merges", "gopher_filter", "source_overlap", "semdedup",
         "decontam_spans", "hard_negatives", "quantize_emb", "hll_users",
         "feature_hash", "cms_topwords", "dup_span_scrub",
-        "ppl_buckets_scored"]
+        "ppl_buckets_scored",
+        # round-5 ops
+        "c4_filter", "block_dedup", "temperature_sample"]
 
 pytestmark = pytest.mark.skipif(not os.path.exists(SF),
                                 reason="driver testdata unavailable")

@@ -1,0 +1,138 @@
+"""Round-5 ops: C4 cleaning rules (incl. the terminal-punctuation
+path the synthetic corpus can't exercise), CCNet-style block dedup,
+and alpha-temperature resampling."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+
+def _pdf(ds):
+    return ds.to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+
+def test_c4_filter_full_rules(ray_session):
+    """Planted punctuated multi-line docs drive every C4 rule:
+    terminal punctuation, min words per line, the javascript line
+    rule, lorem-ipsum / curly-brace / badword page rules, and the
+    min-surviving-lines page rule."""
+    import ray.data
+
+    from kmerray.extras.text import c4_filter
+    docs = pd.DataFrame({
+        "doc_id": np.arange(7, dtype=np.int64),
+        "text": [
+            # 5 good lines + 1 unpunctuated -> kept, 5 survive
+            "One good line here.\nAnother good line!\nIs this kept?\n"
+            'He said "sure."\nFifth good line stays.\nno punct line',
+            # all lines end mid-word -> dropped
+            "no punctuation at all\nstill no punct",
+            # javascript line dropped, 5 others survive -> kept
+            "uses javascript right here.\nA second good line stays.\n"
+            "three more words here.\nfour more words now.\n"
+            "five more words again.\nsix more words too.",
+            # lorem ipsum page -> dropped despite 6 good lines
+            "lorem ipsum dolor sit amet.\ngood line number one.\n"
+            "good line number two.\ngood line number three.\n"
+            "good line number four.\ngood line number five.",
+            # curly brace page -> dropped
+            "curly { brace page here.\ngood line number one.\n"
+            "good line number two.\ngood line number three.\n"
+            "good line number four.\ngood line number five.",
+            # badword page -> dropped
+            "the badword appears right here.\ngood line number one.\n"
+            "good line number two.\ngood line number three.\n"
+            "good line number four.\ngood line number five.",
+            # only 4 surviving lines -> dropped by min_lines=5
+            "good line number one.\ngood line number two.\n"
+            "good line number three.\ngood line number four.",
+        ]})
+    out = _pdf(c4_filter(ray.data.from_pandas(docs), line_delim="\n",
+                         min_words_per_line=3, min_lines=5,
+                         badwords=("badword",),
+                         require_terminal_punct=True))
+    assert out["keep"].tolist() == [1, 0, 1, 0, 0, 0, 0]
+    assert out["n_kept"].tolist() == [5, 0, 5, 6, 6, 6, 4]
+    # the javascript line is gone from the rewrite, the rest survive
+    assert "javascript" not in out.loc[2, "clean_text"]
+    assert out.loc[2, "clean_text"].count("\n") == 4
+    # doc 0's unpunctuated trailing line is scrubbed
+    assert not out.loc[0, "clean_text"].endswith("no punct line")
+
+
+def test_c4_filter_trims_and_counts_like_sql(ray_session):
+    """Space-padded lines are trimmed before every rule; the word
+    count follows the SQL string_split convention (empty line = 1)."""
+    import ray.data
+
+    from kmerray.extras.text import c4_filter
+    docs = pd.DataFrame({
+        "doc_id": np.array([0], dtype=np.int64),
+        "text": ["  padded good line here.  \n  tiny.  "]})
+    out = _pdf(c4_filter(ray.data.from_pandas(docs), line_delim="\n",
+                         min_words_per_line=3, min_lines=1,
+                         badwords=(), require_terminal_punct=True))
+    assert out.loc[0, "n_kept"] == 1  # 'tiny.' has 1 word < 3
+    assert out.loc[0, "clean_text"] == "padded good line here."
+
+
+def test_block_dedup_keeper_and_rewrite(ray_session):
+    """Global first occurrence per distinct block survives — across
+    docs AND for repeats inside one doc; docs reassemble from the
+    surviving blocks in order."""
+    import ray.data
+
+    from kmerray.extras.dedup import block_dedup
+    blk_a = "a b c"          # 3-word block with w=3
+    blk_b = "d e f"
+    docs = pd.DataFrame({
+        "doc_id": np.array([1, 2, 3], dtype=np.int64),
+        "text": [f"{blk_a} {blk_b}",        # doc 1: keeper of both
+                 f"{blk_b} {blk_a}",        # doc 2: both dup -> empty
+                 f"{blk_a} {blk_a} x y"]})  # doc 3: in-doc repeat too
+    out = _pdf(block_dedup(ray.data.from_pandas(docs), w=3,
+                           n_buckets=4))
+    assert out["n_removed"].tolist() == [0, 2, 2]
+    assert out.loc[0, "text2"] == f"{blk_a} {blk_b}"
+    assert out.loc[1, "text2"] == ""
+    assert out.loc[2, "text2"] == "x y"
+
+
+def test_block_dedup_trailing_block_distinct(ray_session):
+    """A short trailing block is NOT conflated with a full block that
+    shares its prefix (the masked-fold property)."""
+    import ray.data
+
+    from kmerray.extras.dedup import block_dedup
+    docs = pd.DataFrame({
+        "doc_id": np.array([1, 2], dtype=np.int64),
+        "text": ["a b c d", "a b c"]})  # w=4: 'a b c d' vs tail 'a b c'
+    out = _pdf(block_dedup(ray.data.from_pandas(docs), w=4,
+                           n_buckets=2))
+    assert out["n_removed"].tolist() == [0, 0]
+    assert out["text2"].tolist() == ["a b c d", "a b c"]
+
+
+def test_temperature_sample_rebalances(ray_session):
+    """alpha<1 keeps a HIGHER fraction of the rare group than of the
+    common group; alpha=1 keeps (about) the target fraction of each;
+    decisions are deterministic."""
+    import ray.data
+
+    from kmerray.extras.sampling import temperature_sample
+    rng = np.random.default_rng(7)
+    n_common, n_rare = 4000, 250
+    docs = pd.DataFrame({
+        "doc_id": np.arange(n_common + n_rare, dtype=np.int64),
+        "lang": ["en"] * n_common + ["sw"] * n_rare})
+    ds = ray.data.from_pandas(docs)
+    out = _pdf(temperature_sample(ds, alpha=0.3, target_frac=0.5))
+    kept = out.groupby("lang").size()
+    assert kept["sw"] / n_rare > kept["en"] / n_common
+    # rare group rate capped at 100%
+    assert out[out.lang == "sw"]["rate"].iloc[0] <= 1_000_000
+    again = _pdf(temperature_sample(ds, alpha=0.3, target_frac=0.5))
+    pd.testing.assert_frame_equal(out, again)
+    flat = _pdf(temperature_sample(ds, alpha=1.0, target_frac=0.5))
+    frac = len(flat) / len(docs)
+    assert 0.45 < frac < 0.55
