@@ -107,6 +107,47 @@ def decontam_pipeline(ds: "ray.data.Dataset",
     return ds.map_batches(_score, batch_format="pandas")
 
 
+def decontam_frac_pipeline(ds: "ray.data.Dataset",
+                           n: int = NGRAM) -> "ray.data.Dataset":
+    """GPT-3-appendix-C-style contamination REPORTING: per non-eval
+    doc, the distinct-gram overlap count, the doc's distinct-gram
+    total, and the overlap fraction — the surface a release report
+    ranks and thresholds, where decontam_pipeline only flags.
+
+    Same broadcast-probe design as decontam_pipeline (the eval gram
+    set ships once via ``ray.put``; the corpus streams; zero
+    shuffles).  ``frac`` is one IEEE double division of the two int64
+    columns, so numpy and SQL produce the identical bits; docs with
+    fewer than ``n`` words have no grams and report frac 0.0.
+
+    Output: ``(doc_id, n_hits:int64, n_grams:int64, frac:double)``."""
+    eval_ref = ray.put(eval_gram_hashes(ds, n))
+
+    def _score(b: pd.DataFrame) -> pd.DataFrame:
+        ev = ray.get(eval_ref)
+        b = (b[b["doc_id"].to_numpy() % EVAL_MOD != EVAL_REM]
+             .reset_index(drop=True))
+        rowid, gk = _gram_keys(b["text"], n)
+        drow, dk = _distinct_per_row(rowid, gk)
+        if len(ev):
+            pos = np.searchsorted(ev, dk)
+            hit = (pos < len(ev)) \
+                & (ev[np.minimum(pos, len(ev) - 1)] == dk)
+        else:
+            hit = np.zeros(len(dk), bool)
+        hits = np.bincount(drow[hit], minlength=len(b)).astype(np.int64)
+        totals = np.bincount(drow, minlength=len(b)).astype(np.int64)
+        frac = np.where(totals > 0,
+                        hits.astype(np.float64)
+                        / np.maximum(totals, 1).astype(np.float64), 0.0)
+        return pd.DataFrame({"doc_id": b["doc_id"],
+                             "n_hits": hits,
+                             "n_grams": totals,
+                             "frac": frac})
+
+    return ds.map_batches(_score, batch_format="pandas")
+
+
 def decontam_spans_pipeline(ds: "ray.data.Dataset",
                             n: int = NGRAM) -> "ray.data.Dataset":
     """Span-level decontamination (the Dolma-style upgrade to

@@ -92,6 +92,51 @@ def exact_dedup_survivors(ds: "ray.data.Dataset", col: str = "text",
                                                batch_format="pandas")
 
 
+def incremental_dedup_survivors(ds: "ray.data.Dataset",
+                                col: str = "text", split_mod: int = 2,
+                                new_rem: int = 1,
+                                n_buckets: int | None = None
+                                ) -> "ray.data.Dataset":
+    """Snapshot-incremental exact dedup — the production shape of
+    exact dedup when a corpus is ingested in waves: admit a NEW doc
+    (``doc_id % split_mod == new_rem``) only if (a) no OLD-snapshot
+    doc has the same content and (b) it is the first (min doc_id) new
+    occurrence of that content.  Here old/new are two slices of one
+    table; at 100 TB the old side is the prior snapshot's content
+    store read as its own dataset and unioned in — either way both
+    sides ride ONE content-hash-bucket exchange (no broadcast of the
+    old corpus, which is the side that grows without bound), and
+    raw-equality grouping inside each bucket keeps hash collisions
+    from merging distinct contents (the exact_dedup_survivors
+    contract).
+
+    Output: ``(doc_id)`` of admitted new docs."""
+    if n_buckets is None:
+        n_buckets = _auto_buckets(ds, floor=64)
+    sentinel = np.int64(1) << 62
+
+    def add_bucket(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.copy()
+        h = content_hash64(batch[col])
+        batch["bucket"] = (h % np.uint64(n_buckets)).astype(np.int64)
+        did = batch["doc_id"].to_numpy().astype(np.int64)
+        isold = (did % split_mod != new_rem)
+        batch["isold"] = isold.astype(np.int64)
+        batch["new_id"] = np.where(isold, sentinel, did)
+        return batch
+
+    def survivors(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby(col, as_index=False).agg(
+            n_old=("isold", "sum"), new_id=("new_id", "min"))
+        keep = agg[(agg["n_old"] == 0) & (agg["new_id"] < sentinel)]
+        return pd.DataFrame(
+            {"doc_id": keep["new_id"].to_numpy().astype(np.int64)})
+
+    hashed = ds.map_batches(add_bucket, batch_format="pandas")
+    return hashed.groupby("bucket").map_groups(survivors,
+                                               batch_format="pandas")
+
+
 # --------------------------------------------------------------------------
 # word n-gram hashing (shared by Jaccard + MinHash)
 # --------------------------------------------------------------------------

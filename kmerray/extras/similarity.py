@@ -492,3 +492,68 @@ def quantize_embeddings(ds: "ray.data.Dataset") -> "ray.data.Dataset":
 
     return ds.map_batches(fn, batch_format="pyarrow",
                           zero_copy_batch=True)
+
+
+def seed_centroid_topk(ds: "ray.data.Dataset", seed_mod: int = 17,
+                       k: int = 100) -> "ray.data.Dataset":
+    """Classifier-lite relevance ranking against a seed set (the
+    fastText/CLIP-score pattern of web-pipeline quality filtering,
+    e.g. LLaMA's Wikipedia-reference classifier): score every vector
+    by its affinity to the centroid of a deterministic seed subset
+    (``vec_id % seed_mod == 0``) and keep the global top-k.
+
+    Exact-integer contract so numpy and SQL agree bit-for-bit: each
+    vector is absmax-int8-quantized (the quantize_embeddings
+    convention — ``floor(127 * x / amax + 0.5)``, one mul + one div
+    per element so the doubles match across engines), the centroid is
+    the per-dim int64 SUM of seed codes (order-invariant), and the
+    score is the int64 dot(code, centroid).  At 100 TB this is two
+    streaming passes: per-block seed partials are d-length sufficient
+    statistics (driver sees O(blocks x d) ints, never vectors), the
+    broadcast centroid is d int64s, and the final cut merges
+    O(blocks x k) candidate rows — no shuffle anywhere.
+
+    Output: ``(vec_id, score:int64)`` of the top-k, score desc,
+    vec_id-asc tie break."""
+    def _codes(batch: pa.Table) -> np.ndarray:
+        m = _emb_matrix(batch)
+        amax = np.abs(m).max(axis=1)
+        safe = np.where(amax > 0, amax, 1.0)
+        return np.floor(127.0 * m / safe[:, None] + 0.5).astype(np.int64)
+
+    # pass 1: per-block per-dim sums of seed-vector codes
+    def _seed_partial(batch: pa.Table) -> pa.Table:
+        vec = batch.column("vec_id").to_numpy()
+        q = _codes(batch)[vec % seed_mod == 0]
+        s = q.sum(axis=0, dtype=np.int64) if len(q) else \
+            np.zeros(q.shape[1] if q.ndim == 2 else 0, dtype=np.int64)
+        d = len(s)
+        return pa.table({"dim": pa.array(np.arange(d, dtype=np.int64)),
+                         "part": pa.array(s)})
+
+    parts = ds.map_batches(_seed_partial, batch_format="pyarrow",
+                           zero_copy_batch=True).to_pandas()
+    if not len(parts):
+        return ray.data.from_pandas(
+            pd.DataFrame({"vec_id": pd.Series([], dtype=np.int64),
+                          "score": pd.Series([], dtype=np.int64)}))
+    cent = np.zeros(int(parts["dim"].max()) + 1, dtype=np.int64)
+    np.add.at(cent, parts["dim"].to_numpy(), parts["part"].to_numpy())
+    cent_ref = ray.put(cent)
+
+    # pass 2: int dot against the broadcast centroid, local top-k cut
+    def _local_cut(batch: pa.Table) -> pa.Table:
+        c = ray.get(cent_ref)
+        q = _codes(batch)
+        score = q @ c
+        vec = batch.column("vec_id").to_numpy().astype(np.int64)
+        kk = min(k, len(vec))
+        # top-k by (score desc, vec_id asc): lexsort on (-score, vec)
+        keep = np.lexsort((vec, -score))[:kk]
+        return pa.table({"vec_id": pa.array(vec[keep]),
+                         "score": pa.array(score[keep].astype(np.int64))})
+
+    cand = ds.map_batches(_local_cut, batch_format="pyarrow",
+                          zero_copy_batch=True)
+    return cand.sort(["score", "vec_id"],
+                     descending=[True, False]).limit(k)

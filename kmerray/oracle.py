@@ -1881,3 +1881,85 @@ SELECT d.doc_id, a.n_lines, a.n_kept,
        THEN 1 ELSE 0 END AS BIGINT) AS keep,
   a.clean_text
 FROM d JOIN agg a USING (doc_id)"""
+
+
+def incremental_dedup_sql(split_mod: int = 2, new_rem: int = 1) -> str:
+    """Mirror of extras.dedup.incremental_dedup_survivors: a NEW doc
+    (doc_id % split_mod == new_rem) is admitted iff no OLD-snapshot
+    doc shares its raw text and it is the min-doc_id new occurrence."""
+    return f"""WITH n AS (
+  SELECT doc_id, text FROM documents
+  WHERE doc_id % {split_mod} = {new_rem}
+),
+o AS (
+  SELECT DISTINCT text FROM documents
+  WHERE doc_id % {split_mod} <> {new_rem}
+)
+SELECT min(n.doc_id) AS doc_id
+FROM n ANTI JOIN o USING (text)
+GROUP BY n.text"""
+
+
+def decontam_frac_sql(n: int = 3, mod: int = 10, rem: int = 7) -> str:
+    """decontam_sql plus the per-doc distinct-gram total and the
+    overlap fraction (one int64/int64 double division — bit-identical
+    across engines; gram-less docs report 0.0)."""
+    return f"""WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+), g AS (
+  SELECT DISTINCT doc_id,
+    array_to_string(array_slice(w, i, i + {n - 1}), ' ') AS gram
+  FROM w, LATERAL (SELECT unnest(generate_series(1, len(w) - {n - 1}))
+                   AS i) s
+), ev AS (SELECT DISTINCT gram FROM g WHERE doc_id % {mod} = {rem}),
+tot AS (
+  SELECT doc_id, count(*) AS n_grams FROM g
+  WHERE doc_id % {mod} <> {rem} GROUP BY doc_id
+),
+h AS (
+  SELECT g.doc_id, count(*) AS n_hits FROM g JOIN ev USING (gram)
+  WHERE g.doc_id % {mod} <> {rem} GROUP BY g.doc_id
+)
+SELECT d.doc_id, CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+       CAST(coalesce(t.n_grams, 0) AS BIGINT) AS n_grams,
+       CASE WHEN coalesce(t.n_grams, 0) = 0 THEN 0.0
+            ELSE CAST(coalesce(h.n_hits, 0) AS DOUBLE) / t.n_grams
+       END AS frac
+FROM documents d LEFT JOIN h USING (doc_id) LEFT JOIN tot t USING (doc_id)
+WHERE d.doc_id % {mod} <> {rem}"""
+
+
+def seed_topk_sql(seed_mod: int = 17, k: int = 100) -> str:
+    """Mirror of extras.similarity.seed_centroid_topk: the
+    quantize_sql int8 contract (identical 127 * x / amax then
+    floor(.+0.5) operation order), per-dim int64 seed-code sums as
+    the centroid, int64 dot as the score — integer-exact end to end,
+    so the only float step is the one mul+div pair both engines
+    already agree on (quantize_sql is individually green)."""
+    return f"""WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         list_max(list_transform(CAST(embedding AS DOUBLE[]),
+                                 x -> abs(x))) AS amax
+  FROM embeddings
+),
+q AS (
+  SELECT vec_id, generate_subscripts(v, 1) AS dim,
+    CAST(floor(127 * unnest(v) / (CASE WHEN amax > 0 THEN amax
+                                       ELSE 1.0 END)
+               + 0.5) AS BIGINT) AS code
+  FROM e
+),
+c AS (
+  SELECT dim, SUM(code) AS cval FROM q
+  WHERE vec_id % {seed_mod} = 0 GROUP BY dim
+),
+s AS (
+  SELECT q.vec_id, CAST(SUM(q.code * c.cval) AS BIGINT) AS score
+  FROM q JOIN c USING (dim) GROUP BY q.vec_id
+),
+r AS (
+  SELECT vec_id, score,
+         row_number() OVER (ORDER BY score DESC, vec_id) AS rn
+  FROM s
+)
+SELECT vec_id, score FROM r WHERE rn <= {k}"""

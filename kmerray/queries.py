@@ -416,7 +416,7 @@ def registry() -> dict:
         "tfidf_topk": q_tfidf_topk,
         "bigram_stats": q_bigram_stats,
         "unigram_logprob": q_unigram_logprob,
-        "decontam": q_decontam,
+        "decontam2": q_decontam2,
         "zscore_by_source": q_zscore_by_source,
         "top_quality_per_lang": q_top_quality_per_lang,
         # --- dedup ---
@@ -427,7 +427,7 @@ def registry() -> dict:
         "dup_spans2": q_dup_spans2,
         # --- similarity ---
         "emb_dedup2": q_emb_dedup2,
-        "ann_topk": q_ann_topk,
+        "ann_topk2": q_ann_topk2,
         "ann_topk_ivf_indexed": q_ann_topk_ivf_indexed,
         # --- scans / sampling ---
         "scan_features": q_scan_features,
@@ -477,6 +477,11 @@ def registry() -> dict:
         "winnow_fp": q_winnow_fp,
         "gopher_filter": q_gopher_filter,
         "source_overlap": q_source_overlap,
+        "decontam": q_decontam,
+        "decontam_frac": q_decontam_frac,
+        "ann_topk": q_ann_topk,
+        "seed_topk": q_seed_topk,
+        "dedup_incremental": q_dedup_incremental,
         "decontam_spans": q_decontam_spans,
         "hard_negatives": q_hard_negatives,
         "quantize_emb": q_quantize_emb,
@@ -656,7 +661,26 @@ SELECT CAST(0 AS BIGINT) AS policy, doc_id
 FROM ({oracle.dedup_exact_sql()})
 UNION ALL
 SELECT CAST(1 AS BIGINT), doc_id
-FROM ({oracle.dedup_keep_best_sql()})""",
+FROM ({oracle.dedup_keep_best_sql()})
+UNION ALL
+SELECT CAST(2 AS BIGINT), doc_id
+FROM ({oracle.incremental_dedup_sql()})""",
+        "dedup_incremental": oracle.incremental_dedup_sql(),
+        "decontam_frac": oracle.decontam_frac_sql(),
+        "decontam2": f"""\
+SELECT CAST(0 AS BIGINT) AS variant, doc_id, n_hits,
+       CAST(contaminated AS BIGINT) AS v2, CAST(0.0 AS DOUBLE) AS vf
+FROM ({oracle.decontam_sql()})
+UNION ALL
+SELECT CAST(1 AS BIGINT), doc_id, n_hits, n_grams, frac
+FROM ({oracle.decontam_frac_sql()})""",
+        "seed_topk": oracle.seed_topk_sql(SEED_MOD, SEED_TOPK_K),
+        "ann_topk2": f"""\
+SELECT CAST(0 AS BIGINT) AS variant, qid AS a, vec_id AS b
+FROM ({oracle.ann_topk_sql(ANN_QUERIES, ANN_K)})
+UNION ALL
+SELECT CAST(1 AS BIGINT), vec_id, score
+FROM ({oracle.seed_topk_sql(SEED_MOD, SEED_TOPK_K)})""",
         "scan_features": f"""\
 SELECT CAST(0 AS BIGINT) AS variant, doc_id, n_tok, cum_tok AS val1,
        bin AS val2
@@ -1032,6 +1056,8 @@ NGRAM_N = 3
 NGRAM_THRESHOLD = 0.08
 ANN_QUERIES = 5
 ANN_K = 10
+SEED_MOD = 17
+SEED_TOPK_K = 100
 EMB_DUP_THRESHOLD = 0.4
 # end-to-end near-dup / recall-containment params: verify threshold
 # 0.8; 128 perms x 32 bands (rows-per-band 4) puts LSH miss
@@ -1468,6 +1494,72 @@ def q_decontam(sf_dir: str):
     return decontam_pipeline(_docs(sf_dir))
 
 
+def q_decontam_frac(sf_dir: str):
+    from .extras.decontam import decontam_frac_pipeline
+    return decontam_frac_pipeline(_docs(sf_dir))
+
+
+def q_decontam2(sf_dir: str):
+    """Decontamination family: contaminated flag (variant 0) UNION
+    the GPT-3-style per-doc overlap-fraction report (variant 1)."""
+    flag = q_decontam(sf_dir)
+    frac = q_decontam_frac(sf_dir)
+
+    def pad_f(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "variant": _const_i64(len(b), 0),
+            "doc_id": b["doc_id"].astype(np.int64),
+            "n_hits": b["n_hits"].astype(np.int64),
+            "v2": b["contaminated"].astype(np.int64),
+            "vf": np.zeros(len(b))})
+
+    def pad_r(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "variant": _const_i64(len(b), 1),
+            "doc_id": b["doc_id"].astype(np.int64),
+            "n_hits": b["n_hits"].astype(np.int64),
+            "v2": b["n_grams"].astype(np.int64),
+            "vf": b["frac"].astype(np.float64)})
+
+    return (flag.map_batches(pad_f, batch_format="pandas")
+            .union(frac.map_batches(pad_r, batch_format="pandas")))
+
+
+def q_dedup_incremental(sf_dir: str):
+    from .extras.dedup import incremental_dedup_survivors
+    return incremental_dedup_survivors(_docs(sf_dir))
+
+
+def q_seed_topk(sf_dir: str):
+    from .extras.similarity import seed_centroid_topk
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                               columns=["vec_id", "embedding"])
+    return seed_centroid_topk(ds, seed_mod=SEED_MOD, k=SEED_TOPK_K)
+
+
+def q_ann_topk2(sf_dir: str):
+    """Similarity-ranking family: brute-force cosine top-k per query
+    (variant 0) UNION the quantized seed-centroid global top-k
+    (variant 1, the classifier-lite quality-ranking pattern)."""
+    ann = q_ann_topk(sf_dir)
+    seed = q_seed_topk(sf_dir)
+
+    def pad_a(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "variant": _const_i64(len(b), 0),
+            "a": b["qid"].astype(np.int64),
+            "b": b["vec_id"].astype(np.int64)})
+
+    def pad_s(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "variant": _const_i64(len(b), 1),
+            "a": b["vec_id"].astype(np.int64),
+            "b": b["score"].astype(np.int64)})
+
+    return (ann.map_batches(pad_a, batch_format="pandas")
+            .union(seed.map_batches(pad_s, batch_format="pandas")))
+
+
 def q_sample_split(sf_dir: str):
     from .extras.sampling import sample_split_pipeline
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
@@ -1884,10 +1976,13 @@ def q_text_rewrite(sf_dir: str):
 
 
 def q_dedup_survivors2(sf_dir: str):
-    """Exact-dedup survivors under both policies: first-seen
-    (policy 0, min doc_id) UNION keep-best (policy 1, max quality)."""
+    """Exact-dedup survivors under three policies: first-seen
+    (policy 0, min doc_id) UNION keep-best (policy 1, max quality)
+    UNION snapshot-incremental admission (policy 2, new-wave docs
+    deduped against the old snapshot AND within the wave)."""
     first = q_dedup_exact(sf_dir)
     best = q_dedup_keep_best(sf_dir)
+    incr = q_dedup_incremental(sf_dir)
 
     def pad(policy):
         def fn(b: pd.DataFrame) -> pd.DataFrame:
@@ -1897,7 +1992,8 @@ def q_dedup_survivors2(sf_dir: str):
         return fn
 
     return (first.map_batches(pad(0), batch_format="pandas")
-            .union(best.map_batches(pad(1), batch_format="pandas")))
+            .union(best.map_batches(pad(1), batch_format="pandas"))
+            .union(incr.map_batches(pad(2), batch_format="pandas")))
 
 
 def q_dup_spans2(sf_dir: str):

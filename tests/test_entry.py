@@ -55,12 +55,12 @@ def test_registry_head_covers_families():
         # text
         "doc_stats", "lang_id", "rep_stats", "chunk_windows",
         "text_rewrite", "df_counts", "tfidf_topk", "bigram_stats",
-        "unigram_logprob", "decontam", "zscore_by_source",
+        "unigram_logprob", "decontam2", "zscore_by_source",
         "top_quality_per_lang", "dsir_weights", "quality_filter2",
         "pii_scrub", "ppl_buckets2",
         # dedup / similarity
         "dedup_survivors2", "ngram_dupes", "near_dup_survivors",
-        "simhash_recall", "dup_spans2", "emb_dedup2", "ann_topk",
+        "simhash_recall", "dup_spans2", "emb_dedup2", "ann_topk2",
         "ann_topk_ivf_indexed",
         # scans / sampling / events
         "scan_features", "quantiles_all", "sampling_flags",

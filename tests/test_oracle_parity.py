@@ -23,7 +23,8 @@ FAST = ["kmer_counts_per_doc", "whole_seq_minimiser", "lag_lead",
         "feature_hash", "cms_topwords", "dup_span_scrub",
         "ppl_buckets_scored",
         # round-5 ops
-        "c4_filter", "block_dedup", "temperature_sample"]
+        "c4_filter", "block_dedup", "temperature_sample",
+        "dedup_incremental", "decontam_frac", "seed_topk"]
 
 pytestmark = pytest.mark.skipif(not os.path.exists(SF),
                                 reason="driver testdata unavailable")

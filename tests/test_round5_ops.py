@@ -136,3 +136,77 @@ def test_temperature_sample_rebalances(ray_session):
     flat = _pdf(temperature_sample(ds, alpha=1.0, target_frac=0.5))
     frac = len(flat) / len(docs)
     assert 0.45 < frac < 0.55
+
+
+def test_incremental_dedup_admission(ray_session):
+    """New-wave docs (odd ids) are admitted iff unseen in the old
+    snapshot AND first within the wave."""
+    import ray.data
+
+    from kmerray.extras.dedup import incremental_dedup_survivors
+    docs = pd.DataFrame({
+        "doc_id": np.arange(8, dtype=np.int64),
+        "text": [
+            "old only",        # 0 old
+            "fresh one",       # 1 new, unseen -> admitted
+            "shared text",     # 2 old
+            "shared text",     # 3 new, in old -> rejected
+            "old only",        # 4 old
+            "wave dup",        # 5 new, first of wave -> admitted
+            "old only",        # 6 old
+            "wave dup",        # 7 new, later wave dup -> rejected
+        ]})
+    out = incremental_dedup_survivors(
+        ray.data.from_pandas(docs), n_buckets=4).to_pandas()
+    assert sorted(out["doc_id"].tolist()) == [1, 5]
+
+
+def test_decontam_frac_counts(ray_session):
+    """Per-doc distinct-gram totals and overlap fractions against a
+    hand-computed eval slice (EVAL_MOD=10, EVAL_REM=7: doc 7 is the
+    eval doc; docs shorter than the gram width report 0/0 -> 0.0)."""
+    import ray.data
+
+    from kmerray.extras.decontam import decontam_frac_pipeline
+    docs = pd.DataFrame({
+        "doc_id": np.array([1, 2, 7, 13], dtype=np.int64),
+        "text": [
+            "a b c d",          # grams: abc bcd; abc hits eval
+            "x y",              # too short: 0 grams
+            "a b c q",          # EVAL doc: eval grams {abc, bcq}
+            "b c q z",          # grams: bcq cqz; bcq hits
+        ]})
+    out = (decontam_frac_pipeline(ray.data.from_pandas(docs), n=3)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert out["doc_id"].tolist() == [1, 2, 13]
+    assert out["n_grams"].tolist() == [2, 0, 2]
+    assert out["n_hits"].tolist() == [1, 0, 1]
+    assert out["frac"].tolist() == [0.5, 0.0, 0.5]
+
+
+def test_seed_centroid_topk_exact(ray_session):
+    """The two-pass quantized-centroid ranking equals a direct numpy
+    computation of the same integer contract (seed_mod=2: even
+    vec_ids are the seed)."""
+    import ray.data
+
+    from kmerray.extras.similarity import seed_centroid_topk
+    rng = np.random.default_rng(7)
+    n, d = 40, 8
+    m = rng.normal(size=(n, d))
+    tbl = pd.DataFrame({
+        "vec_id": np.arange(n, dtype=np.int64),
+        "embedding": [m[i].astype(np.float32).tolist()
+                      for i in range(n)]})
+    out = (seed_centroid_topk(ray.data.from_pandas(tbl), seed_mod=2,
+                              k=5).to_pandas())
+    # direct reference on the identical float64 path
+    mm = m.astype(np.float32).astype(np.float64)
+    amax = np.abs(mm).max(axis=1)
+    codes = np.floor(127.0 * mm / np.where(amax > 0, amax, 1.0)[:, None]
+                     + 0.5).astype(np.int64)
+    cent = codes[::2].sum(axis=0)
+    score = codes @ cent
+    order = np.lexsort((np.arange(n), -score))[:5]
+    assert out["vec_id"].tolist() == list(order)
+    assert out["score"].tolist() == list(score[order])
