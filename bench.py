@@ -211,6 +211,10 @@ def run_bench() -> dict:
     # --- section: documents (dedup + stats) ---
     fresh_section(lambda: doc_stats_pipeline(docs().limit(2048)).count())
     timed("dedup_exact", lambda: exact_dedup_survivors(docs()).count())
+    # r5: snapshot-incremental admission (same one-exchange family)
+    from kmerray.extras.dedup import incremental_dedup_survivors
+    timed("dedup_incremental",
+          lambda: incremental_dedup_survivors(docs()).count())
     timed("dedup_minhash",
           lambda: minhash_lsh_candidates(docs(), n=3, num_perm=64,
                                          bands=16).count())
@@ -233,6 +237,10 @@ def run_bench() -> dict:
     from kmerray.extras.scan import pack_bins
     from kmerray.extras.text import tfidf_topk
     timed("decontam", lambda: decontam_pipeline(docs()).count())
+    # r5: GPT-3-style overlap-fraction report (same broadcast probe)
+    from kmerray.extras.decontam import decontam_frac_pipeline
+    timed("decontam_frac",
+          lambda: decontam_frac_pipeline(docs()).count())
     from kmerray.extras.text import bigram_stats
     timed("bigram_stats", lambda: bigram_stats(
         docs_half(), min_count=5).count())
@@ -246,6 +254,10 @@ def run_bench() -> dict:
     # --- section: documents (heavy LM / span legs) ---
     fresh_section(lambda: doc_stats_pipeline(docs().limit(2048)).count())
     timed("dup_spans", lambda: dup_span_stats(docs()).count(), repeat=2)
+    # r5: corpus-rewriting block (paragraph) dedup — same two-exchange
+    # family as dup_spans but ships whole blocks once, no span overlap
+    from kmerray.extras.dedup import block_dedup
+    timed("block_dedup", lambda: block_dedup(docs()).count())
     timed("unigram_logprob", lambda: unigram_logprob(docs()).count())
 
     # grouped z-score (source synthesized: deterministic doc_id mod)
@@ -315,6 +327,14 @@ def run_bench() -> dict:
         return b
     timed("sample_split", lambda: sample_split_pipeline(
         docs().map_batches(_with_lang, batch_format="pandas")).count())
+    # r5: stateless C4 cleaning pass + two-pass temperature resampling
+    from kmerray.extras.sampling import temperature_sample
+    from kmerray.extras.text import c4_filter
+    timed("c4_filter", lambda: c4_filter(
+        docs(), line_delim=" line ", min_words_per_line=3,
+        min_lines=2, require_terminal_punct=False).count())
+    timed("temperature_sample", lambda: temperature_sample(
+        docs().map_batches(_with_lang, batch_format="pandas")).count())
 
     # --- section: sequences round 2 + gram self-join ---
     fresh_section(lambda: cfv_pipeline(rseq().limit(4096), k=4).count())
@@ -325,6 +345,9 @@ def run_bench() -> dict:
                                    override_num_blocks=n_blocks)
         return pack_bins(ds, budget=1 << 16).count()
     timed("pack_bins", _pack_run)
+    # r5: packed-shard emission over documents (scan + bin concat)
+    from kmerray.extras.scan import pack_emit
+    timed("pack_emit", lambda: pack_emit(docs(), budget=2048).count())
 
     # m2s inverted-index build (vectorized run-offset assembly, r3)
     from kmerray.pipelines.minpipe import m2s_pipeline
@@ -357,6 +380,10 @@ def run_bench() -> dict:
         emb().limit(4096), qids[:4], qmat[:4], k=10).count())
     timed("ann_topk", lambda: brute_force_topk(
         emb(), qids, qmat, k=10).count())
+    # r5: quantized seed-centroid ranking (two streaming passes)
+    from kmerray.extras.similarity import seed_centroid_topk
+    timed("seed_topk", lambda: seed_centroid_topk(
+        emb(), seed_mod=17, k=100).count())
     cent = train_ivf_centroids(_emb_matrix(pq.read_table(emb_files[0])),
                                n_centroids=64)
     timed("ann_ivf", lambda: ivf_topk(

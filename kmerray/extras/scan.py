@@ -102,6 +102,82 @@ def pack_bins(ds: "ray.data.Dataset", budget: int,
     return keyed.groupby("bucket").map_groups(_scan, batch_format="pandas")
 
 
+def pack_emit(ds: "ray.data.Dataset", budget: int, sep: str = "<eos>",
+              n_buckets: int = 32) -> "ray.data.Dataset":
+    """Emit packed training shards — the tokenize→pack→emit tail of a
+    pretraining data pipeline: word-count tokens, the pack_bins
+    first-token-bin rule over the global doc_id-order prefix sum,
+    then each bin concatenates its docs in doc_id order joined by
+    ``sep`` (the EOS marker).
+
+    Same scan discipline as pack_bins (per-bucket totals via
+    driver-combined ≤B-row partials, ONE bucket-keyed exchange for
+    the scan) plus one bin-keyed exchange for the concat — text rides
+    the cluster exactly twice and the driver only ever sees
+    O(blocks + buckets) ints.  ``n_tok = count(' ') + 1`` exactly
+    matches SQL ``len(string_split(text, ' '))`` (empty text -> 1).
+
+    Output: ``(bin, n_docs:int64, n_tok:int64, packed:string)``."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def _ntok(texts: pd.Series) -> np.ndarray:
+        c = pc.count_substring(pa.array(texts, pa.string()), pattern=" ")
+        return c.to_numpy(zero_copy_only=False).astype(np.int64) + 1
+
+    bounds = _sample_boundaries(ds, n_buckets)
+
+    def bucket_of(doc_ids) -> np.ndarray:
+        return np.searchsorted(bounds, np.asarray(doc_ids, dtype=object),
+                               side="right").astype(np.int64)
+
+    def _partial(b: pd.DataFrame) -> pd.DataFrame:
+        bk = bucket_of(b["doc_id"])
+        tot = np.bincount(bk, weights=_ntok(b["text"]),
+                          minlength=len(bounds) + 1).astype(np.int64)
+        nz = np.flatnonzero(tot)
+        return pd.DataFrame({"bucket": nz, "part": tot[nz]})
+
+    parts = ds.map_batches(_partial, batch_format="pandas").take_all()
+    totals = np.zeros(len(bounds) + 1, dtype=np.int64)
+    for r in parts:
+        totals[r["bucket"]] += r["part"]
+    offsets = np.concatenate(([0], np.cumsum(totals)[:-1]))
+
+    def _assign(b: pd.DataFrame) -> pd.DataFrame:
+        out = b[["doc_id", "text"]].copy()
+        out["n_tok"] = _ntok(b["text"])
+        out["bucket"] = bucket_of(b["doc_id"])
+        return out
+
+    def _scan(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("doc_id", kind="mergesort").reset_index(drop=True)
+        base = int(offsets[int(g["bucket"].iloc[0])])
+        cum = base + np.cumsum(g["n_tok"].to_numpy())
+        return pd.DataFrame({
+            "bin": (cum - g["n_tok"].to_numpy()) // budget,
+            "doc_id": g["doc_id"],
+            "text": g["text"],
+            "n_tok": g["n_tok"],
+        })
+
+    assigned = (ds.map_batches(_assign, batch_format="pandas")
+                .groupby("bucket").map_groups(_scan,
+                                              batch_format="pandas"))
+
+    def _emit(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("doc_id", kind="mergesort")
+        return pd.DataFrame({
+            "bin": g["bin"].iloc[:1].astype(np.int64),
+            "n_docs": np.array([len(g)], dtype=np.int64),
+            "n_tok": np.array([g["n_tok"].sum()], dtype=np.int64),
+            "packed": [sep.join(g["text"].tolist())],
+        })
+
+    return assigned.groupby("bin").map_groups(_emit,
+                                              batch_format="pandas")
+
+
 def tok_quantiles(ds: "ray.data.Dataset",
                   qs=(0.25, 0.5, 0.75, 0.9, 0.99)) -> pd.DataFrame:
     """Exact distributed quantiles of ``n_tok``.

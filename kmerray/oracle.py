@@ -1963,3 +1963,26 @@ r AS (
   FROM s
 )
 SELECT vec_id, score FROM r WHERE rn <= {k}"""
+
+
+def pack_emit_sql(budget: int, sep: str = "<eos>") -> str:
+    """Mirror of extras.scan.pack_emit over documents: window cumsum
+    of len(string_split(text,' ')) in doc_id order, first-token bin,
+    ordered string_agg concat per bin."""
+    s = sep.replace("'", "''")
+    return f"""WITH t AS (
+  SELECT doc_id, text,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+  FROM documents
+), sc AS (
+  SELECT doc_id, text, n_tok,
+    CAST(SUM(n_tok) OVER (ORDER BY doc_id
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      AS cum
+  FROM t
+)
+SELECT (cum - n_tok) // {budget} AS bin,
+  CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(sum(n_tok) AS BIGINT) AS n_tok,
+  string_agg(text, '{s}' ORDER BY doc_id) AS packed
+FROM sc GROUP BY 1"""

@@ -482,6 +482,7 @@ def registry() -> dict:
         "ann_topk": q_ann_topk,
         "seed_topk": q_seed_topk,
         "dedup_incremental": q_dedup_incremental,
+        "pack_emit": q_pack_emit,
         "decontam_spans": q_decontam_spans,
         "hard_negatives": q_hard_negatives,
         "quantize_emb": q_quantize_emb,
@@ -683,11 +684,16 @@ SELECT CAST(1 AS BIGINT), vec_id, score
 FROM ({oracle.seed_topk_sql(SEED_MOD, SEED_TOPK_K)})""",
         "scan_features": f"""\
 SELECT CAST(0 AS BIGINT) AS variant, doc_id, n_tok, cum_tok AS val1,
-       bin AS val2
+       bin AS val2, '' AS txt
 FROM ({oracle.pack_bins_sql(path, PACK_BUDGET)})
 UNION ALL
-SELECT CAST(1 AS BIGINT), doc_id, n_tok, rnk, tile
-FROM ({oracle.rank_by_len_sql(path, RANK_TILES)})""",
+SELECT CAST(1 AS BIGINT), doc_id, n_tok, rnk, tile, ''
+FROM ({oracle.rank_by_len_sql(path, RANK_TILES)})
+UNION ALL
+SELECT CAST(2 AS BIGINT), CAST(bin AS VARCHAR), n_tok, n_docs, bin,
+       packed
+FROM ({oracle.pack_emit_sql(PACK_EMIT_BUDGET)})""",
+        "pack_emit": oracle.pack_emit_sql(PACK_EMIT_BUDGET),
         "quantiles_all": f"""\
 SELECT '__global__' AS scope, q, value
 FROM ({oracle.tok_quantiles_sql(path)})
@@ -1466,6 +1472,7 @@ def q_media_features(sf_dir: str):
 
 
 PACK_BUDGET = 4096
+PACK_EMIT_BUDGET = 2048
 TFIDF_K = 3
 
 
@@ -2084,26 +2091,46 @@ def q_ppl_buckets2(sf_dir: str):
                                       batch_format="pandas")))
 
 
+def q_pack_emit(sf_dir: str):
+    from .extras.scan import pack_emit
+    return pack_emit(_docs(sf_dir), budget=PACK_EMIT_BUDGET)
+
+
 def q_scan_features(sf_dir: str):
-    """Distributed-scan features over the sequence corpus: prefix-sum
-    token packing (variant 0: cum_tok, bin) UNION global rank/ntile
-    (variant 1: rnk, tile)."""
+    """Distributed-scan features: prefix-sum token packing over the
+    sequence corpus (variant 0: cum_tok, bin) UNION global rank/ntile
+    (variant 1: rnk, tile) UNION packed-training-shard emission over
+    the documents corpus (variant 2: per-bin doc/token counts + the
+    EOS-joined shard text)."""
     packed = q_pack_bins(sf_dir)
     ranked = q_rank_by_len(sf_dir)
+    emitted = q_pack_emit(sf_dir)
 
     def pad_p(b: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame({
             "variant": _const_i64(len(b), 0), "doc_id": b["doc_id"],
             "n_tok": b["n_tok"], "val1": b["cum_tok"],
-            "val2": b["bin"]})
+            "val2": b["bin"],
+            "txt": np.full(len(b), "", dtype=object)})
 
     def pad_r(b: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame({
             "variant": _const_i64(len(b), 1), "doc_id": b["doc_id"],
-            "n_tok": b["n_tok"], "val1": b["rnk"], "val2": b["tile"]})
+            "n_tok": b["n_tok"], "val1": b["rnk"], "val2": b["tile"],
+            "txt": np.full(len(b), "", dtype=object)})
+
+    def pad_e(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "variant": _const_i64(len(b), 2),
+            "doc_id": b["bin"].astype(np.int64).astype(str),
+            "n_tok": b["n_tok"].astype(np.int64),
+            "val1": b["n_docs"].astype(np.int64),
+            "val2": b["bin"].astype(np.int64),
+            "txt": b["packed"]})
 
     return (packed.map_batches(pad_p, batch_format="pandas")
-            .union(ranked.map_batches(pad_r, batch_format="pandas")))
+            .union(ranked.map_batches(pad_r, batch_format="pandas"))
+            .union(emitted.map_batches(pad_e, batch_format="pandas")))
 
 
 def q_quantiles_all(sf_dir: str):

@@ -24,7 +24,7 @@ FAST = ["kmer_counts_per_doc", "whole_seq_minimiser", "lag_lead",
         "ppl_buckets_scored",
         # round-5 ops
         "c4_filter", "block_dedup", "temperature_sample",
-        "dedup_incremental", "decontam_frac", "seed_topk"]
+        "dedup_incremental", "decontam_frac", "seed_topk", "pack_emit"]
 
 pytestmark = pytest.mark.skipif(not os.path.exists(SF),
                                 reason="driver testdata unavailable")

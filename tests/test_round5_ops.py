@@ -210,3 +210,27 @@ def test_seed_centroid_topk_exact(ray_session):
     order = np.lexsort((np.arange(n), -score))[:5]
     assert out["vec_id"].tolist() == list(order)
     assert out["score"].tolist() == list(score[order])
+
+
+def test_pack_emit_bins_and_concat(ray_session):
+    """Planted word counts: bins follow the first-token rule over the
+    global doc_id-order prefix sum; each shard is the ordered
+    sep-join of its docs; token totals conserve."""
+    import ray.data
+
+    from kmerray.extras.scan import pack_emit
+    docs = pd.DataFrame({
+        "doc_id": np.arange(5, dtype=np.int64),
+        "text": ["a b c",        # 3 tok, first tok at 0  -> bin 0
+                 "d e",          # 2 tok, first tok at 3  -> bin 0
+                 "f g h i",      # 4 tok, first tok at 5  -> bin 1
+                 "j",            # 1 tok, first tok at 9  -> bin 1
+                 "k l"],         # 2 tok, first tok at 10 -> bin 2
+    })
+    out = (pack_emit(ray.data.from_pandas(docs), budget=5, sep="|",
+                     n_buckets=2)
+           .to_pandas().sort_values("bin").reset_index(drop=True))
+    assert out["bin"].tolist() == [0, 1, 2]
+    assert out["n_docs"].tolist() == [2, 2, 1]
+    assert out["n_tok"].tolist() == [5, 5, 2]
+    assert out["packed"].tolist() == ["a b c|d e", "f g h i|j", "k l"]
