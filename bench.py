@@ -469,6 +469,12 @@ def run_bench() -> dict:
         events(["ts", "event_type", "user_id"])).count())
     timed("events_funnel", lambda: funnel_first_completion(
         events(["ts", "event_id", "event_type", "user_id"])).count())
+    # r5: single-pass per-column data-quality profile (no shuffle;
+    # reads all columns incl. props by design — profiling IS a
+    # full-table scan, so it pays its own read)
+    from kmerray.extras.profile import data_profile
+    timed("data_profile", lambda: data_profile(ray.data.read_parquet(
+        ev_files, override_num_blocks=n_blocks)).count())
 
     # relational joins over the sf dir's TPC-H-shaped tables
     # (lineitem |X| orders |X| customer co-partitioned shuffle joins)

@@ -1986,3 +1986,33 @@ SELECT (cum - n_tok) // {budget} AS bin,
   CAST(sum(n_tok) AS BIGINT) AS n_tok,
   string_agg(text, '{s}' ORDER BY doc_id) AS packed
 FROM sc GROUP BY 1"""
+
+
+def data_profile_sql() -> str:
+    """Mirror of extras.profile.data_profile over events: per-column
+    n_nonnull / n_null / min / max, int64 and timestamp extrema
+    through one IEEE int64->double conversion (epoch_us for ts),
+    string extrema under DuckDB's binary collation (ASCII data)."""
+    specs = [("event_id", "int"), ("ts", "ts"), ("user_id", "int"),
+             ("event_type", "str"), ("value", "num"), ("props", "str")]
+    qs = []
+    for c, k in specs:
+        qs.append(f"SELECT '{c}' AS col, 'n_nonnull' AS metric, "
+                  f"CAST(count({c}) AS DOUBLE) AS val_num, "
+                  f"'' AS val_str FROM events")
+        qs.append(f"SELECT '{c}', 'n_null', "
+                  f"CAST(count(*) - count({c}) AS DOUBLE), '' FROM events")
+        if k == "ts":
+            lo = f"CAST(epoch_us(min({c})) AS DOUBLE)"
+            hi = f"CAST(epoch_us(max({c})) AS DOUBLE)"
+            qs.append(f"SELECT '{c}', 'min', {lo}, '' FROM events")
+            qs.append(f"SELECT '{c}', 'max', {hi}, '' FROM events")
+        elif k == "str":
+            qs.append(f"SELECT '{c}', 'min', 0.0, min({c}) FROM events")
+            qs.append(f"SELECT '{c}', 'max', 0.0, max({c}) FROM events")
+        else:
+            qs.append(f"SELECT '{c}', 'min', "
+                      f"CAST(min({c}) AS DOUBLE), '' FROM events")
+            qs.append(f"SELECT '{c}', 'max', "
+                      f"CAST(max({c}) AS DOUBLE), '' FROM events")
+    return "\nUNION ALL\n".join(qs)

@@ -483,6 +483,7 @@ def registry() -> dict:
         "seed_topk": q_seed_topk,
         "dedup_incremental": q_dedup_incremental,
         "pack_emit": q_pack_emit,
+        "data_profile": q_data_profile,
         "decontam_spans": q_decontam_spans,
         "hard_negatives": q_hard_negatives,
         "quantize_emb": q_quantize_emb,
@@ -749,11 +750,18 @@ SELECT CAST(1 AS BIGINT), doc_id, session_seq, CAST(0 AS BIGINT)
 FROM ({oracle.sessionize_sql(path, SESSION_GAP_US)})""",
         "events_flow": f"""\
 SELECT CAST(0 AS BIGINT) AS variant, event_type AS key_str,
-       win AS k1, n_events AS k2, n_users AS k3
+       win AS k1, n_events AS k2, n_users AS k3,
+       CAST(0.0 AS DOUBLE) AS vnum, '' AS vstr
 FROM ({oracle.events_distinct_sql()})
 UNION ALL
-SELECT CAST(1 AS BIGINT), '', user_id, abc_ts_us, CAST(0 AS BIGINT)
-FROM ({oracle.events_funnel_sql()})""",
+SELECT CAST(1 AS BIGINT), '', user_id, abc_ts_us, CAST(0 AS BIGINT),
+       CAST(0.0 AS DOUBLE), ''
+FROM ({oracle.events_funnel_sql()})
+UNION ALL
+SELECT CAST(2 AS BIGINT), col || ':' || metric, CAST(0 AS BIGINT),
+       CAST(0 AS BIGINT), CAST(0 AS BIGINT), val_num, val_str
+FROM ({oracle.data_profile_sql()})""",
+        "data_profile": oracle.data_profile_sql(),
         "asof_lagged": f"""\
 SELECT CAST(0 AS BIGINT) AS variant, doc_id, bin, val
 FROM ({oracle.asof_cov_hist_sql(path, K_ASOF, *ASOF_BINS)})
@@ -1895,11 +1903,18 @@ def q_windowed_all(sf_dir: str):
             .union(ss.map_batches(pad_s, batch_format="pandas")))
 
 
+def q_data_profile(sf_dir: str):
+    from .extras.profile import data_profile
+    return data_profile(ray.data.read_parquet(f"{sf_dir}/events.parquet"))
+
+
 def q_events_flow(sf_dir: str):
     """Event-stream analytics: exact distinct-user window counts
-    (variant 0) UNION earliest funnel completions (variant 1)."""
+    (variant 0) UNION earliest funnel completions (variant 1) UNION
+    the single-pass per-column data-quality profile (variant 2)."""
     dist = q_events_distinct(sf_dir)
     fun = q_events_funnel(sf_dir)
+    prof = q_data_profile(sf_dir)
 
     def pad_d(b: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame({
@@ -1907,7 +1922,9 @@ def q_events_flow(sf_dir: str):
             "key_str": b["event_type"],
             "k1": b["win"].astype(np.int64),
             "k2": b["n_events"].astype(np.int64),
-            "k3": b["n_users"].astype(np.int64)})
+            "k3": b["n_users"].astype(np.int64),
+            "vnum": np.zeros(len(b)),
+            "vstr": np.full(len(b), "", dtype=object)})
 
     def pad_f(b: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame({
@@ -1915,10 +1932,23 @@ def q_events_flow(sf_dir: str):
             "key_str": np.full(len(b), "", dtype=object),
             "k1": b["user_id"].astype(np.int64),
             "k2": b["abc_ts_us"].astype(np.int64),
-            "k3": _const_i64(len(b), 0)})
+            "k3": _const_i64(len(b), 0),
+            "vnum": np.zeros(len(b)),
+            "vstr": np.full(len(b), "", dtype=object)})
+
+    def pad_p(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "variant": _const_i64(len(b), 2),
+            "key_str": b["col"] + ":" + b["metric"],
+            "k1": _const_i64(len(b), 0),
+            "k2": _const_i64(len(b), 0),
+            "k3": _const_i64(len(b), 0),
+            "vnum": b["val_num"].astype(np.float64),
+            "vstr": b["val_str"]})
 
     return (dist.map_batches(pad_d, batch_format="pandas")
-            .union(fun.map_batches(pad_f, batch_format="pandas")))
+            .union(fun.map_batches(pad_f, batch_format="pandas"))
+            .union(prof.map_batches(pad_p, batch_format="pandas")))
 
 
 def q_asof_lagged(sf_dir: str):

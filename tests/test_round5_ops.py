@@ -234,3 +234,38 @@ def test_pack_emit_bins_and_concat(ray_session):
     assert out["n_docs"].tolist() == [2, 2, 1]
     assert out["n_tok"].tolist() == [5, 5, 2]
     assert out["packed"].tolist() == ["a b c|d e", "f g h i|j", "k l"]
+
+
+def test_data_profile_metrics(ray_session):
+    """Per-column profile over a planted frame with a null and a
+    known timestamp range; merge across forced multi-block input."""
+    import ray.data
+
+    from kmerray.extras.profile import data_profile
+    ev = pd.DataFrame({
+        "event_id": np.arange(6, dtype=np.int64),
+        "ts": pd.to_datetime([1_000_000, 2_000_000, 3_000_000,
+                              4_000_000, 5_000_000, 6_000_000],
+                             unit="us"),
+        "user_id": np.array([5, 3, 9, 1, 7, 4], dtype=np.int64),
+        "event_type": ["b", "a", "c", "a", "b", "a"],
+        "value": [2.5, np.nan, 1.5, 9.0, -3.25, 0.0],
+        "props": ["{}", "{}", '{"k":1}', "{}", "{}", "{}"],
+    })
+    ds = ray.data.from_pandas([ev.iloc[:3], ev.iloc[3:]])
+    out = data_profile(ds).to_pandas()
+    out = out.set_index(["col", "metric"])
+    assert out.loc[("event_id", "n_nonnull"), "val_num"] == 6.0
+    assert out.loc[("value", "n_null"), "val_num"] == 1.0
+    assert out.loc[("value", "min"), "val_num"] == -3.25
+    assert out.loc[("value", "max"), "val_num"] == 9.0
+    assert out.loc[("user_id", "min"), "val_num"] == 1.0
+    assert out.loc[("user_id", "max"), "val_num"] == 9.0
+    assert out.loc[("ts", "min"), "val_num"] == 1_000_000.0
+    assert out.loc[("ts", "max"), "val_num"] == 6_000_000.0
+    assert out.loc[("event_type", "min"), "val_str"] == "a"
+    assert out.loc[("event_type", "max"), "val_str"] == "c"
+    # byte order: '}' (0x7D) > '"' (0x22), so the plain '{}' is max
+    assert out.loc[("props", "max"), "val_str"] == "{}"
+    assert out.loc[("props", "min"), "val_str"] == '{"k":1}'
+    assert len(out) == 6 * 4
