@@ -259,6 +259,9 @@ def run_bench() -> dict:
     from kmerray.extras.dedup import block_dedup
     timed("block_dedup", lambda: block_dedup(docs()).count())
     timed("unigram_logprob", lambda: unigram_logprob(docs()).count())
+    # r5: interpolated bigram LM (two dictionary broadcasts)
+    from kmerray.extras.text import bigram_logprob
+    timed("bigram_logprob", lambda: bigram_logprob(docs()).count())
 
     # grouped z-score (source synthesized: deterministic doc_id mod)
     from kmerray.extras.grouped import grouped_zscore

@@ -698,6 +698,125 @@ def unigram_logprob(ds: "ray.data.Dataset", dp: int = 4,
                           batch_format="pandas")
 
 
+def hash_bigram_counts(ds: "ray.data.Dataset",
+                       n_buckets: int = 64) -> "ray.data.Dataset":
+    """Corpus bigram counts keyed by the order-sensitive 64-bit
+    2-gram hash (dedup.gram_hashes' FNV fold) — the
+    hash_unigram_counts shape: integer partials, ONE hash-bucketed
+    merge, the pair strings never cross the shuffle."""
+    def _partial(batch: pd.DataFrame) -> pa.Table:
+        from .dedup import gram_hashes
+        gh, _ = gram_hashes(batch["text"], 2)
+        uh, cnt = np.unique(gh, return_counts=True)
+        return pa.table({
+            "gh": pa.array(uh.view(np.int64)),
+            "c": pa.array(cnt.astype(np.int64)),
+            "gb": pa.array((uh % np.uint64(n_buckets)).astype(np.int64)),
+        })
+
+    part = ds.map_batches(_partial, batch_format="pandas")
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        gh = g["gh"].to_numpy()
+        c = g["c"].to_numpy()
+        order, starts, lens = _runs(gh)
+        csum = np.zeros(len(order) + 1, dtype=np.int64)
+        np.cumsum(c[order], out=csum[1:])
+        return pd.DataFrame({
+            "gh": gh[order][starts],
+            "cnt": csum[starts + lens] - csum[starts],
+        })
+
+    return part.groupby("gb").map_groups(merge, batch_format="pandas")
+
+
+def bigram_logprob(ds: "ray.data.Dataset", lam: float = 0.75,
+                   dp: int = 4, min_count: int = 1
+                   ) -> "ray.data.Dataset":
+    """Per-doc mean INTERPOLATED bigram log-probability — the real
+    CCNet-class LM quality score the unigram op proxies (Wenzek et
+    al. 2020 rank on a KenLM n-gram model; this is the 2-gram
+    Jelinek-Mercer member of that family fit on the corpus itself):
+
+        P(w_i | w_{i-1}) = lam * c(w_{i-1} w_i) / c(w_{i-1})
+                         + (1-lam) * c(w_i) / total
+
+    Bigrams pruned by ``min_count`` (or unseen at scoring time)
+    contribute through the built-in unigram backoff term alone —
+    exactly the reason CCNet prunes its shipped LM.  Docs with fewer
+    than two words score 0.0.
+
+    Two broadcast dictionaries (unigram + bigram, both hash-keyed
+    int64 arrays loaded once per actor), one streaming scoring pass —
+    same zero-shuffle scoring shape as unigram_logprob; the only
+    corpus-sized exchanges are the two count merges.  Float parity
+    (mirrored by the SQL oracle): lam = 0.75 and 1-lam = 0.25 are
+    exactly representable, every count enters through one IEEE
+    int64->double conversion, and the per-bigram expression is the
+    same single mul/div/add sequence in both engines, so only the
+    final mean's accumulation order differs — absorbed by the ``dp``
+    rounding (the unigram_logprob contract)."""
+    oml = 1.0 - lam
+
+    tabs = [t for t in ray.get(hash_unigram_counts(ds).to_arrow_refs())
+            if t.num_rows]
+    dic = pa.concat_tables(tabs)
+    wh = dic.column("wh").to_numpy()
+    ucnt = dic.column("cnt").to_numpy()
+    total = float(ucnt.sum())
+    order = np.argsort(wh)
+    uni_ref = ray.put((wh[order], ucnt[order], total))
+
+    tabs = [t for t in ray.get(hash_bigram_counts(ds).to_arrow_refs())
+            if t.num_rows]
+    dic = pa.concat_tables(tabs)
+    gh = dic.column("gh").to_numpy()
+    bcnt = dic.column("cnt").to_numpy()
+    keep = bcnt >= min_count
+    gh, bcnt = gh[keep], bcnt[keep]
+    order = np.argsort(gh)
+    bi_ref = ray.put((gh[order], bcnt[order]))
+
+    def _lookup(keys_sorted, vals, probe, fallback):
+        if not len(keys_sorted):
+            return np.full(len(probe), fallback, dtype=np.float64)
+        idx = np.minimum(np.searchsorted(keys_sorted, probe),
+                         len(keys_sorted) - 1)
+        hit = keys_sorted[idx] == probe
+        return np.where(hit, vals[idx], fallback).astype(np.float64)
+
+    class Score:
+        def __init__(self):
+            self.wh, self.ucnt, self.total = ray.get(uni_ref)
+            self.gh, self.bcnt = ray.get(bi_ref)
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            from .dedup import gram_hashes
+            vals, offs = flat_words(batch["text"])
+            whs = content_hash64(vals).view(np.int64)
+            bh, g_offs = gram_hashes(batch["text"], 2)
+            g_len = np.diff(g_offs)
+            pos = np.arange(len(bh), dtype=np.int64) \
+                - np.repeat(g_offs[:-1], g_len)
+            starts = np.repeat(offs[:-1], g_len) + pos
+            cu_prev = _lookup(self.wh, self.ucnt, whs[starts], 1.0)
+            cu_cur = _lookup(self.wh, self.ucnt, whs[starts + 1], 1.0)
+            cb = _lookup(self.gh, self.bcnt, bh.view(np.int64), 0.0)
+            lp = np.log(lam * (cb / cu_prev)
+                        + oml * (cu_cur / self.total))
+            nrows = len(batch)
+            rowid = np.repeat(np.arange(nrows), g_len)
+            avg = np.bincount(rowid, weights=lp, minlength=nrows) \
+                / np.maximum(g_len, 1)
+            return pd.DataFrame({
+                "doc_id": batch["doc_id"].astype(np.int64),
+                "avg_logprob": np.round(avg, dp),
+            })
+
+    return ds.map_batches(Score, concurrency=(1, 8),
+                          batch_format="pandas")
+
+
 def dsir_weights(ds: "ray.data.Dataset", target_lang: str = "en",
                  dp: int = 4, min_count: int = 1) -> "ray.data.Dataset":
     """DSIR-style log importance weights (Xie et al. 2023, "Data

@@ -2016,3 +2016,43 @@ def data_profile_sql() -> str:
             qs.append(f"SELECT '{c}', 'max', "
                       f"CAST(max({c}) AS DOUBLE), '' FROM events")
     return "\nUNION ALL\n".join(qs)
+
+
+def bigram_logprob_sql(lam: float = 0.75, dp: int = 4) -> str:
+    """Mirror of extras.text.bigram_logprob (min_count=1, so every
+    corpus bigram is in the LM and the backoff never fires on gate
+    data): interpolated Jelinek-Mercer 2-gram probability with the
+    identical single mul/div/add sequence per bigram (lam = 0.75 and
+    0.25 are exactly representable), dp-rounded mean per doc, 0.0 for
+    docs with fewer than two words."""
+    oml = 1.0 - lam
+    return f"""WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+),
+p AS (
+  SELECT doc_id, ws[i] AS w1, ws[i+1] AS w2
+  FROM w, LATERAL (SELECT unnest(generate_series(1, len(ws) - 1))
+                   AS i) s
+),
+u AS (
+  SELECT word, CAST(count(*) AS BIGINT) AS cu
+  FROM (SELECT unnest(string_split(text, ' ')) AS word
+        FROM documents) GROUP BY word
+),
+t AS (SELECT CAST(sum(cu) AS DOUBLE) AS tot FROM u),
+b AS (
+  SELECT w1, w2, CAST(count(*) AS BIGINT) AS cb
+  FROM p GROUP BY w1, w2
+),
+s AS (
+  SELECT p.doc_id,
+         round(avg(ln({lam!r} * (CAST(b.cb AS DOUBLE) / u1.cu)
+                      + {oml!r} * (CAST(u2.cu AS DOUBLE) / t.tot))),
+               {dp}) AS alp
+  FROM p JOIN b USING (w1, w2)
+         JOIN u u1 ON u1.word = p.w1
+         JOIN u u2 ON u2.word = p.w2, t
+  GROUP BY p.doc_id
+)
+SELECT d.doc_id, coalesce(s.alp, 0.0) AS avg_logprob
+FROM documents d LEFT JOIN s USING (doc_id)"""

@@ -415,7 +415,7 @@ def registry() -> dict:
         "df_counts": q_df_counts,
         "tfidf_topk": q_tfidf_topk,
         "bigram_stats": q_bigram_stats,
-        "unigram_logprob": q_unigram_logprob,
+        "lm_logprob2": q_lm_logprob2,
         "decontam2": q_decontam2,
         "zscore_by_source": q_zscore_by_source,
         "top_quality_per_lang": q_top_quality_per_lang,
@@ -484,6 +484,8 @@ def registry() -> dict:
         "dedup_incremental": q_dedup_incremental,
         "pack_emit": q_pack_emit,
         "data_profile": q_data_profile,
+        "unigram_logprob": q_unigram_logprob,
+        "bigram_logprob": q_bigram_logprob,
         "decontam_spans": q_decontam_spans,
         "hard_negatives": q_hard_negatives,
         "quantize_emb": q_quantize_emb,
@@ -635,6 +637,13 @@ SELECT CAST(2 AS BIGINT), doc_id, n_removed, CAST(-2 AS BIGINT),
        CAST(0.0 AS DOUBLE), text2
 FROM ({oracle.block_dedup_sql(BLOCK_W)})""",
         "unigram_logprob": oracle.unigram_logprob_sql(LM_DP),
+        "bigram_logprob": oracle.bigram_logprob_sql(dp=LM_DP),
+        "lm_logprob2": f"""\
+SELECT CAST(0 AS BIGINT) AS variant, doc_id, avg_logprob
+FROM ({oracle.unigram_logprob_sql(LM_DP)})
+UNION ALL
+SELECT CAST(1 AS BIGINT), doc_id, avg_logprob
+FROM ({oracle.bigram_logprob_sql(dp=LM_DP)})""",
         "zscore_by_source": oracle.zscore_by_source_sql(),
         "events_distinct": oracle.events_distinct_sql(),
         "events_funnel": oracle.events_funnel_sql(),
@@ -1760,6 +1769,33 @@ def q_unigram_logprob(sf_dir: str):
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
                                columns=["doc_id", "text"])
     return unigram_logprob(ds, dp=LM_DP)
+
+
+def q_bigram_logprob(sf_dir: str):
+    """Interpolated 2-gram LM quality score (the real CCNet-class
+    n-gram member; unigram backoff built into the mixture)."""
+    from .extras.text import bigram_logprob
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+    return bigram_logprob(ds, dp=LM_DP)
+
+
+def q_lm_logprob2(sf_dir: str):
+    """LM quality-scoring family: unigram proxy (variant 0) UNION the
+    interpolated bigram LM (variant 1)."""
+    uni = q_unigram_logprob(sf_dir)
+    bi = q_bigram_logprob(sf_dir)
+
+    def pad(v):
+        def fn(b: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({
+                "variant": _const_i64(len(b), v),
+                "doc_id": b["doc_id"].astype(np.int64),
+                "avg_logprob": b["avg_logprob"].astype(np.float64)})
+        return fn
+
+    return (uni.map_batches(pad(0), batch_format="pandas")
+            .union(bi.map_batches(pad(1), batch_format="pandas")))
 
 
 def q_zscore_by_source(sf_dir: str):

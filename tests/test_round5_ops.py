@@ -269,3 +269,39 @@ def test_data_profile_metrics(ray_session):
     assert out.loc[("props", "max"), "val_str"] == "{}"
     assert out.loc[("props", "min"), "val_str"] == '{"k":1}'
     assert len(out) == 6 * 4
+
+
+def test_bigram_logprob_matches_scalar_reference(ray_session):
+    """The two-dictionary distributed scorer equals a scalar
+    Counter-based fit of the same interpolated formula; a one-word
+    doc scores 0.0."""
+    import collections
+    import math
+
+    import ray.data
+
+    from kmerray.extras.text import bigram_logprob
+    texts = ["a b a b c", "b c a", "a", "c c b a b"]
+    docs = pd.DataFrame({"doc_id": np.arange(4, dtype=np.int64),
+                         "text": texts})
+    out = _pdf(bigram_logprob(ray.data.from_pandas(docs), lam=0.75,
+                              dp=6))
+
+    uni = collections.Counter(w for t in texts for w in t.split(" "))
+    tot = float(sum(uni.values()))
+    big = collections.Counter(
+        (ws[i], ws[i + 1]) for t in texts
+        for ws in [t.split(" ")] for i in range(len(ws) - 1))
+
+    def ref(t):
+        ws = t.split(" ")
+        if len(ws) < 2:
+            return 0.0
+        lps = [math.log(0.75 * (big[(a, b)] / uni[a])
+                        + 0.25 * (uni[b] / tot))
+               for a, b in zip(ws, ws[1:])]
+        return round(sum(lps) / len(lps), 6)
+
+    for i, t in enumerate(texts):
+        assert out.loc[i, "avg_logprob"] == pytest.approx(ref(t),
+                                                          abs=1e-6)
