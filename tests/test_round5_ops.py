@@ -305,3 +305,64 @@ def test_bigram_logprob_matches_scalar_reference(ray_session):
     for i, t in enumerate(texts):
         assert out.loc[i, "avg_logprob"] == pytest.approx(ref(t),
                                                           abs=1e-6)
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_incremental_dedup_matches_bruteforce_random(ray_session, seed):
+    """Random corpora with heavy duplication: the bucketed pipeline
+    equals set-logic brute force at several bucket/block shapes."""
+    import ray.data
+
+    from kmerray.extras.dedup import incremental_dedup_survivors
+    rng = np.random.default_rng(seed)
+    n = 200
+    texts = [f"doc {rng.integers(0, 40)}" for _ in range(n)]
+    docs = pd.DataFrame({"doc_id": np.arange(n, dtype=np.int64),
+                         "text": texts})
+    old = {t for i, t in enumerate(texts) if i % 2 == 0}
+    expect, seen = [], set()
+    for i, t in enumerate(texts):
+        if i % 2 == 1 and t not in old and t not in seen:
+            expect.append(i)
+            seen.add(t)
+    parts = [docs.iloc[:67], docs.iloc[67:150], docs.iloc[150:]]
+    out = incremental_dedup_survivors(
+        ray.data.from_pandas(parts),
+        n_buckets=int(rng.integers(2, 9))).to_pandas()
+    assert sorted(out["doc_id"].tolist()) == expect
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_pack_emit_matches_scalar_random(ray_session, seed):
+    """Random word counts and budgets: the two-exchange pipeline
+    equals a scalar prefix-sum packing reference."""
+    import ray.data
+
+    from kmerray.extras.scan import pack_emit
+    rng = np.random.default_rng(100 + seed)
+    n = 120
+    texts = [" ".join(f"w{j}" for j in range(rng.integers(1, 9)))
+             for _ in range(n)]
+    docs = pd.DataFrame({"doc_id": np.arange(n, dtype=np.int64),
+                         "text": texts})
+    budget = int(rng.integers(5, 40))
+    cum = 0
+    bins = {}
+    for i, t in enumerate(texts):
+        nt = t.count(" ") + 1
+        b = cum // budget
+        cum += nt
+        e = bins.setdefault(b, {"n_docs": 0, "n_tok": 0, "txt": []})
+        e["n_docs"] += 1
+        e["n_tok"] += nt
+        e["txt"].append(t)
+    parts = [docs.iloc[:40], docs.iloc[40:41], docs.iloc[41:]]
+    out = (pack_emit(ray.data.from_pandas(parts), budget=budget,
+                     sep="<eos>", n_buckets=int(rng.integers(2, 7)))
+           .to_pandas().sort_values("bin").reset_index(drop=True))
+    assert out["bin"].tolist() == sorted(bins)
+    for _, r in out.iterrows():
+        e = bins[r["bin"]]
+        assert r["n_docs"] == e["n_docs"]
+        assert r["n_tok"] == e["n_tok"]
+        assert r["packed"] == "<eos>".join(e["txt"])
