@@ -698,36 +698,67 @@ def unigram_logprob(ds: "ray.data.Dataset", dp: int = 4,
                           batch_format="pandas")
 
 
-def hash_bigram_counts(ds: "ray.data.Dataset",
-                       n_buckets: int = 64) -> "ray.data.Dataset":
-    """Corpus bigram counts keyed by the order-sensitive 64-bit
-    2-gram hash (dedup.gram_hashes' FNV fold) — the
-    hash_unigram_counts shape: integer partials, ONE hash-bucketed
-    merge, the pair strings never cross the shuffle."""
+def _bigram_fold(wh_u64: np.ndarray, offs: np.ndarray
+                 ) -> tuple[np.ndarray, np.ndarray]:
+    """Order-sensitive 64-bit 2-gram hashes from PRE-HASHED words —
+    bit-identical to ``dedup.gram_hashes(texts, 2)`` (same FNV fold)
+    without re-splitting / re-hashing the text.  Returns the flat
+    fold array + per-row bigram counts."""
+    from .dedup import _FNV_OFFSET, _FNV_PRIME
+    lens = np.diff(offs)
+    g_len = np.maximum(lens - 1, 0)
+    pos = np.arange(int(g_len.sum()), dtype=np.int64) \
+        - np.repeat(np.concatenate(([0], np.cumsum(g_len)[:-1])), g_len)
+    starts = np.repeat(offs[:-1], g_len) + pos
+    h = np.full(len(starts), _FNV_OFFSET, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        h = (h ^ wh_u64[starts]) * _FNV_PRIME
+        h = (h ^ wh_u64[starts + 1]) * _FNV_PRIME
+    return h, g_len
+
+
+def hash_lm_counts(ds: "ray.data.Dataset",
+                   n_buckets: int = 64) -> "ray.data.Dataset":
+    """FUSED unigram + bigram corpus counts in ONE pass and ONE
+    bucketed exchange (the dsir_weights fused-LM discipline): words
+    are hashed once per batch, the bigram key is the gram_hashes FNV
+    fold of those hashes, and both dictionaries ride the same
+    integer partial rows tagged by ``kind`` (0 = unigram word hash,
+    1 = bigram fold).  Strings never cross the shuffle."""
     def _partial(batch: pd.DataFrame) -> pa.Table:
-        from .dedup import gram_hashes
-        gh, _ = gram_hashes(batch["text"], 2)
-        uh, cnt = np.unique(gh, return_counts=True)
+        vals, offs = flat_words(batch["text"])
+        wh = content_hash64(vals)
+        uh, ucnt = np.unique(wh, return_counts=True)
+        bh, _ = _bigram_fold(wh, offs)
+        gh, gcnt = np.unique(bh, return_counts=True)
+        kind = np.concatenate((np.zeros(len(uh), np.int64),
+                               np.ones(len(gh), np.int64)))
+        key = np.concatenate((uh, gh))
+        cnt = np.concatenate((ucnt, gcnt)).astype(np.int64)
         return pa.table({
-            "gh": pa.array(uh.view(np.int64)),
-            "c": pa.array(cnt.astype(np.int64)),
-            "gb": pa.array((uh % np.uint64(n_buckets)).astype(np.int64)),
+            "kind": pa.array(kind),
+            "kh": pa.array(key.view(np.int64)),
+            "c": pa.array(cnt),
+            "kb": pa.array((key % np.uint64(n_buckets))
+                           .astype(np.int64)),
         })
 
     part = ds.map_batches(_partial, batch_format="pandas")
 
     def merge(g: pd.DataFrame) -> pd.DataFrame:
-        gh = g["gh"].to_numpy()
+        kind = g["kind"].to_numpy()
+        kh = g["kh"].to_numpy()
         c = g["c"].to_numpy()
-        order, starts, lens = _runs(gh)
+        order, starts, lens = _runs(kind, kh)
         csum = np.zeros(len(order) + 1, dtype=np.int64)
         np.cumsum(c[order], out=csum[1:])
         return pd.DataFrame({
-            "gh": gh[order][starts],
+            "kind": kind[order][starts],
+            "kh": kh[order][starts],
             "cnt": csum[starts + lens] - csum[starts],
         })
 
-    return part.groupby("gb").map_groups(merge, batch_format="pandas")
+    return part.groupby("kb").map_groups(merge, batch_format="pandas")
 
 
 def bigram_logprob(ds: "ray.data.Dataset", lam: float = 0.75,
@@ -749,7 +780,9 @@ def bigram_logprob(ds: "ray.data.Dataset", lam: float = 0.75,
     Two broadcast dictionaries (unigram + bigram, both hash-keyed
     int64 arrays loaded once per actor), one streaming scoring pass —
     same zero-shuffle scoring shape as unigram_logprob; the only
-    corpus-sized exchanges are the two count merges.  Float parity
+    corpus-sized exchange is the single FUSED count merge
+    (hash_lm_counts: both dictionaries ride one pass and one
+    exchange, and words are hashed once per batch).  Float parity
     (mirrored by the SQL oracle): lam = 0.75 and 1-lam = 0.25 are
     exactly representable, every count enters through one IEEE
     int64->double conversion, and the per-bigram expression is the
@@ -758,20 +791,19 @@ def bigram_logprob(ds: "ray.data.Dataset", lam: float = 0.75,
     rounding (the unigram_logprob contract)."""
     oml = 1.0 - lam
 
-    tabs = [t for t in ray.get(hash_unigram_counts(ds).to_arrow_refs())
+    tabs = [t for t in ray.get(hash_lm_counts(ds).to_arrow_refs())
             if t.num_rows]
     dic = pa.concat_tables(tabs)
-    wh = dic.column("wh").to_numpy()
-    ucnt = dic.column("cnt").to_numpy()
+    kind = dic.column("kind").to_numpy()
+    kh = dic.column("kh").to_numpy()
+    cnt = dic.column("cnt").to_numpy()
+    uni = kind == 0
+    wh, ucnt = kh[uni], cnt[uni]
     total = float(ucnt.sum())
     order = np.argsort(wh)
     uni_ref = ray.put((wh[order], ucnt[order], total))
 
-    tabs = [t for t in ray.get(hash_bigram_counts(ds).to_arrow_refs())
-            if t.num_rows]
-    dic = pa.concat_tables(tabs)
-    gh = dic.column("gh").to_numpy()
-    bcnt = dic.column("cnt").to_numpy()
+    gh, bcnt = kh[~uni], cnt[~uni]
     keep = bcnt >= min_count
     gh, bcnt = gh[keep], bcnt[keep]
     order = np.argsort(gh)
@@ -791,13 +823,14 @@ def bigram_logprob(ds: "ray.data.Dataset", lam: float = 0.75,
             self.gh, self.bcnt = ray.get(bi_ref)
 
         def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-            from .dedup import gram_hashes
             vals, offs = flat_words(batch["text"])
-            whs = content_hash64(vals).view(np.int64)
-            bh, g_offs = gram_hashes(batch["text"], 2)
-            g_len = np.diff(g_offs)
+            wh_u = content_hash64(vals)
+            whs = wh_u.view(np.int64)
+            bh, g_len = _bigram_fold(wh_u, offs)
             pos = np.arange(len(bh), dtype=np.int64) \
-                - np.repeat(g_offs[:-1], g_len)
+                - np.repeat(np.concatenate(([0],
+                                            np.cumsum(g_len)[:-1])),
+                            g_len)
             starts = np.repeat(offs[:-1], g_len) + pos
             cu_prev = _lookup(self.wh, self.ucnt, whs[starts], 1.0)
             cu_cur = _lookup(self.wh, self.ucnt, whs[starts + 1], 1.0)
