@@ -717,14 +717,20 @@ def _bigram_fold(wh_u64: np.ndarray, offs: np.ndarray
     return h, g_len
 
 
-def hash_lm_counts(ds: "ray.data.Dataset",
-                   n_buckets: int = 64) -> "ray.data.Dataset":
+def hash_lm_counts(ds: "ray.data.Dataset", n_buckets: int = 64,
+                   bigram_min_count: int = 1) -> "ray.data.Dataset":
     """FUSED unigram + bigram corpus counts in ONE pass and ONE
     bucketed exchange (the dsir_weights fused-LM discipline): words
     are hashed once per batch, the bigram key is the gram_hashes FNV
     fold of those hashes, and both dictionaries ride the same
     integer partial rows tagged by ``kind`` (0 = unigram word hash,
-    1 = bigram fold).  Strings never cross the shuffle."""
+    1 = bigram fold).  Strings never cross the shuffle.
+
+    ``bigram_min_count`` prunes the bigram rows INSIDE the bucket
+    merge — the knob that keeps the dictionary gather bounded at
+    corpus scale (the bigram vocabulary, unlike the word vocabulary,
+    grows with the corpus; CCNet prunes its shipped LM for the same
+    reason).  Unigram rows are never pruned here."""
     def _partial(batch: pd.DataFrame) -> pa.Table:
         vals, offs = flat_words(batch["text"])
         wh = content_hash64(vals)
@@ -752,11 +758,15 @@ def hash_lm_counts(ds: "ray.data.Dataset",
         order, starts, lens = _runs(kind, kh)
         csum = np.zeros(len(order) + 1, dtype=np.int64)
         np.cumsum(c[order], out=csum[1:])
-        return pd.DataFrame({
+        out = pd.DataFrame({
             "kind": kind[order][starts],
             "kh": kh[order][starts],
             "cnt": csum[starts + lens] - csum[starts],
         })
+        if bigram_min_count > 1:
+            out = out[(out["kind"] == 0)
+                      | (out["cnt"] >= bigram_min_count)]
+        return out
 
     return part.groupby("kb").map_groups(merge, batch_format="pandas")
 
@@ -791,8 +801,9 @@ def bigram_logprob(ds: "ray.data.Dataset", lam: float = 0.75,
     rounding (the unigram_logprob contract)."""
     oml = 1.0 - lam
 
-    tabs = [t for t in ray.get(hash_lm_counts(ds).to_arrow_refs())
-            if t.num_rows]
+    tabs = [t for t in ray.get(
+        hash_lm_counts(ds, bigram_min_count=min_count).to_arrow_refs())
+        if t.num_rows]
     dic = pa.concat_tables(tabs)
     kind = dic.column("kind").to_numpy()
     kh = dic.column("kh").to_numpy()

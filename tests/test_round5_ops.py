@@ -366,3 +366,39 @@ def test_pack_emit_matches_scalar_random(ray_session, seed):
         assert r["n_docs"] == e["n_docs"]
         assert r["n_tok"] == e["n_tok"]
         assert r["packed"] == "<eos>".join(e["txt"])
+
+
+def test_bigram_logprob_min_count_backoff(ray_session):
+    """min_count=2 prunes singleton bigrams inside the distributed
+    merge; pruned pairs score through the unigram backoff term only
+    (cb treated as 0), matching the scalar reference."""
+    import collections
+    import math
+
+    import ray.data
+
+    from kmerray.extras.text import bigram_logprob
+    texts = ["a b a b", "b a c", "c a"]
+    docs = pd.DataFrame({"doc_id": np.arange(3, dtype=np.int64),
+                         "text": texts})
+    out = _pdf(bigram_logprob(ray.data.from_pandas(docs), lam=0.75,
+                              dp=6, min_count=2))
+
+    uni = collections.Counter(w for t in texts for w in t.split(" "))
+    tot = float(sum(uni.values()))
+    big = collections.Counter(
+        (ws[i], ws[i + 1]) for t in texts
+        for ws in [t.split(" ")] for i in range(len(ws) - 1))
+
+    def ref(t):
+        ws = t.split(" ")
+        lps = []
+        for a, b in zip(ws, ws[1:]):
+            cb = big[(a, b)] if big[(a, b)] >= 2 else 0
+            lps.append(math.log(0.75 * (cb / uni[a])
+                                + 0.25 * (uni[b] / tot)))
+        return round(sum(lps) / len(lps), 6)
+
+    for i, t in enumerate(texts):
+        assert out.loc[i, "avg_logprob"] == pytest.approx(ref(t),
+                                                          abs=1e-6)
