@@ -259,9 +259,13 @@ def run_bench() -> dict:
     from kmerray.extras.dedup import block_dedup
     timed("block_dedup", lambda: block_dedup(docs()).count())
     timed("unigram_logprob", lambda: unigram_logprob(docs()).count())
-    # r5: interpolated bigram LM (two dictionary broadcasts)
+    # r5: interpolated bigram LM (fused one-pass dictionary build,
+    # CCNet-style min_count=2 pruning inside the bucket merge — the
+    # singleton-dominated bigram vocabulary is what made the unpruned
+    # leg read 34-47 s)
     from kmerray.extras.text import bigram_logprob
-    timed("bigram_logprob", lambda: bigram_logprob(docs()).count())
+    timed("bigram_logprob",
+          lambda: bigram_logprob(docs(), min_count=2).count())
 
     # grouped z-score (source synthesized: deterministic doc_id mod)
     from kmerray.extras.grouped import grouped_zscore

@@ -2018,13 +2018,15 @@ def data_profile_sql() -> str:
     return "\nUNION ALL\n".join(qs)
 
 
-def bigram_logprob_sql(lam: float = 0.75, dp: int = 4) -> str:
-    """Mirror of extras.text.bigram_logprob (min_count=1, so every
-    corpus bigram is in the LM and the backoff never fires on gate
-    data): interpolated Jelinek-Mercer 2-gram probability with the
-    identical single mul/div/add sequence per bigram (lam = 0.75 and
-    0.25 are exactly representable), dp-rounded mean per doc, 0.0 for
-    docs with fewer than two words."""
+def bigram_logprob_sql(lam: float = 0.75, dp: int = 4,
+                       min_count: int = 1) -> str:
+    """Mirror of extras.text.bigram_logprob: interpolated
+    Jelinek-Mercer 2-gram probability with the identical single
+    mul/div/add sequence per bigram (lam = 0.75 and 0.25 are exactly
+    representable), dp-rounded mean per doc, 0.0 for docs with fewer
+    than two words.  Bigrams pruned by ``min_count`` score through
+    the unigram backoff term (cb = 0), exercising the engine's
+    distributed in-merge pruning path."""
     oml = 1.0 - lam
     return f"""WITH w AS (
   SELECT doc_id, string_split(text, ' ') AS ws FROM documents
@@ -2043,13 +2045,15 @@ t AS (SELECT CAST(sum(cu) AS DOUBLE) AS tot FROM u),
 b AS (
   SELECT w1, w2, CAST(count(*) AS BIGINT) AS cb
   FROM p GROUP BY w1, w2
+  HAVING count(*) >= {min_count}
 ),
 s AS (
   SELECT p.doc_id,
-         round(avg(ln({lam!r} * (CAST(b.cb AS DOUBLE) / u1.cu)
+         round(avg(ln({lam!r}
+                      * (CAST(coalesce(b.cb, 0) AS DOUBLE) / u1.cu)
                       + {oml!r} * (CAST(u2.cu AS DOUBLE) / t.tot))),
                {dp}) AS alp
-  FROM p JOIN b USING (w1, w2)
+  FROM p LEFT JOIN b USING (w1, w2)
          JOIN u u1 ON u1.word = p.w1
          JOIN u u2 ON u2.word = p.w2, t
   GROUP BY p.doc_id

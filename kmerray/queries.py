@@ -637,13 +637,15 @@ SELECT CAST(2 AS BIGINT), doc_id, n_removed, CAST(-2 AS BIGINT),
        CAST(0.0 AS DOUBLE), text2
 FROM ({oracle.block_dedup_sql(BLOCK_W)})""",
         "unigram_logprob": oracle.unigram_logprob_sql(LM_DP),
-        "bigram_logprob": oracle.bigram_logprob_sql(dp=LM_DP),
+        "bigram_logprob": oracle.bigram_logprob_sql(
+            dp=LM_DP, min_count=BIGRAM_LM_MIN_COUNT),
         "lm_logprob2": f"""\
 SELECT CAST(0 AS BIGINT) AS variant, doc_id, avg_logprob
 FROM ({oracle.unigram_logprob_sql(LM_DP)})
 UNION ALL
 SELECT CAST(1 AS BIGINT), doc_id, avg_logprob
-FROM ({oracle.bigram_logprob_sql(dp=LM_DP)})""",
+FROM ({oracle.bigram_logprob_sql(
+    dp=LM_DP, min_count=BIGRAM_LM_MIN_COUNT)})""",
         "zscore_by_source": oracle.zscore_by_source_sql(),
         "events_distinct": oracle.events_distinct_sql(),
         "events_funnel": oracle.events_funnel_sql(),
@@ -1740,6 +1742,7 @@ def q_cust_order_rollup(sf_dir: str):
 
 DUP_SPAN_W = 5
 LM_DP = 4
+BIGRAM_LM_MIN_COUNT = 2
 CLUSTER_REPS_N = 5
 
 
@@ -1777,7 +1780,7 @@ def q_bigram_logprob(sf_dir: str):
     from .extras.text import bigram_logprob
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
                                columns=["doc_id", "text"])
-    return bigram_logprob(ds, dp=LM_DP)
+    return bigram_logprob(ds, dp=LM_DP, min_count=BIGRAM_LM_MIN_COUNT)
 
 
 def q_lm_logprob2(sf_dir: str):
