@@ -158,6 +158,13 @@ def run_bench() -> dict:
     timed("ctr_k15", lambda: count_kmers(
         rseq(heavy_files), 15).count(), repeat=2)
 
+    # r5: novel-k-mer discovery curve (same exchange shape as ctr,
+    # per-day first-seen fold; driver sees buckets x days scalars)
+    from kmerray.pipelines.counter import kmer_novelty
+    timed("kmer_novelty", lambda: len(kmer_novelty(
+        ray.data.read_parquet(heavy_files, columns=["tokens", "ts"],
+                              override_num_blocks=n_blocks), 15)))
+
     # minimizers (31, 7) exploded
     timed("min_31_7", lambda: consume(minimisers_exploded(
         rseq(), 31, 7)), repeat=2)
@@ -246,6 +253,10 @@ def run_bench() -> dict:
         docs_half(), min_count=5).count())
     timed("tfidf_topk", lambda: tfidf_topk(
         docs_half(), n_docs=n_bench_docs // 2, k=3).count())
+    # r5: PMI collocations (rides the bigram surface + one scalar scan)
+    from kmerray.extras.text import pmi_pairs
+    timed("pmi_pairs", lambda: pmi_pairs(
+        docs_half(), min_count=5).count())
 
     # r3 additions over the document corpus: duplicate-window spans
     # and the unigram-LM quality proxy

@@ -1512,3 +1512,43 @@ def c4_filter(ds: "ray.data.Dataset", line_delim: str = "\n",
             "clean_text": clean.to_pandas()})
 
     return ds.map_batches(fn, batch_format="pandas")
+
+
+def total_words(ds: "ray.data.Dataset") -> int:
+    """Corpus total word count (``len(string_split(text, ' '))`` summed
+    over documents) — one streaming scan, per-block scalar partials."""
+    def part(b: pd.DataFrame) -> pd.DataFrame:
+        _, offs = flat_words(b["text"])
+        return pd.DataFrame({"n": np.array([offs[-1]], dtype=np.int64)})
+    return int(ds.map_batches(part, batch_format="pandas").sum("n"))
+
+
+def pmi_pairs(ds: "ray.data.Dataset", min_count: int = 5, dp: int = 4,
+              n_buckets: int = 64) -> "ray.data.Dataset":
+    """Collocation extraction: pointwise mutual information
+    ``PMI(w1,w2) = ln(c12 * N / (c1 * c2))`` for every adjacent bigram
+    with corpus count >= min_count — the classic phrase-mining /
+    tokenizer-seeding statistic (Mikolov et al. word2vec phrases use
+    exactly this ratio with a discount).
+
+    All counting rides :func:`bigram_stats` (three hash-bucketed
+    exchanges, min_count prunes the Zipf tail before any join); the
+    corpus total ``N`` is one extra streaming scalar scan.  Float
+    contract: numerator ``c12*N`` and denominator ``c1*c2`` are exact
+    int64 products (< 2^53, so the int->double casts are exact), ONE
+    IEEE division, one ``ln``, then the tie-safe
+    ``floor(x*10^dp + 0.5)/10^dp`` rounding on both engines."""
+    n_total = total_words(ds)
+    bs = bigram_stats(ds, min_count=min_count, n_buckets=n_buckets)
+    scale = 10.0 ** dp
+
+    def fin(b: pd.DataFrame) -> pd.DataFrame:
+        c12 = b["c12"].to_numpy().astype(np.int64)
+        num = (c12 * n_total).astype(np.float64)
+        den = (b["c1"].to_numpy().astype(np.int64)
+               * b["c2"].to_numpy().astype(np.int64)).astype(np.float64)
+        pmi = np.floor(np.log(num / den) * scale + 0.5) / scale
+        return pd.DataFrame({"w1": b["w1"], "w2": b["w2"],
+                             "c12": c12, "pmi": pmi})
+
+    return bs.map_batches(fin, batch_format="pandas")

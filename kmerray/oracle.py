@@ -2060,3 +2060,29 @@ s AS (
 )
 SELECT d.doc_id, coalesce(s.alp, 0.0) AS avg_logprob
 FROM documents d LEFT JOIN s USING (doc_id)"""
+
+
+def kmer_novelty_sql(path: str, k: int) -> str:
+    """Mirror of pipelines.counter.kmer_novelty: per-day first-seen
+    canonical k-mer counts + cumulative dictionary size."""
+    extra = f", (epoch_us(ts) - {TS_BASE_US}) // {DAY_US} AS day"
+    return f"""WITH {km_cte(path, k, extra)},
+firsts AS (SELECT kmer, min(day) AS day FROM km GROUP BY kmer),
+daily AS (SELECT day, CAST(count(*) AS BIGINT) AS new_kmers
+          FROM firsts GROUP BY day)
+SELECT day, new_kmers,
+       CAST(sum(new_kmers) OVER (ORDER BY day) AS BIGINT) AS vocab_size
+FROM daily"""
+
+
+def pmi_pairs_sql(min_count: int = 5, dp: int = 4) -> str:
+    """Mirror of extras.text.pmi_pairs: exact-int64 ratio, one IEEE
+    division, ln, tie-safe floor rounding (same contract both engines)."""
+    s = 10 ** dp
+    return f"""WITH bs AS ({bigram_stats_sql(min_count)}),
+tot AS (SELECT CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n
+        FROM documents)
+SELECT w1, w2, c12,
+       floor(ln(CAST(c12 * n AS DOUBLE) / CAST(c1 * c2 AS DOUBLE))
+             * {s} + 0.5) / {float(s)} AS pmi
+FROM bs, tot"""

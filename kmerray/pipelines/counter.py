@@ -218,3 +218,66 @@ def add_acgt_column(counts_ds: "ray.data.Dataset", k: int
 
 def write_counts(counts_ds: "ray.data.Dataset", out_dir: str) -> None:
     counts_ds.write_parquet(out_dir)
+
+
+def kmer_novelty(ds: "ray.data.Dataset", k: int, n_buckets: int = 64
+                 ) -> "pd.DataFrame":
+    """Novel-k-mer discovery curve: for each ingest day, how many
+    canonical k-mers appear for the FIRST time, plus the cumulative
+    dictionary size — the vocabulary-growth (Heaps-law) monitor a
+    continuously-ingesting corpus needs to size its k-mer dictionary
+    ahead of demand (the reference's counting path builds the final
+    dictionary, /root/reference/counter/src/lib.rs:100, but has no
+    temporal view; this is the streaming-ingest complement).
+
+    Scale design — the only wide step is ONE kmer-hash-bucketed
+    exchange of (kmer, min_day) partials, the same exchange shape as
+    ``count_kmers``; each bucket merge then collapses to a per-day
+    histogram, so the driver sees <= n_buckets x n_days scalar rows
+    and the cumulative sum is a driver-side fold over a handful of
+    days, never over the dictionary.  A batch contributes at most one
+    row per distinct k-mer (sort-based first-occurrence, no
+    ``ufunc.at`` scalar loop)."""
+    from ..sources.synth import DAY_US, TS_BASE_US
+
+    def _first_by_kmer(kmers: np.ndarray, days: np.ndarray):
+        order = np.lexsort((days, kmers))
+        ks, dsort = kmers[order], days[order]
+        first = np.ones(len(ks), dtype=bool)
+        first[1:] = ks[1:] != ks[:-1]
+        return ks[first], dsort[first]
+
+    def partial(batch: pa.Table) -> pa.Table:
+        values, offsets = list_column_to_numpy(batch.column("tokens"))
+        kmers, rowid = canonical_flat_kmers(values, offsets, k)
+        ts = batch.column("ts").cast(pa.int64()).to_numpy()
+        day = (ts - TS_BASE_US) // DAY_US
+        uniq, md = _first_by_kmer(kmers, day[rowid])
+        return pa.table({
+            "kmer": pa.array(uniq.astype(np.uint64), pa.uint64()),
+            "day": pa.array(md.astype(np.int64), pa.int64()),
+            "bucket": pa.array((uniq % np.uint64(n_buckets))
+                               .astype(np.int64), pa.int64()),
+        })
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        _, md = _first_by_kmer(g["kmer"].to_numpy(),
+                               g["day"].to_numpy())
+        days, new = np.unique(md, return_counts=True)
+        return pd.DataFrame({"day": days.astype(np.int64),
+                             "new_kmers": new.astype(np.int64)})
+
+    hist = (ds.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True)
+            .groupby("bucket").map_groups(merge, batch_format="pandas"))
+    pdf = hist.to_pandas()
+    if len(pdf) == 0:
+        return pd.DataFrame({"day": pd.Series([], dtype=np.int64),
+                             "new_kmers": pd.Series([], dtype=np.int64),
+                             "vocab_size": pd.Series([], dtype=np.int64)})
+    out = (pdf.groupby("day", as_index=False)["new_kmers"].sum()
+           .sort_values("day").reset_index(drop=True))
+    out["vocab_size"] = out["new_kmers"].cumsum().astype(np.int64)
+    out["new_kmers"] = out["new_kmers"].astype(np.int64)
+    out["day"] = out["day"].astype(np.int64)
+    return out

@@ -391,7 +391,7 @@ def registry() -> dict:
     head = {
         # --- reference §2 surface ---
         "kmer_counts_per_doc": q_kmer_counts_per_doc,
-        "ctr_global_counts": q_global_counts,
+        "ctr_all": q_ctr_all,
         "cfv_norm": q_cfv_norm,
         "oligo_cgr": q_oligo_cgr,
         "cgr_final": q_cgr_final,
@@ -414,7 +414,7 @@ def registry() -> dict:
         "text_rewrite": q_text_rewrite,
         "df_counts": q_df_counts,
         "tfidf_topk": q_tfidf_topk,
-        "bigram_stats": q_bigram_stats,
+        "colloc2": q_colloc2,
         "lm_logprob2": q_lm_logprob2,
         "decontam2": q_decontam2,
         "zscore_by_source": q_zscore_by_source,
@@ -451,6 +451,10 @@ def registry() -> dict:
     assert len(head) == 50, f"registry head must be 50, got {len(head)}"
     tail = {
         # composite constituents (hash-gated individually here)
+        "ctr_global_counts": q_global_counts,
+        "kmer_novelty": q_kmer_novelty,
+        "bigram_stats": q_bigram_stats,
+        "pmi_pairs": q_pmi_pairs,
         "asof_cov_hist": q_asof_cov_hist,
         "asof_backfill": q_asof_backfill,
         "lag_lead": q_lag_lead,
@@ -542,6 +546,14 @@ def oracle_registry(sf_dir: str = "/root/testdata/sf0.01") -> dict:
     return {
         "kmer_counts_per_doc": oracle.kmer_counts_per_doc_sql(path, K_PER_DOC),
         "ctr_global_counts": oracle.global_counts_sql(path, K_GLOBAL),
+        "kmer_novelty": oracle.kmer_novelty_sql(path, K_GLOBAL),
+        "ctr_all": f"""\
+SELECT CAST(0 AS BIGINT) AS variant, kmer AS a, cnt AS b,
+       CAST(0 AS BIGINT) AS c
+FROM ({oracle.global_counts_sql(path, K_GLOBAL)})
+UNION ALL
+SELECT CAST(1 AS BIGINT), day, new_kmers, vocab_size
+FROM ({oracle.kmer_novelty_sql(path, K_GLOBAL)})""",
         "cfv_norm": oracle.cfv_norm_sql(path, K_PER_DOC),
         "cfv_raw": oracle.cfv_raw_sql(path, K_RAW),
         "oligo_cgr": oracle.oligo_cgr_sql(path, K_PER_DOC),
@@ -610,6 +622,15 @@ FROM ({oracle.semdedup_sql(f"{sf_dir}/embeddings.parquet",
         "events_history": oracle.events_history_sql(),
         "events_rolling": oracle.events_rolling_sql(),
         "bigram_stats": oracle.bigram_stats_sql(BIGRAM_MIN_COUNT),
+        "pmi_pairs": oracle.pmi_pairs_sql(BIGRAM_MIN_COUNT, LM_DP),
+        "colloc2": f"""\
+SELECT CAST(0 AS BIGINT) AS variant, w1, w2, c12, c1, c2,
+       CAST(0.0 AS DOUBLE) AS pmi
+FROM ({oracle.bigram_stats_sql(BIGRAM_MIN_COUNT)})
+UNION ALL
+SELECT CAST(1 AS BIGINT), w1, w2, c12, CAST(-1 AS BIGINT),
+       CAST(-1 AS BIGINT), pmi
+FROM ({oracle.pmi_pairs_sql(BIGRAM_MIN_COUNT, LM_DP)})""",
         "shipping_priority": oracle.shipping_priority_sql(),
         "cust_order_rollup": oracle.cust_order_rollup_sql(),
         "group_sample": oracle.group_sample_sql(GROUP_SAMPLE_N),
@@ -2368,3 +2389,69 @@ def q_quality_filter2(sf_dir: str):
 
     return (qf.map_batches(pad_q, batch_format="pandas")
             .union(c4.map_batches(pad_c, batch_format="pandas")))
+
+
+def q_kmer_novelty(sf_dir: str):
+    """Novel-k-mer discovery curve (day, new_kmers, vocab_size): the
+    vocabulary-growth monitor over the ingest timeline; ONE kmer-hash
+    exchange, driver folds <= buckets x days scalars."""
+    from .pipelines.counter import kmer_novelty
+    return kmer_novelty(_seq(sf_dir, ["tokens", "ts"]), k=K_GLOBAL)
+
+
+def q_pmi_pairs(sf_dir: str):
+    """PMI collocations over adjacent word bigrams (min_count-pruned),
+    tie-safe dp rounding on both engines."""
+    from .extras.text import pmi_pairs
+    return pmi_pairs(_docs(sf_dir), min_count=BIGRAM_MIN_COUNT, dp=LM_DP)
+
+
+def q_ctr_all(sf_dir: str):
+    """Global k-mer dictionary family: exact global counts (variant 0)
+    UNION the per-day novel-k-mer discovery curve (variant 1)."""
+    cnts = q_global_counts(sf_dir)
+
+    def pad0(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        return pa.table({
+            "variant": pa.array(np.zeros(n, dtype=np.int64)),
+            "a": b.column("kmer"), "b": b.column("cnt"),
+            "c": pa.array(np.zeros(n, dtype=np.int64))})
+
+    nov = q_kmer_novelty(sf_dir)
+    nov_tab = pa.table({
+        "variant": pa.array(np.ones(len(nov), dtype=np.int64)),
+        "a": pa.array(nov["day"].to_numpy(), pa.int64()),
+        "b": pa.array(nov["new_kmers"].to_numpy(), pa.int64()),
+        "c": pa.array(nov["vocab_size"].to_numpy(), pa.int64())})
+    return (cnts.map_batches(pad0, batch_format="pyarrow",
+                             zero_copy_batch=True)
+            .union(ray.data.from_arrow(nov_tab)))
+
+
+def q_colloc2(sf_dir: str):
+    """Collocation family: the integer bigram surface (variant 0)
+    UNION the dp-rounded PMI ranking derived from it (variant 1)."""
+    bs = q_bigram_stats(sf_dir)
+    pm = q_pmi_pairs(sf_dir)
+
+    def pad0(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "variant": _const_i64(len(b), 0),
+            "w1": b["w1"], "w2": b["w2"],
+            "c12": b["c12"].astype(np.int64),
+            "c1": b["c1"].astype(np.int64),
+            "c2": b["c2"].astype(np.int64),
+            "pmi": np.zeros(len(b), dtype=np.float64)})
+
+    def pad1(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "variant": _const_i64(len(b), 1),
+            "w1": b["w1"], "w2": b["w2"],
+            "c12": b["c12"].astype(np.int64),
+            "c1": _const_i64(len(b), -1),
+            "c2": _const_i64(len(b), -1),
+            "pmi": b["pmi"].astype(np.float64)})
+
+    return (bs.map_batches(pad0, batch_format="pandas")
+            .union(pm.map_batches(pad1, batch_format="pandas")))

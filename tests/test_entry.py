@@ -46,7 +46,7 @@ def test_registry_head_covers_families():
     head = list(e.queries())[:50]
     required = {
         # reference §2 surface
-        "kmer_counts_per_doc", "ctr_global_counts", "cfv_norm",
+        "kmer_counts_per_doc", "ctr_all", "cfv_norm",
         "oligo_cgr", "cgr_final", "minimisers_all", "m2s_index_counts",
         "cov_hist", "asof_snapshots", "asof_lagged", "windowed_all",
         # relational
@@ -54,7 +54,7 @@ def test_registry_head_covers_families():
         "relational_rank",
         # text
         "doc_stats", "lang_id", "rep_stats", "chunk_windows",
-        "text_rewrite", "df_counts", "tfidf_topk", "bigram_stats",
+        "text_rewrite", "df_counts", "tfidf_topk", "colloc2",
         "lm_logprob2", "decontam2", "zscore_by_source",
         "top_quality_per_lang", "dsir_weights", "quality_filter2",
         "pii_scrub", "ppl_buckets2",

@@ -402,3 +402,93 @@ def test_bigram_logprob_min_count_backoff(ray_session):
     for i, t in enumerate(texts):
         assert out.loc[i, "avg_logprob"] == pytest.approx(ref(t),
                                                           abs=1e-6)
+
+
+def test_pmi_pairs_matches_scalar_counter(ray_session):
+    """PMI against a direct Counter-based reference on a tiny corpus
+    (min_count=2 so one pair survives per planted repeat)."""
+    from collections import Counter
+
+    import ray.data
+
+    from kmerray.extras.text import pmi_pairs
+    texts = ["a b a b a b c", "a b x y x y", "c c a b"]
+    docs = pd.DataFrame({"doc_id": np.arange(3, dtype=np.int64),
+                         "text": texts})
+    out = pmi_pairs(ray.data.from_pandas(docs), min_count=2, dp=4)\
+        .to_pandas().sort_values(["w1", "w2"]).reset_index(drop=True)
+
+    uni = Counter()
+    bi = Counter()
+    n = 0
+    for t in texts:
+        ws = t.split(" ")
+        uni.update(ws)
+        n += len(ws)
+        bi.update(zip(ws, ws[1:]))
+    exp = []
+    for (w1, w2), c12 in bi.items():
+        if c12 >= 2:
+            pmi = np.log(float(c12 * n) / float(uni[w1] * uni[w2]))
+            exp.append((w1, w2, c12,
+                        np.floor(pmi * 1e4 + 0.5) / 1e4))
+    ref = pd.DataFrame(exp, columns=["w1", "w2", "c12", "pmi"])\
+        .sort_values(["w1", "w2"]).reset_index(drop=True)
+    assert len(out) == len(ref) > 0
+    assert (out["w1"] == ref["w1"]).all()
+    assert (out["w2"] == ref["w2"]).all()
+    assert (out["c12"].to_numpy() == ref["c12"].to_numpy()).all()
+    assert np.array_equal(out["pmi"].to_numpy(), ref["pmi"].to_numpy())
+
+
+def test_kmer_novelty_matches_scalar(ray_session):
+    """First-seen-day curve against a scalar dict reference, with
+    docs deliberately out of day order and an ambiguous token break;
+    randomized block splits exercise the bucket merge."""
+    import ray.data
+
+    from kmerray.core.encoding import canonical_flat_kmers
+    from kmerray.pipelines.counter import kmer_novelty
+    from kmerray.sources.synth import DAY_US, TS_BASE_US
+
+    rng = np.random.default_rng(7)
+    k = 4
+    n_docs = 40
+    toks = [rng.integers(0, 5, size=int(rng.integers(k, 40)))
+            .astype(np.int32) for _ in range(n_docs)]
+    days = rng.integers(0, 6, size=n_docs).astype(np.int64)
+    ts = (TS_BASE_US + days * DAY_US
+          + rng.integers(0, DAY_US, size=n_docs)).astype(np.int64)
+
+    first = {}
+    for t, d in zip(toks, days):
+        offs = np.array([0, len(t)], dtype=np.int64)
+        kms, _ = canonical_flat_kmers(t, offs, k)
+        for km in kms.tolist():
+            if km not in first or d < first[km]:
+                first[km] = d
+    daily = {}
+    for d in first.values():
+        daily[d] = daily.get(d, 0) + 1
+    exp_days = sorted(daily)
+    exp = pd.DataFrame({
+        "day": np.array(exp_days, dtype=np.int64),
+        "new_kmers": np.array([daily[d] for d in exp_days],
+                              dtype=np.int64)})
+    exp["vocab_size"] = exp["new_kmers"].cumsum()
+
+    import pyarrow as pa
+    offs = np.zeros(n_docs + 1, dtype=np.int32)
+    np.cumsum([len(t) for t in toks], out=offs[1:])
+    tok_col = pa.ListArray.from_arrays(
+        pa.array(offs), pa.array(np.concatenate(toks), pa.int32()))
+    tab = pa.table({"tokens": tok_col,
+                    "ts": pa.array(ts, pa.timestamp("us"))})
+    ds = ray.data.from_arrow([tab.slice(0, 13), tab.slice(13, 9),
+                              tab.slice(22)])
+    out = kmer_novelty(ds, k=k, n_buckets=5)
+    assert np.array_equal(out["day"].to_numpy(), exp["day"].to_numpy())
+    assert np.array_equal(out["new_kmers"].to_numpy(),
+                          exp["new_kmers"].to_numpy())
+    assert np.array_equal(out["vocab_size"].to_numpy(),
+                          exp["vocab_size"].to_numpy())
