@@ -353,6 +353,15 @@ def run_bench() -> dict:
         min_lines=2, require_terminal_punct=False).count())
     timed("temperature_sample", lambda: temperature_sample(
         docs().map_batches(_with_lang, batch_format="pandas")).count())
+    # r5: DLT priority sample — bottom-(k+1) mergeable partials
+    from kmerray.extras.sampling import weighted_priority_sample
+
+    def _with_nchars(b):
+        b = b.copy()
+        b["n_chars"] = b["text"].str.len().astype("int64")
+        return b[["doc_id", "n_chars"]]
+    timed("weighted_sample", lambda: len(weighted_priority_sample(
+        docs().map_batches(_with_nchars, batch_format="pandas"), k=64)))
 
     # --- section: sequences round 2 + gram self-join ---
     fresh_section(lambda: cfv_pipeline(rseq().limit(4096), k=4).count())

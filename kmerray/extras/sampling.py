@@ -151,3 +151,60 @@ def temperature_sample(ds: "ray.data.Dataset", key: str = "lang",
         return out
 
     return ds.map_batches(flag, batch_format="pandas")
+
+
+WSAMPLE_K = 64
+WSAMPLE_SALT = "#w"
+# 2^-64 (a power of two): scaling a float by it changes only the
+# exponent, so u = h * 2^-64 is rounding-free on both engines
+_INV_2_64 = 2.0 ** -64
+
+
+def weighted_priority_sample(ds: "ray.data.Dataset", k: int = WSAMPLE_K,
+                             weight_col: str = "n_chars",
+                             salt: str = WSAMPLE_SALT) -> pd.DataFrame:
+    """Priority sampling (Duffield, Lund & Thorup, JACM 54(6) 2007):
+    the weighted sample-without-replacement that makes any subset-sum
+    over a 100-TB corpus estimable from k rows.
+
+    Each row gets priority ``p_i = u_i / w_i`` with
+    ``u_i = md5_lower64(doc_id || salt) * 2^-64`` (uniform, portable,
+    content-independent) and integer weight ``w_i = max(weight_col, 1)``;
+    the sample is the k smallest priorities, ``tau`` is the (k+1)-th,
+    and each member carries the unbiased subset-sum estimator weight
+    ``est_i = max(w_i, 1/tau)`` (sum of ``est`` over any sampled subset
+    estimates that subset's true weight).  All decisions are the md5
+    idiom of :func:`sample_split_fn`, so a resharded / re-run corpus —
+    or the SQL oracle — draws the IDENTICAL sample.
+
+    Scale design: bottom-(k+1) is a mergeable sketch — each block
+    emits its k+1 smallest (the global (k+1)-th must be one of them),
+    the driver folds <= blocks x (k+1) rows, the corpus itself never
+    shuffles or collects.
+
+    Float discipline: u is exact (power-of-two scale of the 53-bit
+    rounded hash), prio is ONE IEEE division, est is one division +
+    max — identical op sequences both engines, bit-for-bit hashable.
+
+    Output: pandas ``(doc_id, w:int64, prio:double, est:double)``.
+    """
+    def part(b: pd.DataFrame) -> pd.DataFrame:
+        w = np.maximum(b[weight_col].to_numpy().astype(np.int64), 1)
+        ids = b["doc_id"].astype(str).to_numpy(dtype=object)
+        u = md5_lower64([s + salt for s in ids]).astype(np.float64) \
+            * _INV_2_64
+        out = pd.DataFrame({"doc_id": b["doc_id"].astype(np.int64),
+                            "w": w, "prio": u / w.astype(np.float64)})
+        return (out.sort_values(["prio", "doc_id"], kind="mergesort")
+                .head(k + 1))
+
+    parts = ds.map_batches(part, batch_format="pandas").take_all()
+    merged = (pd.DataFrame(parts)
+              .sort_values(["prio", "doc_id"], kind="mergesort")
+              .reset_index(drop=True))
+    tau = float(merged["prio"].iloc[k]) if len(merged) > k else None
+    out = merged.head(k).copy()
+    out["est"] = (out["w"].to_numpy().astype(np.float64) if tau is None
+                  else np.maximum(out["w"].to_numpy().astype(np.float64),
+                                  1.0 / tau))
+    return out.reset_index(drop=True)

@@ -1810,6 +1810,31 @@ FROM documents d JOIN r USING ({key})
 WHERE CAST({h} % 1000000 AS BIGINT) < r.rate"""
 
 
+def weighted_sample_sql(k: int = None, salt: str = None) -> str:
+    """Mirror of extras.sampling.weighted_priority_sample (Duffield-
+    Lund-Thorup priority sampling): u = hash / 2^64 (division by an
+    exact power-of-two double — rounding-free, matching the engine's
+    multiplication by 2^-64), prio and est are single IEEE divisions,
+    order ties break on doc_id."""
+    from .extras.sampling import WSAMPLE_K, WSAMPLE_SALT
+    k = WSAMPLE_K if k is None else k
+    salt = WSAMPLE_SALT if salt is None else salt
+    u = (f"CAST(md5_number_lower(CAST(doc_id AS VARCHAR) || '{salt}') "
+         f"AS DOUBLE) / 18446744073709551616.0")
+    return f"""WITH s AS (
+  SELECT doc_id, CAST(greatest(n_chars, 1) AS BIGINT) AS w,
+         ({u}) / CAST(greatest(n_chars, 1) AS DOUBLE) AS prio
+  FROM documents
+), r AS (
+  SELECT doc_id, w, prio,
+         row_number() OVER (ORDER BY prio, doc_id) AS rn FROM s
+), t AS (SELECT min(CASE WHEN rn = {k + 1} THEN prio END) AS tau FROM r)
+SELECT doc_id, w, prio,
+       CASE WHEN t.tau IS NULL THEN CAST(w AS DOUBLE)
+            ELSE greatest(CAST(w AS DOUBLE), 1.0 / t.tau) END AS est
+FROM r, t WHERE rn <= {k}"""
+
+
 def block_dedup_sql(w: int = 8) -> str:
     """Mirror of extras.dedup.block_dedup: blocks are disjoint
     ``w``-word slices; the global first occurrence per distinct block

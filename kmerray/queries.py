@@ -471,6 +471,7 @@ def registry() -> dict:
         "block_dedup": q_block_dedup,
         "c4_filter": q_c4_filter,
         "temperature_sample": q_temperature_sample,
+        "weighted_sample": q_weighted_sample,
         "quality_filter": q_quality_filter,
         "frame_sample": q_frame_sample,
         "audio_energy": q_audio_energy,
@@ -740,7 +741,11 @@ SELECT CAST(1 AS BIGINT), doc_id, lang, CAST(-1 AS BIGINT), ''
 FROM ({oracle.group_sample_sql(GROUP_SAMPLE_N)})
 UNION ALL
 SELECT CAST(2 AS BIGINT), doc_id, lang, rate, ''
-FROM ({oracle.temperature_sample_sql()})""",
+FROM ({oracle.temperature_sample_sql()})
+UNION ALL
+SELECT CAST(3 AS BIGINT), doc_id, '', w, ''
+FROM ({oracle.weighted_sample_sql()})""",
+        "weighted_sample": oracle.weighted_sample_sql(),
         "events_enriched": f"""\
 SELECT CAST(0 AS BIGINT) AS variant, event_id, k AS v1,
        CAST(0 AS BIGINT) AS v2, CAST(0 AS BIGINT) AS v3,
@@ -2242,14 +2247,25 @@ def q_quantiles_all(sf_dir: str):
             .union(grouped.map_batches(pad_l, batch_format="pandas")))
 
 
+def q_weighted_sample(sf_dir: str):
+    """Duffield-Lund-Thorup priority sample of the corpus weighted by
+    n_chars, with the unbiased subset-sum estimator weights."""
+    from .extras.sampling import WSAMPLE_K, weighted_priority_sample
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "n_chars"])
+    return weighted_priority_sample(ds, k=WSAMPLE_K)
+
+
 def q_sampling_flags(sf_dir: str):
     """Stratified permille sample+split (variant 0) UNION per-group
     deterministic top-n sample (variant 1, no bucket/split) UNION
     alpha-temperature language rebalancing (variant 2, bucket = the
-    ppm keep rate)."""
+    ppm keep rate) UNION the weighted priority sample (variant 3,
+    bucket = the weight; prio/est gated in the tail entry)."""
     split = _as_ds(q_sample_split(sf_dir))
     grp = _as_ds(q_group_sample(sf_dir))
     temp = _as_ds(q_temperature_sample(sf_dir))
+    wsam = _as_ds(q_weighted_sample(sf_dir))
 
     def pad_s(b: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame({
@@ -2269,9 +2285,17 @@ def q_sampling_flags(sf_dir: str):
             "lang": b["lang"], "bucket": b["rate"].astype(np.int64),
             "split": np.full(len(b), "", dtype=object)})
 
+    def pad_w(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "variant": _const_i64(len(b), 3), "doc_id": b["doc_id"],
+            "lang": np.full(len(b), "", dtype=object),
+            "bucket": b["w"].astype(np.int64),
+            "split": np.full(len(b), "", dtype=object)})
+
     return (split.map_batches(pad_s, batch_format="pandas")
             .union(grp.map_batches(pad_g, batch_format="pandas"))
-            .union(temp.map_batches(pad_t, batch_format="pandas")))
+            .union(temp.map_batches(pad_t, batch_format="pandas"))
+            .union(wsam.map_batches(pad_w, batch_format="pandas")))
 
 
 def q_events_enriched(sf_dir: str):

@@ -492,3 +492,67 @@ def test_kmer_novelty_matches_scalar(ray_session):
                           exp["new_kmers"].to_numpy())
     assert np.array_equal(out["vocab_size"].to_numpy(),
                           exp["vocab_size"].to_numpy())
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_weighted_priority_sample_matches_scalar(ray_session, seed):
+    """DLT priority sampling vs a brute-force scalar reference:
+    membership, tau, and the max(w, 1/tau) estimator weights must be
+    identical across uneven block splits; the estimator's total must
+    bracket the true total weight loosely (sanity, not a proof)."""
+    import hashlib
+
+    import ray.data
+
+    from kmerray.extras.sampling import (WSAMPLE_SALT,
+                                         weighted_priority_sample)
+
+    rng = np.random.default_rng(seed)
+    n, k = 200, 16
+    ids = np.sort(rng.choice(100_000, size=n, replace=False))
+    w = rng.integers(0, 5_000, size=n)      # zeros exercise the clamp
+
+    def h64(s):
+        return int.from_bytes(hashlib.md5(s.encode()).digest()[8:16],
+                              "little")
+
+    rows = []
+    for i, wt in zip(ids.tolist(), w.tolist()):
+        wc = max(wt, 1)
+        u = float(h64(f"{i}{WSAMPLE_SALT}")) * 2.0 ** -64
+        rows.append((u / float(wc), i, wc))
+    rows.sort()
+    tau = rows[k][0]
+    exp = pd.DataFrame({
+        "doc_id": np.array([r[1] for r in rows[:k]], dtype=np.int64),
+        "w": np.array([r[2] for r in rows[:k]], dtype=np.int64),
+        "prio": np.array([r[0] for r in rows[:k]]),
+    })
+    exp["est"] = np.maximum(exp["w"].to_numpy().astype(np.float64),
+                            1.0 / tau)
+
+    df = pd.DataFrame({"doc_id": ids, "n_chars": w})
+    cuts = np.sort(rng.choice(np.arange(1, n), size=3, replace=False))
+    parts = np.split(df, cuts)
+    ds = ray.data.from_pandas([p.reset_index(drop=True) for p in parts])
+    out = (weighted_priority_sample(ds, k=k)
+           .sort_values(["prio", "doc_id"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(out, exp.reset_index(drop=True))
+    # DLT unbiasedness sanity: one draw, loose bracket only
+    assert 0.1 * w.clip(1).sum() < out["est"].sum() \
+        < 10 * w.clip(1).sum()
+
+
+def test_weighted_priority_sample_small_n(ray_session):
+    """n <= k: every row sampled, no tau -> est == w exactly."""
+    import ray.data
+
+    from kmerray.extras.sampling import weighted_priority_sample
+    df = pd.DataFrame({"doc_id": np.arange(5, dtype=np.int64),
+                       "n_chars": np.array([3, 0, 7, 2, 9])})
+    out = weighted_priority_sample(ray.data.from_pandas(df), k=8)
+    assert len(out) == 5
+    assert np.array_equal(np.sort(out["w"].to_numpy()),
+                          np.array([1, 2, 3, 7, 9]))
+    assert np.array_equal(out["est"].to_numpy(),
+                          out["w"].to_numpy().astype(np.float64))
