@@ -372,6 +372,15 @@ def run_bench() -> dict:
                                    override_num_blocks=n_blocks)
         return pack_bins(ds, budget=1 << 16).count()
     timed("pack_bins", _pack_run)
+    # r5: bottom-k sketch quantiles (O(k) mergeable partials)
+    from kmerray.extras.scan import sketch_quantiles
+
+    def _skq_run():
+        ds = ray.data.read_parquet(all_files,
+                                   columns=["doc_id", "n_tok"],
+                                   override_num_blocks=n_blocks)
+        return len(sketch_quantiles(ds))
+    timed("sketch_quantiles", _skq_run)
     # r5: packed-shard emission over documents (scan + bin concat)
     from kmerray.extras.scan import pack_emit
     timed("pack_emit", lambda: pack_emit(docs(), budget=2048).count())

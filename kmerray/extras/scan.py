@@ -210,6 +210,56 @@ def tok_quantiles(ds: "ray.data.Dataset",
     return pd.DataFrame({"q": out_q, "value": np.array(out_v, np.int64)})
 
 
+SKQ_K = 256
+SKQ_SALT = "#skq"
+
+
+def sketch_quantiles(ds: "ray.data.Dataset",
+                     qs=(0.25, 0.5, 0.75, 0.9, 0.99),
+                     k: int = SKQ_K, salt: str = SKQ_SALT) -> pd.DataFrame:
+    """Bottom-k sketch quantiles (Cohen & Kaplan, PODC 2007
+    "Summarizing data using bottom-k sketches"): keep the k rows with
+    the smallest portable md5 priority — a mergeable, partition- and
+    order-invariant uniform sample — and read quantiles off the sample
+    with :func:`tok_quantiles`' exact rank rule (smallest value whose
+    sample-cumulative count >= ceil(q * sample_size)).
+
+    Where :func:`tok_quantiles`' value-count merge is bounded by the
+    VALUE cardinality, the sketch is O(k) regardless of distribution —
+    the 100-TB path when the quantile column is high-cardinality
+    (byte offsets, float scores).  Each block contributes its k
+    smallest (the global bottom-k is a subset of the per-block
+    bottom-k's), the driver folds <= blocks x k rows; the hash makes
+    the sample deterministic and engine-portable, so the SQL oracle
+    reproduces the EXACT sample via ORDER BY md5 LIMIT k.
+
+    Output: pandas ``(q:string, value:int64)``."""
+    from .sampling import md5_lower64
+
+    def part(b: pd.DataFrame) -> pd.DataFrame:
+        ids = b["doc_id"].astype(str).to_numpy(dtype=object)
+        out = pd.DataFrame({
+            "h": md5_lower64([s + salt for s in ids]),
+            "doc_id": ids,
+            "n_tok": b["n_tok"].to_numpy().astype(np.int64)})
+        return (out.sort_values(["h", "doc_id"], kind="mergesort")
+                .head(k))
+
+    parts = ds.map_batches(part, batch_format="pandas").take_all()
+    samp = (pd.DataFrame(parts)
+            .sort_values(["h", "doc_id"], kind="mergesort")
+            .head(k))
+    vals = np.sort(samp["n_tok"].to_numpy())
+    total = len(vals)
+    out_q, out_v = [], []
+    for q in qs:
+        rank = int(np.ceil(q * total))
+        out_q.append(f"{q:g}")
+        out_v.append(int(vals[max(rank - 1, 0)]))
+    return pd.DataFrame({"q": out_q,
+                         "value": np.array(out_v, np.int64)})
+
+
 def _range_partition(scored, val_col: str, id_col: str = "doc_id",
                      n_buckets: int = 32, val_dtype=np.float64,
                      id_dtype=np.int64):

@@ -1187,6 +1187,28 @@ FROM qv, s, t WHERE s.cum >= ceil(qv.qf * t.total)
 GROUP BY qv.q"""
 
 
+def sketch_quantiles_sql(path: str, qs=(0.25, 0.5, 0.75, 0.9, 0.99),
+                         k: int = None, salt: str = None) -> str:
+    """Mirror of extras.scan.sketch_quantiles: the EXACT bottom-k
+    md5-priority sample via ORDER BY hash LIMIT k (doc_id tiebreak),
+    then the tok_quantiles rank rule over the sample."""
+    from .extras.scan import SKQ_K, SKQ_SALT
+    k = SKQ_K if k is None else k
+    salt = SKQ_SALT if salt is None else salt
+    vals = ", ".join(f"('{q:g}', {q!r})" for q in qs)
+    return f"""WITH samp AS (
+  SELECT n_tok FROM (
+    SELECT n_tok, md5_number_lower(doc_id || '{salt}') AS h, doc_id
+    FROM {_seq(path)} ORDER BY h, doc_id LIMIT {k})
+), c AS (SELECT n_tok, count(*) AS cnt FROM samp GROUP BY n_tok),
+s AS (SELECT n_tok, SUM(cnt) OVER (ORDER BY n_tok) AS cum FROM c),
+t AS (SELECT SUM(cnt) AS total FROM c),
+qv(q, qf) AS (VALUES {vals})
+SELECT qv.q AS q, CAST(min(s.n_tok) AS BIGINT) AS value
+FROM qv, s, t WHERE s.cum >= ceil(qv.qf * t.total)
+GROUP BY qv.q"""
+
+
 def decontam_sql(n: int = 3, mod: int = 10, rem: int = 7) -> str:
     """Mirror of extras.decontam: distinct word n-gram overlap of
     each train doc (doc_id % mod != rem) vs the eval slice's gram

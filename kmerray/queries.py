@@ -511,6 +511,7 @@ def registry() -> dict:
         "pack_bins": q_pack_bins,
         "rank_by_len": q_rank_by_len,
         "tok_quantiles": q_tok_quantiles,
+        "sketch_quantiles": q_sketch_quantiles,
         "grouped_quantiles": q_grouped_quantiles,
         "sample_split": q_sample_split,
         "group_sample": q_group_sample,
@@ -732,7 +733,11 @@ FROM ({oracle.pack_emit_sql(PACK_EMIT_BUDGET)})""",
 SELECT '__global__' AS scope, q, value
 FROM ({oracle.tok_quantiles_sql(path)})
 UNION ALL
-SELECT lang, q, value FROM ({oracle.grouped_quantiles_sql()})""",
+SELECT lang, q, value FROM ({oracle.grouped_quantiles_sql()})
+UNION ALL
+SELECT '__sketch__', q, value
+FROM ({oracle.sketch_quantiles_sql(path)})""",
+        "sketch_quantiles": oracle.sketch_quantiles_sql(path),
         "sampling_flags": f"""\
 SELECT CAST(0 AS BIGINT) AS variant, doc_id, lang, bucket, split
 FROM ({oracle.sample_split_sql()})
@@ -2228,11 +2233,20 @@ def q_scan_features(sf_dir: str):
             .union(emitted.map_batches(pad_e, batch_format="pandas")))
 
 
+def q_sketch_quantiles(sf_dir: str):
+    """Bottom-k sketch quantiles of n_tok — the O(k) mergeable-sample
+    path for high-cardinality quantile columns."""
+    from .extras.scan import sketch_quantiles
+    return sketch_quantiles(_seq(sf_dir, ["doc_id", "n_tok"]))
+
+
 def q_quantiles_all(sf_dir: str):
     """Exact global token quantiles (scope '__global__') UNION exact
-    per-lang n_chars quantiles (scope = lang)."""
+    per-lang n_chars quantiles (scope = lang) UNION the bottom-k
+    sketch estimate of the global quantiles (scope '__sketch__')."""
     glob = _as_ds(q_tok_quantiles(sf_dir))
     grouped = _as_ds(q_grouped_quantiles(sf_dir))
+    sk = _as_ds(q_sketch_quantiles(sf_dir))
 
     def pad_g(b: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame({
@@ -2243,8 +2257,14 @@ def q_quantiles_all(sf_dir: str):
         return pd.DataFrame({"scope": b["lang"], "q": b["q"],
                              "value": b["value"]})
 
+    def pad_k(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "scope": np.full(len(b), "__sketch__", dtype=object),
+            "q": b["q"], "value": b["value"]})
+
     return (glob.map_batches(pad_g, batch_format="pandas")
-            .union(grouped.map_batches(pad_l, batch_format="pandas")))
+            .union(grouped.map_batches(pad_l, batch_format="pandas"))
+            .union(sk.map_batches(pad_k, batch_format="pandas")))
 
 
 def q_weighted_sample(sf_dir: str):

@@ -556,3 +556,48 @@ def test_weighted_priority_sample_small_n(ray_session):
                           np.array([1, 2, 3, 7, 9]))
     assert np.array_equal(out["est"].to_numpy(),
                           out["w"].to_numpy().astype(np.float64))
+
+
+@pytest.mark.parametrize("seed", [0, 3])
+def test_sketch_quantiles_matches_scalar(ray_session, seed):
+    """Bottom-k sketch vs a scalar reference (same hash, same rank
+    rule), invariant to block splits; with k >= n the sketch must
+    equal the exact quantiles."""
+    import hashlib
+
+    import ray.data
+
+    from kmerray.extras.scan import SKQ_SALT, sketch_quantiles
+
+    rng = np.random.default_rng(seed)
+    n, k = 300, 64
+    ids = np.array([f"d{i}" for i in rng.choice(10_000, n, False)],
+                   dtype=object)
+    ntok = rng.integers(1, 2_000, size=n)
+
+    def h64(s):
+        return int.from_bytes(hashlib.md5(s.encode()).digest()[8:16],
+                              "little")
+
+    order = sorted(range(n), key=lambda i: (h64(ids[i] + SKQ_SALT),
+                                            ids[i]))
+    samp = np.sort(ntok[order[:k]])
+    qs = (0.25, 0.5, 0.75, 0.9, 0.99)
+    exp = pd.DataFrame({
+        "q": [f"{q:g}" for q in qs],
+        "value": np.array([samp[int(np.ceil(q * k)) - 1] for q in qs],
+                          dtype=np.int64)})
+
+    df = pd.DataFrame({"doc_id": ids, "n_tok": ntok})
+    cuts = np.sort(rng.choice(np.arange(1, n), size=4, replace=False))
+    ds = ray.data.from_pandas(
+        [p.reset_index(drop=True) for p in np.split(df, cuts)])
+    out = sketch_quantiles(ds, qs=qs, k=k)
+    pd.testing.assert_frame_equal(out, exp)
+
+    # k >= n: the "sketch" is the whole population -> exact quantiles
+    full = sketch_quantiles(ray.data.from_pandas(df), qs=qs, k=n + 10)
+    sv = np.sort(ntok)
+    exact = np.array([sv[int(np.ceil(q * n)) - 1] for q in qs],
+                     dtype=np.int64)
+    assert np.array_equal(full["value"].to_numpy(), exact)
