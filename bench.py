@@ -248,6 +248,10 @@ def run_bench() -> dict:
     from kmerray.extras.decontam import decontam_frac_pipeline
     timed("decontam_frac",
           lambda: decontam_frac_pipeline(docs()).count())
+    # r5: the Bloom-bitmap broadcast + bucketed exact-confirm path
+    from kmerray.extras.decontam import bloom_decontam_pipeline
+    timed("bloom_decontam",
+          lambda: bloom_decontam_pipeline(docs()).count())
     from kmerray.extras.text import bigram_stats
     timed("bigram_stats", lambda: bigram_stats(
         docs_half(), min_count=5).count())

@@ -214,3 +214,147 @@ def decontam_spans_pipeline(ds: "ray.data.Dataset",
             "scrubbed": scrubbed.to_pandas()})
 
     return ds.map_batches(_scrub, batch_format="pandas")
+
+
+# --- Bloom-prefilter decontamination: the memory-bounded scale path -
+
+BLOOM_M = 1 << 20          # bitmap bits (128 KiB packed)
+BLOOM_J = 4                # hash probes per key
+_GRAM_B = 64               # gram-key exchange buckets
+_DOC_B = 32                # doc-id merge buckets
+
+
+def _bloom_positions(keys: np.ndarray, m: int, j: int) -> np.ndarray:
+    """Double-hashed bit positions (Kirsch & Mitzenmacher 2006): the
+    64-bit gram key supplies both strides, h2 forced odd so the probe
+    sequence never degenerates."""
+    h1 = keys % np.uint64(m)
+    h2 = ((keys >> np.uint64(32)) | np.uint64(1)) % np.uint64(m)
+    return np.concatenate([(h1 + np.uint64(i) * h2) % np.uint64(m)
+                           for i in range(j)])
+
+
+def bloom_build(ds: "ray.data.Dataset", n: int = NGRAM,
+                m: int = BLOOM_M, j: int = BLOOM_J) -> np.ndarray:
+    """Packed m-bit Bloom bitmap over the eval slice's distinct gram
+    keys.  Each block contributes a FIXED m/8-byte partial regardless
+    of corpus size (the HLL/count-min combiner discipline) and the OR
+    merge is order/partition-invariant, so the driver folds
+    O(blocks) x 128 KiB — never the gram set itself."""
+    def part(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b["doc_id"].to_numpy() % EVAL_MOD == EVAL_REM]
+        _, gk = _gram_keys(b["text"], n)
+        bits = np.zeros(m, dtype=bool)
+        if len(gk):
+            bits[_bloom_positions(np.unique(gk), m, j)] = True
+        return pd.DataFrame({"part": [np.packbits(bits).tobytes()]})
+
+    parts = ds.map_batches(part, batch_format="pandas").take_all()
+    acc = np.zeros(m // 8, dtype=np.uint8)
+    for r in parts:
+        acc |= np.frombuffer(r["part"], dtype=np.uint8)
+    return acc
+
+
+def bloom_decontam_pipeline(ds: "ray.data.Dataset", n: int = NGRAM,
+                            m: int = BLOOM_M,
+                            j: int = BLOOM_J) -> "ray.data.Dataset":
+    """Decontamination when the eval gram set itself is too big to
+    broadcast (multi-suite eval unions at web-crawl gram counts) —
+    the two-tier filter a 100-TB pipeline actually ships:
+
+    1. a 128-KiB Bloom bitmap of the eval grams is broadcast instead
+       of the gram set (:func:`bloom_build`; ~10^4x smaller);
+    2. the probe pass drops every train gram the bitmap rejects —
+       Bloom has NO false negatives, so nothing true is lost, and
+       only the ~fp-rate survivors ride the exchange;
+    3. the survivors are exact-confirmed against the true eval grams
+       in ONE gram-key-bucketed exchange (no broadcast of the gram
+       set, no all-to-all of the corpus grams — the shuffle carries
+       eval grams + Bloom survivors only);
+    4. per-doc hit partials fold in a doc-bucketed merge with a
+       zero baseline so clean docs keep their row.
+
+    Same output contract as :func:`decontam_pipeline` —
+    ``(doc_id, n_hits:int64, contaminated:bool)`` — and the SAME SQL
+    oracle certifies both paths (integer surface, no floats).
+    """
+    bloom_ref = ray.put(bloom_build(ds, n, m, j))
+
+    def emit(b: pd.DataFrame) -> pd.DataFrame:
+        packed = ray.get(bloom_ref)
+        bits = np.unpackbits(packed).view(bool)
+        is_eval = b["doc_id"].to_numpy() % EVAL_MOD == EVAL_REM
+        ev = b[is_eval]
+        tr = b[~is_eval].reset_index(drop=True)
+        frames = []
+        _, egk = _gram_keys(ev["text"], n)
+        egk = np.unique(egk)
+        if len(egk):
+            frames.append(pd.DataFrame({
+                "gb": (egk % np.uint64(_GRAM_B)).astype(np.int64),
+                "kind": np.zeros(len(egk), np.int64),
+                "key": egk,
+                "doc_id": np.full(len(egk), -1, np.int64)}))
+        rowid, gk = _gram_keys(tr["text"], n)
+        drow, dk = _distinct_per_row(rowid, gk)
+        if len(dk):
+            # Bloom prefilter: all j probes must hit
+            ok = np.ones(len(dk), dtype=bool)
+            pos = _bloom_positions(dk, m, j).reshape(j, -1)
+            for i in range(j):
+                ok &= bits[pos[i]]
+            drow, dk = drow[ok], dk[ok]
+        if len(dk):
+            frames.append(pd.DataFrame({
+                "gb": (dk % np.uint64(_GRAM_B)).astype(np.int64),
+                "kind": np.ones(len(dk), np.int64),
+                "key": dk,
+                "doc_id": tr["doc_id"].to_numpy()[drow].astype(np.int64),
+            }))
+        if not frames:
+            return pd.DataFrame({"gb": np.array([], np.int64),
+                                 "kind": np.array([], np.int64),
+                                 "key": np.array([], np.uint64),
+                                 "doc_id": np.array([], np.int64)})
+        return pd.concat(frames, ignore_index=True)
+
+    def confirm(g: pd.DataFrame) -> pd.DataFrame:
+        ev = np.unique(g.loc[g["kind"].to_numpy() == 0, "key"]
+                       .to_numpy().astype(np.uint64))
+        cand = g[g["kind"].to_numpy() == 1]
+        keys = cand["key"].to_numpy().astype(np.uint64)
+        if len(ev) and len(keys):
+            p = np.searchsorted(ev, keys)
+            hit = (p < len(ev)) & (ev[np.minimum(p, len(ev) - 1)] == keys)
+        else:
+            hit = np.zeros(len(keys), dtype=bool)
+        hits = (cand.loc[hit, ["doc_id"]]
+                .groupby("doc_id", as_index=False).size()
+                .rename(columns={"size": "h"}))
+        hits["h"] = hits["h"].astype(np.int64)
+        hits["db"] = (hits["doc_id"].to_numpy() % _DOC_B).astype(np.int64)
+        return hits[["db", "doc_id", "h"]]
+
+    confirmed = (ds.map_batches(emit, batch_format="pandas")
+                 .groupby("gb").map_groups(confirm,
+                                           batch_format="pandas"))
+
+    def baseline(b: pd.DataFrame) -> pd.DataFrame:
+        ids = b["doc_id"].to_numpy()
+        ids = ids[ids % EVAL_MOD != EVAL_REM].astype(np.int64)
+        return pd.DataFrame({"db": (ids % _DOC_B).astype(np.int64),
+                             "doc_id": ids,
+                             "h": np.zeros(len(ids), np.int64)})
+
+    base = ds.map_batches(baseline, batch_format="pandas")
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        out = (g.groupby("doc_id", as_index=False)["h"].sum()
+               .rename(columns={"h": "n_hits"}))
+        out["n_hits"] = out["n_hits"].astype(np.int64)
+        out["contaminated"] = out["n_hits"] > 0
+        return out[["doc_id", "n_hits", "contaminated"]]
+
+    return (confirmed.union(base)
+            .groupby("db").map_groups(fold, batch_format="pandas"))

@@ -484,6 +484,7 @@ def registry() -> dict:
         "source_overlap": q_source_overlap,
         "decontam": q_decontam,
         "decontam_frac": q_decontam_frac,
+        "bloom_decontam": q_bloom_decontam,
         "ann_topk": q_ann_topk,
         "seed_topk": q_seed_topk,
         "dedup_incremental": q_dedup_incremental,
@@ -709,7 +710,12 @@ SELECT CAST(0 AS BIGINT) AS variant, doc_id, n_hits,
 FROM ({oracle.decontam_sql()})
 UNION ALL
 SELECT CAST(1 AS BIGINT), doc_id, n_hits, n_grams, frac
-FROM ({oracle.decontam_frac_sql()})""",
+FROM ({oracle.decontam_frac_sql()})
+UNION ALL
+SELECT CAST(2 AS BIGINT), doc_id, n_hits,
+       CAST(contaminated AS BIGINT), CAST(0.0 AS DOUBLE)
+FROM ({oracle.decontam_sql()})""",
+        "bloom_decontam": oracle.decontam_sql(),
         "seed_topk": oracle.seed_topk_sql(SEED_MOD, SEED_TOPK_K),
         "ann_topk2": f"""\
 SELECT CAST(0 AS BIGINT) AS variant, qid AS a, vec_id AS b
@@ -1558,9 +1564,12 @@ def q_decontam_frac(sf_dir: str):
 
 def q_decontam2(sf_dir: str):
     """Decontamination family: contaminated flag (variant 0) UNION
-    the GPT-3-style per-doc overlap-fraction report (variant 1)."""
+    the GPT-3-style per-doc overlap-fraction report (variant 1) UNION
+    the Bloom-prefilter scale path (variant 2 — same surface as
+    variant 0 through a bitmap-broadcast + bucketed exact confirm)."""
     flag = q_decontam(sf_dir)
     frac = q_decontam_frac(sf_dir)
+    bloom = q_bloom_decontam(sf_dir)
 
     def pad_f(b: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame({
@@ -1578,8 +1587,24 @@ def q_decontam2(sf_dir: str):
             "v2": b["n_grams"].astype(np.int64),
             "vf": b["frac"].astype(np.float64)})
 
+    def pad_b(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "variant": _const_i64(len(b), 2),
+            "doc_id": b["doc_id"].astype(np.int64),
+            "n_hits": b["n_hits"].astype(np.int64),
+            "v2": b["contaminated"].astype(np.int64),
+            "vf": np.zeros(len(b))})
+
     return (flag.map_batches(pad_f, batch_format="pandas")
-            .union(frac.map_batches(pad_r, batch_format="pandas")))
+            .union(frac.map_batches(pad_r, batch_format="pandas"))
+            .union(bloom.map_batches(pad_b, batch_format="pandas")))
+
+
+def q_bloom_decontam(sf_dir: str):
+    """Bloom-prefilter decontamination — the no-broadcast scale path;
+    same integer surface and SQL oracle as q_decontam."""
+    from .extras.decontam import bloom_decontam_pipeline
+    return bloom_decontam_pipeline(_docs(sf_dir))
 
 
 def q_dedup_incremental(sf_dir: str):

@@ -601,3 +601,61 @@ def test_sketch_quantiles_matches_scalar(ray_session, seed):
     exact = np.array([sv[int(np.ceil(q * n)) - 1] for q in qs],
                      dtype=np.int64)
     assert np.array_equal(full["value"].to_numpy(), exact)
+
+
+def test_bloom_decontam_equals_broadcast(ray_session):
+    """The Bloom-prefilter path must produce the broadcast path's
+    exact surface (no false negatives by construction; false
+    positives die in the exact confirm) on a corpus with planted
+    eval overlaps, across uneven block splits."""
+    import ray.data
+
+    from kmerray.extras.decontam import (EVAL_MOD, EVAL_REM,
+                                         bloom_decontam_pipeline,
+                                         decontam_pipeline)
+
+    rng = np.random.default_rng(7)
+    vocab = np.array([f"w{i}" for i in range(50)], dtype=object)
+    n = 60
+    ids = np.arange(n, dtype=np.int64)
+    texts = [" ".join(rng.choice(vocab, size=int(rng.integers(2, 30))))
+             for _ in range(n)]
+    # plant: train doc 0 copies a 5-word span of an eval doc
+    ev_id = int(np.flatnonzero(ids % EVAL_MOD == EVAL_REM)[0])
+    texts[0] = texts[ev_id].split(" ", 1)[0] + " " + texts[ev_id]
+    df = pd.DataFrame({"doc_id": ids, "text": texts})
+    cuts = [17, 31, 44]
+    ds = ray.data.from_pandas(
+        [p.reset_index(drop=True) for p in np.split(df, cuts)])
+
+    def norm(d):
+        return (d.to_pandas().sort_values("doc_id")
+                .reset_index(drop=True))
+
+    a = norm(decontam_pipeline(ds))
+    b = norm(bloom_decontam_pipeline(ds))
+    pd.testing.assert_frame_equal(a, b)
+    assert a["contaminated"].any()      # the plant registered
+
+
+def test_bloom_positions_deterministic_and_small_m(ray_session):
+    """Tiny m forces false positives; the exact confirm must still
+    kill them all (paths with m=64 bits == broadcast truth)."""
+    import ray.data
+
+    from kmerray.extras.decontam import (bloom_decontam_pipeline,
+                                         decontam_pipeline)
+
+    rng = np.random.default_rng(11)
+    vocab = np.array([f"t{i}" for i in range(30)], dtype=object)
+    df = pd.DataFrame({
+        "doc_id": np.arange(40, dtype=np.int64),
+        "text": [" ".join(rng.choice(vocab,
+                                     size=int(rng.integers(3, 12))))
+                 for _ in range(40)]})
+    ds = ray.data.from_pandas(df)
+    a = (decontam_pipeline(ds).to_pandas()
+         .sort_values("doc_id").reset_index(drop=True))
+    b = (bloom_decontam_pipeline(ds, m=64, j=2).to_pandas()
+         .sort_values("doc_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(a, b)
