@@ -165,6 +165,11 @@ def run_bench() -> dict:
         ray.data.read_parquet(heavy_files, columns=["tokens", "ts"],
                               override_num_blocks=n_blocks), 15)))
 
+    # r5: per-read complexity QC (stateless one-pass, no shuffle)
+    from kmerray.pipelines.counter import kmer_complexity
+    timed("kmer_complexity", lambda: kmer_complexity(
+        rseq(heavy_files), 15).count())
+
     # minimizers (31, 7) exploded
     timed("min_31_7", lambda: consume(minimisers_exploded(
         rseq(), 31, 7)), repeat=2)

@@ -44,6 +44,17 @@ def global_counts_sql(path: str, k: int) -> str:
 SELECT kmer, count(*) AS cnt FROM km GROUP BY kmer"""
 
 
+def kmer_complexity_sql(path: str, k: int) -> str:
+    """Mirror of pipelines.counter.kmer_complexity: distinct/total
+    canonical k-mers per doc, ONE int64/int64 IEEE division."""
+    return f"""WITH {km_cte(path, k)}
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kmers,
+       CAST(count(DISTINCT kmer) AS BIGINT) AS n_distinct,
+       CAST(count(DISTINCT kmer) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+         AS complexity
+FROM km GROUP BY doc_id"""
+
+
 def cfv_norm_sql(path: str, k: int) -> str:
     """Nonzero normalized CFV entries (doc_id, col, freq): `col` is the
     canonical column index (rank of the canonical k-mer among all 4^k

@@ -281,3 +281,52 @@ def kmer_novelty(ds: "ray.data.Dataset", k: int, n_buckets: int = 64
     out["new_kmers"] = out["new_kmers"].astype(np.int64)
     out["day"] = out["day"].astype(np.int64)
     return out
+
+
+def kmer_complexity(ds: "ray.data.Dataset", k: int
+                    ) -> "ray.data.Dataset":
+    """Per-sequence k-mer complexity: distinct canonical k-mers over
+    total valid k-mers — the low-complexity read filter (the signal
+    behind DUST/SDUST masking, Morgulis et al. 2006, J Comput Biol
+    13(5)): repeats and homopolymer runs reuse few distinct k-mers,
+    so their ratio collapses toward 4/len while diverse sequence
+    stays near 1.  The reference counts k-mers globally
+    (/root/reference/counter/src/lib.rs:100); this is the per-read QC
+    complement a filtering pipeline thresholds on.
+
+    Scale design: stateless one-pass ``map_batches`` — totals via one
+    bincount over the row index, distincts via one unique over the
+    packed ``row<<32|kmer`` key (k <= 16 by the same packing contract
+    as the per-doc counter).  No shuffle, no state; ``complexity`` is
+    ONE int64/int64 IEEE division, bit-identical to SQL.
+
+    Sequences shorter than k emit no row (they have no valid k-mer —
+    mirroring the oracle's GROUP BY over the k-mer CTE).
+
+    Output: ``(doc_id, n_kmers:int64, n_distinct:int64,
+    complexity:double)``."""
+    if k > 16:
+        raise ValueError("row<<32|kmer packing requires k <= 16")
+
+    def per_doc(batch: pa.Table) -> pa.Table:
+        values, offsets = list_column_to_numpy(batch.column("tokens"))
+        canon, row = canonical_flat_kmers(values, offsets, k)
+        n = batch.num_rows
+        tot = np.bincount(row, minlength=n).astype(np.int64)
+        key = (row.astype(np.uint64) << np.uint64(32)) | canon
+        uk = np.unique(key)
+        dist = np.bincount((uk >> np.uint64(32)).astype(np.int64),
+                           minlength=n).astype(np.int64)
+        keep = tot > 0
+        comp = (dist[keep].astype(np.float64)
+                / tot[keep].astype(np.float64))
+        return pa.table({
+            "doc_id": batch.column("doc_id").filter(
+                pa.array(keep)),
+            "n_kmers": pa.array(tot[keep]),
+            "n_distinct": pa.array(dist[keep]),
+            "complexity": pa.array(comp),
+        })
+
+    return ds.map_batches(per_doc, batch_format="pyarrow",
+                          zero_copy_batch=True)

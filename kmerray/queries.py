@@ -453,6 +453,7 @@ def registry() -> dict:
         # composite constituents (hash-gated individually here)
         "ctr_global_counts": q_global_counts,
         "kmer_novelty": q_kmer_novelty,
+        "kmer_complexity": q_kmer_complexity,
         "bigram_stats": q_bigram_stats,
         "pmi_pairs": q_pmi_pairs,
         "asof_cov_hist": q_asof_cov_hist,
@@ -552,11 +553,17 @@ def oracle_registry(sf_dir: str = "/root/testdata/sf0.01") -> dict:
         "kmer_novelty": oracle.kmer_novelty_sql(path, K_GLOBAL),
         "ctr_all": f"""\
 SELECT CAST(0 AS BIGINT) AS variant, kmer AS a, cnt AS b,
-       CAST(0 AS BIGINT) AS c
+       CAST(0 AS BIGINT) AS c, CAST(0.0 AS DOUBLE) AS f, '' AS id
 FROM ({oracle.global_counts_sql(path, K_GLOBAL)})
 UNION ALL
-SELECT CAST(1 AS BIGINT), day, new_kmers, vocab_size
-FROM ({oracle.kmer_novelty_sql(path, K_GLOBAL)})""",
+SELECT CAST(1 AS BIGINT), day, new_kmers, vocab_size,
+       CAST(0.0 AS DOUBLE), ''
+FROM ({oracle.kmer_novelty_sql(path, K_GLOBAL)})
+UNION ALL
+SELECT CAST(2 AS BIGINT), CAST(0 AS BIGINT), n_kmers, n_distinct,
+       complexity, doc_id
+FROM ({oracle.kmer_complexity_sql(path, K_GLOBAL)})""",
+        "kmer_complexity": oracle.kmer_complexity_sql(path, K_GLOBAL),
         "cfv_norm": oracle.cfv_norm_sql(path, K_PER_DOC),
         "cfv_raw": oracle.cfv_raw_sql(path, K_RAW),
         "oligo_cgr": oracle.oligo_cgr_sql(path, K_PER_DOC),
@@ -2475,9 +2482,17 @@ def q_pmi_pairs(sf_dir: str):
     return pmi_pairs(_docs(sf_dir), min_count=BIGRAM_MIN_COUNT, dp=LM_DP)
 
 
+def q_kmer_complexity(sf_dir: str, k: int = K_GLOBAL):
+    """Per-sequence distinct/total canonical k-mer ratio — the
+    low-complexity read-QC signal."""
+    from .pipelines.counter import kmer_complexity
+    return kmer_complexity(_seq(sf_dir, ["doc_id", "tokens"]), k=k)
+
+
 def q_ctr_all(sf_dir: str):
     """Global k-mer dictionary family: exact global counts (variant 0)
-    UNION the per-day novel-k-mer discovery curve (variant 1)."""
+    UNION the per-day novel-k-mer discovery curve (variant 1) UNION
+    the per-sequence k-mer complexity QC surface (variant 2)."""
     cnts = q_global_counts(sf_dir)
 
     def pad0(b: pa.Table) -> pa.Table:
@@ -2485,17 +2500,34 @@ def q_ctr_all(sf_dir: str):
         return pa.table({
             "variant": pa.array(np.zeros(n, dtype=np.int64)),
             "a": b.column("kmer"), "b": b.column("cnt"),
-            "c": pa.array(np.zeros(n, dtype=np.int64))})
+            "c": pa.array(np.zeros(n, dtype=np.int64)),
+            "f": pa.array(np.zeros(n, dtype=np.float64)),
+            "id": pa.array(np.full(n, "", dtype=object), pa.string())})
 
     nov = q_kmer_novelty(sf_dir)
     nov_tab = pa.table({
         "variant": pa.array(np.ones(len(nov), dtype=np.int64)),
         "a": pa.array(nov["day"].to_numpy(), pa.int64()),
         "b": pa.array(nov["new_kmers"].to_numpy(), pa.int64()),
-        "c": pa.array(nov["vocab_size"].to_numpy(), pa.int64())})
+        "c": pa.array(nov["vocab_size"].to_numpy(), pa.int64()),
+        "f": pa.array(np.zeros(len(nov), dtype=np.float64)),
+        "id": pa.array([""] * len(nov), pa.string())})
+
+    def pad2(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        return pa.table({
+            "variant": pa.array(np.full(n, 2, dtype=np.int64)),
+            "a": pa.array(np.zeros(n, dtype=np.int64)),
+            "b": b.column("n_kmers"), "c": b.column("n_distinct"),
+            "f": b.column("complexity"),
+            "id": b.column("doc_id")})
+
+    cplx = q_kmer_complexity(sf_dir)
     return (cnts.map_batches(pad0, batch_format="pyarrow",
                              zero_copy_batch=True)
-            .union(ray.data.from_arrow(nov_tab)))
+            .union(ray.data.from_arrow(nov_tab))
+            .union(cplx.map_batches(pad2, batch_format="pyarrow",
+                                    zero_copy_batch=True)))
 
 
 def q_colloc2(sf_dir: str):

@@ -659,3 +659,48 @@ def test_bloom_positions_deterministic_and_small_m(ray_session):
     b = (bloom_decontam_pipeline(ds, m=64, j=2).to_pandas()
          .sort_values("doc_id").reset_index(drop=True))
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_kmer_complexity_matches_scalar(ray_session):
+    """Distinct/total canonical k-mer ratio vs a per-read scalar
+    reference; homopolymer reads must collapse toward 1/n_kmers and
+    sub-k reads must emit no row."""
+    import pyarrow as pa
+    import ray.data
+
+    from kmerray.core.encoding import canonical_flat_kmers
+    from kmerray.pipelines.counter import kmer_complexity
+
+    rng = np.random.default_rng(5)
+    k = 4
+    toks = [rng.integers(0, 4, size=int(rng.integers(1, 60)))
+            .astype(np.int32) for _ in range(30)]
+    toks.append(np.zeros(40, dtype=np.int32))        # homopolymer A*40
+    toks.append(np.array([1, 2], dtype=np.int32))    # shorter than k
+    ids = np.array([f"r{i}" for i in range(len(toks))], dtype=object)
+
+    exp = {}
+    for i, t in enumerate(toks):
+        offs = np.array([0, len(t)], dtype=np.int64)
+        kms, _ = canonical_flat_kmers(t, offs, k)
+        if len(kms):
+            exp[ids[i]] = (len(kms), len(np.unique(kms)),
+                           float(len(np.unique(kms))) / float(len(kms)))
+
+    offs = np.zeros(len(toks) + 1, dtype=np.int32)
+    np.cumsum([len(t) for t in toks], out=offs[1:])
+    tab = pa.table({
+        "doc_id": pa.array(ids, pa.string()),
+        "tokens": pa.ListArray.from_arrays(
+            pa.array(offs), pa.array(np.concatenate(toks), pa.int32()))})
+    ds = ray.data.from_arrow([tab.slice(0, 11), tab.slice(11)])
+    out = (kmer_complexity(ds, k=k).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    assert len(out) == len(exp)
+    for _, r in out.iterrows():
+        n, d, c = exp[r["doc_id"]]
+        assert (r["n_kmers"], r["n_distinct"]) == (n, d)
+        assert r["complexity"] == c
+    homo = out[out["doc_id"] == "r30"].iloc[0]
+    assert homo["n_distinct"] == 1
+    assert "r31" not in set(out["doc_id"])
