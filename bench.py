@@ -266,6 +266,9 @@ def run_bench() -> dict:
     from kmerray.extras.text import pmi_pairs
     timed("pmi_pairs", lambda: pmi_pairs(
         docs_half(), min_count=5).count())
+    # r5: vocab coverage curve (count-of-counts fold over word_counts)
+    from kmerray.extras.text import vocab_coverage
+    timed("vocab_coverage", lambda: len(vocab_coverage(docs_half())))
 
     # r3 additions over the document corpus: duplicate-window spans
     # and the unigram-LM quality proxy

@@ -1552,3 +1552,56 @@ def pmi_pairs(ds: "ray.data.Dataset", min_count: int = 5, dp: int = 4,
                              "c12": c12, "pmi": pmi})
 
     return bs.map_batches(fin, batch_format="pandas")
+
+
+VOCAB_PS = (0.5, 0.75, 0.9, 0.95, 0.99)
+
+
+def vocab_coverage(ds: "ray.data.Dataset",
+                   ps=VOCAB_PS) -> "pd.DataFrame":
+    """Vocabulary coverage curve: for each target token-mass fraction
+    p, the smallest vocabulary (words ranked count DESC, word ASC)
+    whose cumulative count reaches ``ceil(p * total_tokens)``, plus
+    the tokens it covers — the Zipf/Heaps surface that sizes a
+    tokenizer's vocab or an OOV budget before training.
+
+    Scale design: rides :func:`word_counts`' merged dictionary blocks
+    but reduces them to a COUNT-OF-COUNTS histogram per block
+    (<= distinct count values rows — thousands, not the vocabulary),
+    so the driver folds a tiny integer surface and solves each cutoff
+    in exact integer arithmetic: within the boundary tie-level every
+    word contributes the same count, so the rank is
+    ``words_above + ceil((need - mass_above)/c*)`` regardless of
+    which words tie — no word strings ever leave the cluster.
+
+    Output: pandas ``(p:string, vocab_size:int64, covered:int64)``."""
+    wc = word_counts(ds)
+
+    def ccount(b: pd.DataFrame) -> pd.DataFrame:
+        v, n = np.unique(b["cnt"].to_numpy(), return_counts=True)
+        return pd.DataFrame({"cnt": v.astype(np.int64),
+                             "nw": n.astype(np.int64)})
+
+    parts = wc.map_batches(ccount, batch_format="pandas").take_all()
+    agg: dict = {}
+    for r in parts:
+        agg[int(r["cnt"])] = agg.get(int(r["cnt"]), 0) + int(r["nw"])
+    cnts = np.array(sorted(agg, reverse=True), dtype=np.int64)
+    nw = np.array([agg[int(c)] for c in cnts], dtype=np.int64)
+    cum_mass = np.cumsum(cnts * nw)
+    cum_words = np.cumsum(nw)
+    total = int(cum_mass[-1]) if len(cum_mass) else 0
+    out_p, out_v, out_c = [], [], []
+    for p in ps:
+        need = int(np.ceil(p * total))
+        lvl = int(np.searchsorted(cum_mass, need, side="left"))
+        mass_above = int(cum_mass[lvl - 1]) if lvl else 0
+        words_above = int(cum_words[lvl - 1]) if lvl else 0
+        c = int(cnts[lvl])
+        m = -((mass_above - need) // c)        # exact integer ceil
+        out_p.append(f"{p:g}")
+        out_v.append(words_above + m)
+        out_c.append(mass_above + m * c)
+    return pd.DataFrame({"p": out_p,
+                         "vocab_size": np.array(out_v, np.int64),
+                         "covered": np.array(out_c, np.int64)})

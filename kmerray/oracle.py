@@ -420,6 +420,33 @@ FROM (SELECT doc_id, unnest(list_distinct(string_split(text, ' ')))
 GROUP BY word"""
 
 
+def vocab_coverage_sql(ps=None) -> str:
+    """Mirror of extras.text.vocab_coverage: min rank in
+    (cnt DESC, word ASC) order whose running token mass reaches
+    ceil(p * total); covered = the cumsum at that rank (min_by).
+    The engine never ranks words — its tie-level integer arithmetic
+    is provably the same rank; this window form is the readable
+    certificate."""
+    from .extras.text import VOCAB_PS
+    ps = VOCAB_PS if ps is None else ps
+    vals = ", ".join(f"('{p:g}', {p!r})" for p in ps)
+    return f"""WITH wc AS (
+  SELECT word, CAST(count(*) AS BIGINT) AS cnt
+  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+  GROUP BY word
+), r AS (
+  SELECT cnt,
+         SUM(cnt) OVER (ORDER BY cnt DESC, word) AS cum,
+         row_number() OVER (ORDER BY cnt DESC, word) AS rn
+  FROM wc
+), t AS (SELECT SUM(cnt) AS total FROM wc),
+pv(p, pf) AS (VALUES {vals})
+SELECT pv.p AS p, CAST(min(r.rn) AS BIGINT) AS vocab_size,
+       CAST(min_by(r.cum, r.rn) AS BIGINT) AS covered
+FROM pv, r, t WHERE r.cum >= ceil(pv.pf * t.total)
+GROUP BY pv.p"""
+
+
 def top_quality_per_lang_sql(k: int = 3) -> str:
     """Grouped top-k over the bit-identical quality score: row_number
     PARTITION BY lang ORDER BY quality DESC, doc_id — the same

@@ -412,7 +412,7 @@ def registry() -> dict:
         "rep_stats": q_rep_stats,
         "chunk_windows": q_chunk_windows,
         "text_rewrite": q_text_rewrite,
-        "df_counts": q_df_counts,
+        "vocab2": q_vocab2,
         "tfidf_topk": q_tfidf_topk,
         "colloc2": q_colloc2,
         "lm_logprob2": q_lm_logprob2,
@@ -506,6 +506,8 @@ def registry() -> dict:
         "whole_seq_minimiser": q_whole_seq_minimiser,
         "normalize_text": q_normalize_text,
         "stop_filter": q_stop_filter,
+        "df_counts": q_df_counts,
+        "vocab_coverage": q_vocab_coverage,
         "token_counts": q_token_counts,
         "quality": q_quality,
         "dedup_exact": q_dedup_exact,
@@ -613,6 +615,14 @@ FROM ({oracle.semdedup_sql(f"{sf_dir}/embeddings.parquet",
         "chunk_windows": oracle.chunk_windows_sql(CHUNK_W, CHUNK_S),
         "stop_filter": oracle.stop_filter_sql(),
         "df_counts": oracle.df_counts_sql(),
+        "vocab_coverage": oracle.vocab_coverage_sql(),
+        "vocab2": f"""\
+SELECT CAST(0 AS BIGINT) AS variant, word AS w, df AS a,
+       CAST(0 AS BIGINT) AS b
+FROM ({oracle.df_counts_sql()})
+UNION ALL
+SELECT CAST(1 AS BIGINT), p, vocab_size, covered
+FROM ({oracle.vocab_coverage_sql()})""",
         "top_quality_per_lang": oracle.top_quality_per_lang_sql(
             TOPK_PER_LANG),
         "normalize_text": oracle.normalize_text_sql(),
@@ -1211,6 +1221,35 @@ def q_stop_filter(sf_dir: str):
 def q_df_counts(sf_dir: str):
     from .extras.text import df_counts_pipeline
     return df_counts_pipeline(_docs(sf_dir))
+
+
+def q_vocab_coverage(sf_dir: str):
+    """Vocabulary coverage curve (tokenizer-sizing Zipf surface)."""
+    from .extras.text import vocab_coverage
+    return vocab_coverage(_docs(sf_dir))
+
+
+def q_vocab2(sf_dir: str):
+    """Word-dictionary family: per-word document frequency (variant 0)
+    UNION the vocabulary coverage curve (variant 1, w = the target
+    fraction as string)."""
+    df = q_df_counts(sf_dir)
+    vc = _as_ds(q_vocab_coverage(sf_dir))
+
+    def pad_d(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "variant": _const_i64(len(b), 0), "w": b["word"],
+            "a": b["df"].astype(np.int64),
+            "b": _const_i64(len(b), 0)})
+
+    def pad_v(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "variant": _const_i64(len(b), 1), "w": b["p"],
+            "a": b["vocab_size"].astype(np.int64),
+            "b": b["covered"].astype(np.int64)})
+
+    return (df.map_batches(pad_d, batch_format="pandas")
+            .union(vc.map_batches(pad_v, batch_format="pandas")))
 
 
 def q_top_quality_per_lang(sf_dir: str):

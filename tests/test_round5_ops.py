@@ -704,3 +704,41 @@ def test_kmer_complexity_matches_scalar(ray_session):
     homo = out[out["doc_id"] == "r30"].iloc[0]
     assert homo["n_distinct"] == 1
     assert "r31" not in set(out["doc_id"])
+
+
+@pytest.mark.parametrize("seed", [0, 2])
+def test_vocab_coverage_matches_scalar(ray_session, seed):
+    """Tie-level integer arithmetic vs a brute-force ranked cumsum
+    (count DESC, word ASC), on a Zipf-ish corpus with heavy count
+    ties, across block splits."""
+    import ray.data
+
+    from kmerray.extras.text import vocab_coverage
+
+    rng = np.random.default_rng(seed)
+    vocab = np.array([f"w{i:03d}" for i in range(80)], dtype=object)
+    pz = 1.0 / np.arange(1, 81)
+    pz /= pz.sum()
+    texts = [" ".join(rng.choice(vocab, size=int(rng.integers(3, 40)),
+                                 p=pz)) for _ in range(60)]
+    from collections import Counter
+    cnt = Counter(w for t in texts for w in t.split(" "))
+    ranked = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))
+    masses = np.cumsum([c for _, c in ranked])
+    total = int(masses[-1])
+    ps = (0.5, 0.75, 0.9, 0.95, 0.99)
+    exp_v, exp_c = [], []
+    for p in ps:
+        need = int(np.ceil(p * total))
+        rk = int(np.searchsorted(masses, need, side="left"))
+        exp_v.append(rk + 1)
+        exp_c.append(int(masses[rk]))
+
+    df = pd.DataFrame({"doc_id": np.arange(60, dtype=np.int64),
+                       "text": texts})
+    ds = ray.data.from_pandas(
+        [p.reset_index(drop=True) for p in np.split(df, [19, 33, 47])])
+    out = vocab_coverage(ds, ps=ps)
+    assert out["p"].tolist() == [f"{p:g}" for p in ps]
+    assert out["vocab_size"].tolist() == exp_v
+    assert out["covered"].tolist() == exp_c
