@@ -363,6 +363,9 @@ def run_bench() -> dict:
     timed("c4_filter", lambda: c4_filter(
         docs(), line_delim=" line ", min_words_per_line=3,
         min_lines=2, require_terminal_punct=False).count())
+    # r5: stateless byte-histogram entropy screen
+    from kmerray.extras.text import char_entropy
+    timed("char_entropy", lambda: char_entropy(docs()).count())
     timed("temperature_sample", lambda: temperature_sample(
         docs().map_batches(_with_lang, batch_format="pandas")).count())
     # r5: DLT priority sample — bottom-(k+1) mergeable partials

@@ -1605,3 +1605,59 @@ def vocab_coverage(ds: "ray.data.Dataset",
     return pd.DataFrame({"p": out_p,
                          "vocab_size": np.array(out_v, np.int64),
                          "covered": np.array(out_c, np.int64)})
+
+
+ENT_DP = 4
+ENT_MIN = 2.0
+
+
+def char_entropy(ds: "ray.data.Dataset", dp: int = ENT_DP,
+                 min_entropy: float = ENT_MIN) -> "ray.data.Dataset":
+    """Shannon character-entropy quality filter — the classic
+    gibberish/boilerplate screen (key-mash and repeated-padding pages
+    collapse toward 0 nats; natural text sits near the alphabet's
+    ~4-nat ceiling).  Complements the word-level Gopher/C4 rules with
+    a sub-word signal.
+
+    ``H = ln(N) - (sum_c n_c ln n_c) / N`` from the per-doc byte
+    histogram (ASCII corpus contract — the string-extrema convention;
+    bytes == characters).  Stateless one-pass ``map_batches``: ONE
+    ``bincount`` over ``rowid*256 + byte`` builds every histogram in
+    the batch, no Python per-row loop, no shuffle.
+
+    Float discipline: the inner sum's order differs between engines
+    (numpy ascending-byte vs SQL aggregate), so both sides round to
+    ``dp`` decimals with the tie-safe ``floor(x*10^dp + 0.5)``
+    convention (the dsir_weights rule); ``keep`` compares the ROUNDED
+    entropy so the flag can't straddle engines.  Empty docs emit no
+    row (no characters — mirroring the oracle's empty unnest).
+
+    Output: ``(doc_id, n_distinct:int64, entropy:double,
+    keep:int64)``."""
+    scale = float(10 ** dp)
+
+    def f(b: pd.DataFrame) -> pd.DataFrame:
+        texts = b["text"].to_numpy(dtype=object)
+        lens = b["text"].str.len().to_numpy().astype(np.int64)
+        flat = np.frombuffer("".join(texts).encode(), np.uint8)
+        n = len(b)
+        rowid = np.repeat(np.arange(n), lens)
+        hist = np.bincount(rowid * 256 + flat.astype(np.intp),
+                           minlength=n * 256).reshape(n, 256)
+        nz = hist > 0
+        n_distinct = nz.sum(axis=1).astype(np.int64)
+        terms = np.zeros_like(hist, dtype=np.float64)
+        h = hist[nz].astype(np.float64)
+        terms[nz] = h * np.log(h)
+        s = terms.sum(axis=1)
+        keep_row = lens > 0
+        nf = lens[keep_row].astype(np.float64)
+        ent = np.log(nf) - s[keep_row] / nf
+        ent = np.floor(ent * scale + 0.5) / scale
+        return pd.DataFrame({
+            "doc_id": b["doc_id"].to_numpy()[keep_row],
+            "n_distinct": n_distinct[keep_row],
+            "entropy": ent,
+            "keep": (ent >= min_entropy).astype(np.int64)})
+
+    return ds.map_batches(f, batch_format="pandas")

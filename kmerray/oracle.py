@@ -420,6 +420,33 @@ FROM (SELECT doc_id, unnest(list_distinct(string_split(text, ' ')))
 GROUP BY word"""
 
 
+def char_entropy_sql(dp: int = None, min_entropy: float = None) -> str:
+    """Mirror of extras.text.char_entropy: per-doc char histogram
+    entropy, tie-safe floor dp-rounding, keep compares the ROUNDED
+    value (both engines round before thresholding)."""
+    from .extras.text import ENT_DP, ENT_MIN
+    dp = ENT_DP if dp is None else dp
+    min_entropy = ENT_MIN if min_entropy is None else min_entropy
+    sc = 10 ** dp
+    return f"""WITH ch AS (
+  SELECT doc_id, unnest(string_split(text, '')) AS c
+  FROM documents WHERE text <> ''
+), g AS (
+  SELECT doc_id, c, CAST(count(*) AS BIGINT) AS n
+  FROM ch GROUP BY doc_id, c
+), t AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_distinct,
+         CAST(sum(n) AS DOUBLE) AS nn, SUM(n * ln(n)) AS s
+  FROM g GROUP BY doc_id
+), e AS (
+  SELECT doc_id, n_distinct,
+         floor((ln(nn) - s / nn) * {sc} + 0.5) / {sc} AS entropy
+  FROM t)
+SELECT doc_id, n_distinct, entropy,
+       CAST(entropy >= {min_entropy!r} AS BIGINT) AS keep
+FROM e"""
+
+
 def vocab_coverage_sql(ps=None) -> str:
     """Mirror of extras.text.vocab_coverage: min rank in
     (cnt DESC, word ASC) order whose running token mass reaches

@@ -471,6 +471,7 @@ def registry() -> dict:
         "dup_span_scrub": q_dup_span_scrub,
         "block_dedup": q_block_dedup,
         "c4_filter": q_c4_filter,
+        "char_entropy": q_char_entropy,
         "temperature_sample": q_temperature_sample,
         "weighted_sample": q_weighted_sample,
         "quality_filter": q_quality_filter,
@@ -847,7 +848,12 @@ FROM ({oracle.quality_filter_sql(QF_KEEP_FRAC)})
 UNION ALL
 SELECT CAST(1 AS BIGINT), doc_id, n_lines, n_kept, keep, clean_text
 FROM ({oracle.c4_filter_sql(C4_DELIM, C4_MWL, C4_MIN_LINES, None,
-                            False)})""",
+                            False)})
+UNION ALL
+SELECT CAST(2 AS BIGINT), doc_id, n_distinct,
+       CAST(floor(entropy * 10000 + 0.5) AS BIGINT), keep, ''
+FROM ({oracle.char_entropy_sql()})""",
+        "char_entropy": oracle.char_entropy_sql(),
         "frame_sample": oracle.frame_sample_sql(_video_path(),
                                                 FRAME_STRIDE),
         "audio_energy": oracle.audio_energy_sql(_audio_path(),
@@ -2460,6 +2466,13 @@ def q_c4_filter(sf_dir: str):
                      require_terminal_punct=False)
 
 
+def q_char_entropy(sf_dir: str):
+    """Shannon character-entropy gibberish screen (sub-word quality
+    signal complementing the word-level Gopher/C4 rules)."""
+    from .extras.text import char_entropy
+    return char_entropy(_docs(sf_dir))
+
+
 def q_block_dedup(sf_dir: str):
     """CCNet-style corpus-level block (paragraph) dedup: global first
     occurrence of each distinct 8-word block survives, docs rewritten
@@ -2478,11 +2491,15 @@ def q_temperature_sample(sf_dir: str):
 
 
 def q_quality_filter2(sf_dir: str):
-    """Quality gating both ways: global-percentile survivor filter
+    """Quality gating three ways: global-percentile survivor filter
     (variant 0) UNION the C4 line+page cleaning rules (variant 1,
-    incl. the rewritten clean_text)."""
+    incl. the rewritten clean_text) UNION the character-entropy
+    gibberish screen (variant 2; v2 carries the dp-rounded entropy
+    scaled to an exact int — both engines floor(entropy*1e4+0.5) the
+    same bit-identical double)."""
     qf = q_quality_filter(sf_dir)
     c4 = q_c4_filter(sf_dir)
+    ce = _as_ds(q_char_entropy(sf_dir))
 
     def pad_q(b: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame({
@@ -2502,8 +2519,19 @@ def q_quality_filter2(sf_dir: str):
             "keep": b["keep"].astype(np.int64),
             "txt": b["clean_text"]})
 
+    def pad_e(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "variant": _const_i64(len(b), 2),
+            "doc_id": b["doc_id"].astype(np.int64),
+            "v1": b["n_distinct"].astype(np.int64),
+            "v2": np.floor(b["entropy"].to_numpy() * 10000.0
+                           + 0.5).astype(np.int64),
+            "keep": b["keep"].astype(np.int64),
+            "txt": np.full(len(b), "", dtype=object)})
+
     return (qf.map_batches(pad_q, batch_format="pandas")
-            .union(c4.map_batches(pad_c, batch_format="pandas")))
+            .union(c4.map_batches(pad_c, batch_format="pandas"))
+            .union(ce.map_batches(pad_e, batch_format="pandas")))
 
 
 def q_kmer_novelty(sf_dir: str):

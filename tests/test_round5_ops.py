@@ -742,3 +742,39 @@ def test_vocab_coverage_matches_scalar(ray_session, seed):
     assert out["p"].tolist() == [f"{p:g}" for p in ps]
     assert out["vocab_size"].tolist() == exp_v
     assert out["covered"].tolist() == exp_c
+
+
+def test_char_entropy_matches_scalar(ray_session):
+    """Byte-histogram entropy vs a scalar Counter reference; empty
+    docs emit no row; a homopolymer page scores 0 nats (keep=0) and
+    natural-ish text clears the 2-nat bar."""
+    import math
+    from collections import Counter
+
+    import ray.data
+
+    from kmerray.extras.text import char_entropy
+
+    texts = ["aaaaaaaaaaaaaaaa",                      # 0 nats, dropped
+             "the quick brown fox jumps over the lazy dog",
+             "",                                       # no row
+             "abababababab",                           # ln 2 < 2.0
+             "a b c d e f g h i j k l m n o p q r s"]
+    df = pd.DataFrame({"doc_id": np.arange(5, dtype=np.int64),
+                       "text": texts})
+    ds = ray.data.from_pandas(
+        [p.reset_index(drop=True) for p in np.split(df, [2, 3])])
+    out = _pdf(char_entropy(ds))
+
+    assert out["doc_id"].tolist() == [0, 1, 3, 4]
+    for _, row in out.iterrows():
+        t = texts[int(row["doc_id"])]
+        cnt = Counter(t)
+        n = len(t)
+        ent = math.log(n) - sum(c * math.log(c)
+                                for c in cnt.values()) / n
+        ent = math.floor(ent * 1e4 + 0.5) / 1e4
+        assert row["n_distinct"] == len(cnt)
+        assert row["entropy"] == ent
+        assert row["keep"] == int(ent >= 2.0)
+    assert out.set_index("doc_id")["keep"].tolist() == [0, 1, 0, 1]
