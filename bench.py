@@ -366,6 +366,10 @@ def run_bench() -> dict:
     # r5: stateless byte-histogram entropy screen
     from kmerray.extras.text import char_entropy
     timed("char_entropy", lambda: char_entropy(docs()).count())
+    # r5b: certified Misra-Gries heavy hitters (two streaming passes,
+    # zero word-keyed exchange)
+    from kmerray.extras.sketch import mg_topwords
+    timed("mg_topwords", lambda: len(mg_topwords(docs())))
     timed("temperature_sample", lambda: temperature_sample(
         docs().map_batches(_with_lang, batch_format="pandas")).count())
     # r5: DLT priority sample — bottom-(k+1) mergeable partials

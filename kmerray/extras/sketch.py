@@ -182,3 +182,118 @@ def cms_word_counts(ds: "ray.data.Dataset",
         for r, blob in zip(rows, blobs):
             regs[r] += np.frombuffer(blob, np.int64)
     return regs
+
+
+# ---------------------------------------------------------------------------
+# Misra-Gries certified heavy hitters
+# ---------------------------------------------------------------------------
+
+MG_M = 4096        # summary capacity (per block and at the merge)
+MG_TOPK = 10
+
+
+def mg_summary(words: np.ndarray, counts: np.ndarray,
+               m: int = MG_M) -> tuple:
+    """Collapse an exact (word, count) table to a Misra-Gries summary
+    of at most ``m`` entries (Misra & Gries 1982 via the mergeable-
+    summaries reduction of Agarwal et al. 2012): subtract ``delta`` =
+    the (m+1)-th largest count and keep the strictly positive
+    residuals.  Every kept residual underestimates the true count by
+    at most ``delta``, and any dropped word had count <= ``delta``.
+
+    Returns ``(words, residual_counts, delta)``."""
+    if len(words) <= m:
+        return words, counts, 0
+    part = np.partition(counts, len(counts) - (m + 1))
+    delta = int(part[len(counts) - (m + 1)])
+    keep = counts > delta
+    return words[keep], (counts[keep] - delta).astype(np.int64), delta
+
+
+def mg_merge(parts: "pd.DataFrame", m: int = MG_M) -> tuple:
+    """Fold per-block MG partials (columns ``word``/``c``; one
+    sentinel row per block with ``word`` None carrying that block's
+    subtracted delta) into a single summary.  Returns
+    ``(merged: Series word->residual, D: int)`` where ``D`` bounds the
+    total undercount: for EVERY word, ``true - D <= residual <= true``
+    (absent words have residual 0), so any word with true count > D
+    is guaranteed to survive."""
+    sent = parts["word"].isna()
+    d_blocks = int(parts.loc[sent, "c"].sum())
+    merged = parts.loc[~sent].groupby("word")["c"].sum()
+    d_merge = 0
+    if len(merged) > m:
+        vals = merged.to_numpy()
+        part = np.partition(vals, len(vals) - (m + 1))
+        d_merge = int(part[len(vals) - (m + 1)])
+        merged = merged[merged > d_merge] - d_merge
+    return merged, d_blocks + d_merge
+
+
+def mg_topwords(ds: "ray.data.Dataset", k: int = MG_TOPK,
+                m: int = MG_M) -> "pd.DataFrame":
+    """Exact global top-``k`` words WITHOUT any word-keyed exchange —
+    the heavy-hitter scale path past even :func:`word_counts`' vocab-
+    sized shuffle (the bloom_decontam discipline applied to top-k):
+
+    1. Each block emits a fixed <= (m+1)-row Misra-Gries partial (its
+       exact block counts collapsed by :func:`mg_summary`) — the
+       driver folds <= blocks x (m+1) rows, never the vocabulary.
+    2. The fold's error certificate D bounds every undercount, so the
+       survivor set provably contains every word with true count > D.
+    3. The <= m candidates broadcast once (``ray.put``); a second
+       streaming pass counts ONLY candidate occurrences per block and
+       the driver folds <= blocks x |C| scalars — exact counts.
+    4. Certificate check: if the exact k-th candidate count > D the
+       top-k is PROVABLY exact (any non-candidate has true count
+       <= D); on the (adversarially flat) corpora where it fails, fall
+       back to :func:`..text.exact_topk_words`' vocab-exchange path —
+       the op is therefore unconditionally exact.
+
+    Ties break (cnt DESC, word ASC) — the cms gate's contract.
+    Output: pandas ``(word, cnt:int64, rank:int64)``."""
+    import ray as _ray
+    from .text import exact_topk_words, flat_words
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        vals, _ = flat_words(b["text"])
+        uniq, cnt = np.unique(vals, return_counts=True)
+        w, c, d = mg_summary(uniq.astype(object), cnt.astype(np.int64), m)
+        out = pd.DataFrame({"word": w, "c": c})
+        sent = pd.DataFrame({"word": np.array([None], dtype=object),
+                             "c": np.array([d], dtype=np.int64)})
+        return pd.concat([out, sent], ignore_index=True)
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    merged, err = mg_merge(parts, m)
+    cand = np.sort(merged.index.to_numpy(dtype=object))
+    if len(cand) == 0:               # fully flat corpus: no survivors
+        top = exact_topk_words(ds, k)
+        return pd.DataFrame({
+            "word": top["word"].to_numpy(object),
+            "cnt": top["cnt"].to_numpy(np.int64),
+            "rank": np.arange(1, len(top) + 1, dtype=np.int64)})
+    cand_ref = _ray.put(cand)
+
+    def confirm(b: pd.DataFrame) -> pd.DataFrame:
+        cs = _ray.get(cand_ref)
+        vals, _ = flat_words(b["text"])
+        idx = np.searchsorted(cs, vals)
+        idx[idx == len(cs)] = 0
+        hit = cs[idx] == vals
+        u, c = np.unique(idx[hit], return_counts=True)
+        return pd.DataFrame({"word": cs[u], "c": c.astype(np.int64)})
+
+    ex = (ds.map_batches(confirm, batch_format="pandas").to_pandas()
+            .groupby("word", as_index=False)["c"].sum())
+    ex = ex.sort_values(["c", "word"], ascending=[False, True]).head(k)
+    if len(ex) < k or int(ex["c"].iloc[-1]) <= err:
+        top = exact_topk_words(ds, k)          # certificate failed
+        return pd.DataFrame({
+            "word": top["word"].to_numpy(object),
+            "cnt": top["cnt"].to_numpy(np.int64),
+            "rank": np.arange(1, len(top) + 1, dtype=np.int64)})
+    return pd.DataFrame({
+        "word": ex["word"].to_numpy(object),
+        "cnt": ex["c"].to_numpy(np.int64),
+        "rank": np.arange(1, len(ex) + 1, dtype=np.int64)})

@@ -447,6 +447,20 @@ SELECT doc_id, n_distinct, entropy,
 FROM e"""
 
 
+def mg_topwords_sql(k: int) -> str:
+    """Mirror of extras.sketch.mg_topwords: the certified Misra-Gries
+    two-pass result IS the exact top-k (the certificate guarantees
+    it), so the oracle is the plain exact ranking with the same
+    (cnt DESC, word ASC) tie order."""
+    return f"""SELECT word, cnt, rank FROM (
+  SELECT word, CAST(count(*) AS BIGINT) AS cnt,
+         CAST(row_number() OVER (ORDER BY count(*) DESC, word)
+              AS BIGINT) AS rank
+  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+  GROUP BY word)
+WHERE rank <= {k}"""
+
+
 def vocab_coverage_sql(ps=None) -> str:
     """Mirror of extras.text.vocab_coverage: min rank in
     (cnt DESC, word ASC) order whose running token mass reaches

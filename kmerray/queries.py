@@ -500,6 +500,7 @@ def registry() -> dict:
         "hll_users": q_hll_users,
         "feature_hash": q_feature_hash,
         "cms_topwords": q_cms_topwords,
+        "mg_topwords": q_mg_topwords,
         "bpe_merges": q_bpe_merges,
         "bpe_encode": q_bpe_encode,
         "cfv_raw": q_cfv_raw,
@@ -623,7 +624,11 @@ SELECT CAST(0 AS BIGINT) AS variant, word AS w, df AS a,
 FROM ({oracle.df_counts_sql()})
 UNION ALL
 SELECT CAST(1 AS BIGINT), p, vocab_size, covered
-FROM ({oracle.vocab_coverage_sql()})""",
+FROM ({oracle.vocab_coverage_sql()})
+UNION ALL
+SELECT CAST(2 AS BIGINT), word, cnt, rank
+FROM ({oracle.mg_topwords_sql(CMS_TOPK)})""",
+        "mg_topwords": oracle.mg_topwords_sql(CMS_TOPK),
         "top_quality_per_lang": oracle.top_quality_per_lang_sql(
             TOPK_PER_LANG),
         "normalize_text": oracle.normalize_text_sql(),
@@ -1235,12 +1240,21 @@ def q_vocab_coverage(sf_dir: str):
     return vocab_coverage(_docs(sf_dir))
 
 
+def q_mg_topwords(sf_dir: str):
+    """Certified Misra-Gries heavy hitters: exact top-k words with NO
+    word-keyed exchange (per-block MG partials + candidate confirm)."""
+    from .extras.sketch import mg_topwords
+    return mg_topwords(_docs(sf_dir), k=CMS_TOPK)
+
+
 def q_vocab2(sf_dir: str):
     """Word-dictionary family: per-word document frequency (variant 0)
     UNION the vocabulary coverage curve (variant 1, w = the target
-    fraction as string)."""
+    fraction as string) UNION the certified Misra-Gries exact top-k
+    (variant 2, b = rank)."""
     df = q_df_counts(sf_dir)
     vc = _as_ds(q_vocab_coverage(sf_dir))
+    mg = _as_ds(q_mg_topwords(sf_dir))
 
     def pad_d(b: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame({
@@ -1254,8 +1268,15 @@ def q_vocab2(sf_dir: str):
             "a": b["vocab_size"].astype(np.int64),
             "b": b["covered"].astype(np.int64)})
 
+    def pad_m(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "variant": _const_i64(len(b), 2), "w": b["word"],
+            "a": b["cnt"].astype(np.int64),
+            "b": b["rank"].astype(np.int64)})
+
     return (df.map_batches(pad_d, batch_format="pandas")
-            .union(vc.map_batches(pad_v, batch_format="pandas")))
+            .union(vc.map_batches(pad_v, batch_format="pandas"))
+            .union(mg.map_batches(pad_m, batch_format="pandas")))
 
 
 def q_top_quality_per_lang(sf_dir: str):

@@ -27,7 +27,9 @@ FAST = ["kmer_counts_per_doc", "whole_seq_minimiser", "lag_lead",
         "dedup_incremental", "decontam_frac", "seed_topk", "pack_emit",
         "data_profile", "bigram_logprob", "kmer_novelty", "pmi_pairs",
         "weighted_sample", "sketch_quantiles", "bloom_decontam",
-        "kmer_complexity", "vocab_coverage", "char_entropy"]
+        "kmer_complexity", "vocab_coverage", "char_entropy",
+        # round-5b ops
+        "mg_topwords"]
 
 pytestmark = pytest.mark.skipif(not os.path.exists(SF),
                                 reason="driver testdata unavailable")

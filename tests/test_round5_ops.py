@@ -778,3 +778,71 @@ def test_char_entropy_matches_scalar(ray_session):
         assert row["entropy"] == ent
         assert row["keep"] == int(ent >= 2.0)
     assert out.set_index("doc_id")["keep"].tolist() == [0, 1, 0, 1]
+
+
+# ---------------------------------------------------------------------------
+# Misra-Gries certified heavy hitters
+# ---------------------------------------------------------------------------
+
+def test_mg_summary_bounds():
+    """Every survivor underestimates by exactly delta; drops <= delta;
+    survivor count <= m."""
+    from kmerray.extras.sketch import mg_summary
+    rng = np.random.default_rng(7)
+    cnt = rng.integers(1, 100, size=50).astype(np.int64)
+    words = np.array([f"w{i}" for i in range(50)], dtype=object)
+    w, c, d = mg_summary(words, cnt, m=8)
+    assert len(w) <= 8 and d > 0
+    lut = dict(zip(w, c))
+    for word, true in zip(words, cnt):
+        res = lut.get(word, 0)
+        assert res <= true <= res + d
+
+
+def test_mg_topwords_matches_scalar(ray_session):
+    """Skewed corpus across uneven blocks: MG sketch path == Counter
+    brute force with the (cnt DESC, word ASC) tie order."""
+    from collections import Counter
+
+    import ray.data
+
+    from kmerray.extras.sketch import mg_topwords
+    rng = np.random.default_rng(11)
+    vocab = [f"tok{i:03d}" for i in range(200)]
+    # Zipf-ish skew so the certificate holds even with m=32
+    probs = 1.0 / np.arange(1, 201)
+    probs /= probs.sum()
+    texts = [" ".join(rng.choice(vocab, size=int(n), p=probs))
+             for n in rng.integers(5, 60, size=40)]
+    docs = pd.DataFrame({"doc_id": np.arange(40, dtype=np.int64),
+                         "text": texts})
+    ds = ray.data.from_pandas([docs.iloc[:7], docs.iloc[7:25],
+                               docs.iloc[25:]])
+    out = mg_topwords(ds, k=5, m=32)
+    c = Counter(w for t in texts for w in t.split(" "))
+    ref = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
+    assert list(out["word"]) == [w for w, _ in ref]
+    assert list(out["cnt"]) == [n for _, n in ref]
+    assert list(out["rank"]) == [1, 2, 3, 4, 5]
+
+
+def test_mg_topwords_flat_fallback(ray_session):
+    """Adversarially flat corpus with a tiny summary: the certificate
+    must fail and the exact vocab-exchange fallback still returns the
+    exact top-k."""
+    from collections import Counter
+
+    import ray.data
+
+    from kmerray.extras.sketch import mg_topwords
+    # 30 words, every count equal -> kth count can never exceed D
+    texts = [" ".join(f"w{j:02d}" for j in range(30)) for _ in range(6)]
+    docs = pd.DataFrame({"doc_id": np.arange(6, dtype=np.int64),
+                         "text": texts})
+    ds = ray.data.from_pandas([docs.iloc[:2], docs.iloc[2:4],
+                               docs.iloc[4:]])
+    out = mg_topwords(ds, k=4, m=2)
+    c = Counter(w for t in texts for w in t.split(" "))
+    ref = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:4]
+    assert list(out["word"]) == [w for w, _ in ref]
+    assert list(out["cnt"]) == [n for _, n in ref]
