@@ -370,6 +370,10 @@ def run_bench() -> dict:
     # zero word-keyed exchange)
     from kmerray.extras.sketch import mg_topwords
     timed("mg_topwords", lambda: len(mg_topwords(docs())))
+    # r5b: BM25 query-set retrieval (two streaming passes, driver
+    # folds <= blocks x |Q| x k rows)
+    from kmerray.extras.text import bm25_topk
+    timed("bm25_topk", lambda: len(bm25_topk(docs())))
     timed("temperature_sample", lambda: temperature_sample(
         docs().map_batches(_with_lang, batch_format="pandas")).count())
     # r5: DLT priority sample — bottom-(k+1) mergeable partials

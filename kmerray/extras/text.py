@@ -1661,3 +1661,123 @@ def char_entropy(ds: "ray.data.Dataset", dp: int = ENT_DP,
             "keep": (ent >= min_entropy).astype(np.int64)})
 
     return ds.map_batches(f, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# BM25 retrieval scoring
+# ---------------------------------------------------------------------------
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_DP = 4
+BM25_TOPK = 10
+BM25_QUERIES = (("q0", ("sort", "merge", "join")),
+                ("q1", ("window", "scan")),
+                ("q2", ("customer", "filter", "key", "data")))
+
+
+def bm25_topk(ds: "ray.data.Dataset", queries=BM25_QUERIES,
+              k: int = BM25_TOPK, k1: float = BM25_K1,
+              b: float = BM25_B, dp: int = BM25_DP) -> "pd.DataFrame":
+    """BM25 (Robertson-Sparck Jones) top-k retrieval for a fixed
+    query set — the retrieval-based curation pattern (score every
+    page against a handful of topic queries, keep the best k per
+    query).
+
+    Scale design: the query side is TINY and the corpus side never
+    shuffles —
+
+    1. one streaming stats pass emits per-block scalars (doc count,
+       token count, per-term document-frequency partials for the <=
+       |terms| distinct query terms; terms ride the task closure);
+       the driver folds blocks x (terms+1) ints;
+    2. one streaming scoring pass computes every matching (query,
+       doc) score inside the block (a doc is one row, so tf / dl /
+       score need no exchange) and pre-cuts to the per-block top-k
+       per query — the driver folds <= blocks x |Q| x k rows.
+
+    Float discipline: idf and the per-term contribution are the same
+    single IEEE expression tree on both engines; only the final
+    per-(query, doc) SUM order differs, so both engines round the
+    score to ``dp`` decimals with the tie-safe floor convention and
+    the ranking orders by (ROUNDED score DESC, doc_id ASC) — fully
+    deterministic across engines.  Docs sharing no term with a query
+    emit no row (the SQL join semantics).
+
+    Output: pandas ``(query_id:str, doc_id:int64, score:double,
+    rank:int64)``."""
+    terms = sorted({t for _, ts in queries for t in ts})
+    t_arr = np.array(terms, dtype=object)
+    q_masks = [(qid, np.isin(t_arr, np.array(ts, dtype=object)))
+               for qid, ts in queries]
+    scale = float(10 ** dp)
+
+    def stats(bdf: pd.DataFrame) -> pd.DataFrame:
+        vals, offs = flat_words(bdf["text"])
+        rowid = np.repeat(np.arange(len(bdf)), np.diff(offs))
+        idx = np.searchsorted(t_arr, vals)
+        idx[idx == len(t_arr)] = 0
+        hit = t_arr[idx] == vals
+        # distinct (row, term) hits -> df partial
+        key = rowid[hit] * len(t_arr) + idx[hit]
+        dfp = np.bincount(np.unique(key) % len(t_arr),
+                          minlength=len(t_arr)).astype(np.int64)
+        out = pd.DataFrame({"i": np.arange(len(t_arr), dtype=np.int64),
+                            "df": dfp})
+        tot = pd.DataFrame({"i": np.array([-1], dtype=np.int64),
+                            "df": np.array([len(bdf)], dtype=np.int64)})
+        tok = pd.DataFrame({"i": np.array([-2], dtype=np.int64),
+                            "df": np.array([len(vals)], dtype=np.int64)})
+        return pd.concat([out, tot, tok], ignore_index=True)
+
+    st = ds.map_batches(stats, batch_format="pandas").to_pandas()
+    n_docs = int(st.loc[st["i"] == -1, "df"].sum())
+    n_tok = int(st.loc[st["i"] == -2, "df"].sum())
+    dfv = (st[st["i"] >= 0].groupby("i")["df"].sum()
+           .reindex(range(len(t_arr)), fill_value=0)
+           .to_numpy().astype(np.float64))
+    avgdl = float(n_tok) / float(n_docs)
+    idf = np.log(1.0 + (float(n_docs) - dfv + 0.5) / (dfv + 0.5))
+
+    def score(bdf: pd.DataFrame) -> pd.DataFrame:
+        vals, offs = flat_words(bdf["text"])
+        n = len(bdf)
+        dl = np.diff(offs).astype(np.float64)
+        rowid = np.repeat(np.arange(n), np.diff(offs))
+        idx = np.searchsorted(t_arr, vals)
+        idx[idx == len(t_arr)] = 0
+        hit = t_arr[idx] == vals
+        tf = np.bincount(rowid[hit] * len(t_arr) + idx[hit],
+                         minlength=n * len(t_arr)).reshape(
+                             n, len(t_arr)).astype(np.float64)
+        den = tf + k1 * (1.0 - b + b * dl[:, None] / avgdl)
+        contrib = idf[None, :] * (tf * (k1 + 1.0)) / den
+        contrib[tf == 0.0] = 0.0
+        docs = bdf["doc_id"].to_numpy()
+        outs = []
+        for qid, mask in q_masks:
+            present = (tf[:, mask] > 0).any(axis=1)
+            if not present.any():
+                continue
+            s = contrib[:, mask][present].sum(axis=1)
+            s = np.floor(s * scale + 0.5) / scale
+            d = docs[present]
+            order = np.lexsort((d, -s))[:k]
+            outs.append(pd.DataFrame({
+                "query_id": np.full(len(order), qid, dtype=object),
+                "doc_id": d[order].astype(np.int64),
+                "score": s[order]}))
+        if not outs:
+            return pd.DataFrame({
+                "query_id": pd.Series([], dtype=object),
+                "doc_id": pd.Series([], dtype=np.int64),
+                "score": pd.Series([], dtype=np.float64)})
+        return pd.concat(outs, ignore_index=True)
+
+    part = ds.map_batches(score, batch_format="pandas").to_pandas()
+    part = part.sort_values(["query_id", "score", "doc_id"],
+                            ascending=[True, False, True])
+    part = part.groupby("query_id", as_index=False).head(k)
+    part["rank"] = part.groupby("query_id").cumcount().to_numpy() + 1
+    part["rank"] = part["rank"].astype(np.int64)
+    return part.reset_index(drop=True)

@@ -447,6 +447,61 @@ SELECT doc_id, n_distinct, entropy,
 FROM e"""
 
 
+def bm25_topk_sql(queries=None, k: int = None, k1: float = None,
+                  b: float = None, dp: int = None) -> str:
+    """Mirror of extras.text.bm25_topk: identical IEEE expression tree
+    per term (idf from the folded exact ints, the Robertson tf
+    saturation), only the per-(query, doc) SUM order differs -> both
+    engines round with the tie-safe floor convention and rank by
+    (ROUNDED score DESC, doc_id ASC)."""
+    from .extras.text import (BM25_B, BM25_DP, BM25_K1, BM25_QUERIES,
+                              BM25_TOPK)
+    queries = BM25_QUERIES if queries is None else queries
+    k = BM25_TOPK if k is None else k
+    k1 = BM25_K1 if k1 is None else k1
+    b = BM25_B if b is None else b
+    dp = BM25_DP if dp is None else dp
+    sc = 10 ** dp
+
+    def q(s: str) -> str:
+        return s.replace("'", "''")
+
+    vals = ", ".join(f"('{q(qid)}', '{q(t)}')"
+                     for qid, ts in queries for t in ts)
+    return f"""WITH qt(query_id, term) AS (VALUES {vals}),
+dl AS (SELECT doc_id,
+              CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+       FROM documents),
+st AS (SELECT CAST(count(*) AS BIGINT) AS n,
+              CAST(sum(dl) AS BIGINT) AS tot FROM dl),
+w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+      FROM documents),
+dfr AS (SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+        FROM w WHERE term IN (SELECT term FROM qt) GROUP BY term),
+tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+       FROM w WHERE term IN (SELECT term FROM qt)
+       GROUP BY doc_id, term),
+s AS (
+  SELECT qt.query_id, tf.doc_id,
+         SUM(ln(1.0 + (CAST(st.n AS DOUBLE) - dfr.df + 0.5)
+                      / (dfr.df + 0.5))
+             * (CAST(tf.tf AS DOUBLE) * ({k1!r} + 1.0))
+             / (CAST(tf.tf AS DOUBLE)
+                + {k1!r} * (1.0 - {b!r}
+                            + {b!r} * CAST(dl.dl AS DOUBLE)
+                              / (CAST(st.tot AS DOUBLE) / st.n)))) AS raw
+  FROM tf JOIN qt USING (term) JOIN dfr USING (term)
+       JOIN dl USING (doc_id), st
+  GROUP BY qt.query_id, tf.doc_id),
+r AS (SELECT query_id, doc_id,
+             floor(raw * {sc} + 0.5) / {sc} AS score FROM s),
+rk AS (SELECT query_id, doc_id, score,
+              CAST(row_number() OVER (PARTITION BY query_id
+                   ORDER BY score DESC, doc_id) AS BIGINT) AS rank
+       FROM r)
+SELECT query_id, doc_id, score, rank FROM rk WHERE rank <= {k}"""
+
+
 def mg_topwords_sql(k: int) -> str:
     """Mirror of extras.sketch.mg_topwords: the certified Misra-Gries
     two-pass result IS the exact top-k (the certificate guarantees

@@ -413,7 +413,7 @@ def registry() -> dict:
         "chunk_windows": q_chunk_windows,
         "text_rewrite": q_text_rewrite,
         "vocab2": q_vocab2,
-        "tfidf_topk": q_tfidf_topk,
+        "retrieval2": q_retrieval2,
         "colloc2": q_colloc2,
         "lm_logprob2": q_lm_logprob2,
         "decontam2": q_decontam2,
@@ -501,6 +501,8 @@ def registry() -> dict:
         "feature_hash": q_feature_hash,
         "cms_topwords": q_cms_topwords,
         "mg_topwords": q_mg_topwords,
+        "tfidf_topk": q_tfidf_topk,
+        "bm25_topk": q_bm25_topk,
         "bpe_merges": q_bpe_merges,
         "bpe_encode": q_bpe_encode,
         "cfv_raw": q_cfv_raw,
@@ -638,6 +640,15 @@ FROM ({oracle.mg_topwords_sql(CMS_TOPK)})""",
         "decontam": oracle.decontam_sql(),
         "sample_split": oracle.sample_split_sql(),
         "tfidf_topk": oracle.tfidf_topk_sql(TFIDF_K),
+        "bm25_topk": oracle.bm25_topk_sql(),
+        "retrieval2": f"""\
+SELECT CAST(0 AS BIGINT) AS variant, doc_id AS a, word AS w,
+       tf AS b, df AS c, CAST(0.0 AS DOUBLE) AS f
+FROM ({oracle.tfidf_topk_sql(TFIDF_K)})
+UNION ALL
+SELECT CAST(1 AS BIGINT), doc_id, query_id, rank,
+       CAST(0 AS BIGINT), score
+FROM ({oracle.bm25_topk_sql()})""",
         "pricing_summary": oracle.pricing_summary_sql(),
         "revenue_by_nation": oracle.revenue_by_nation_sql(),
         "high_qty_orders": oracle.high_qty_orders_sql(JOIN_MIN_QTY),
@@ -1726,6 +1737,40 @@ def q_tfidf_topk(sf_dir: str):
     from .extras.text import tfidf_topk
     ds = _docs(sf_dir)
     return tfidf_topk(ds, n_docs=ds.count(), k=TFIDF_K)
+
+
+def q_bm25_topk(sf_dir: str):
+    """BM25 top-k retrieval for the fixed query set (two streaming
+    passes, driver folds <= blocks x |Q| x k rows)."""
+    from .extras.text import bm25_topk
+    return bm25_topk(_docs(sf_dir))
+
+
+def q_retrieval2(sf_dir: str):
+    """Retrieval family: per-doc tf-idf top-k terms (variant 0) UNION
+    the BM25 query-set top-k ranking (variant 1, w = query_id,
+    f = the dp-rounded score)."""
+    tf = _as_ds(q_tfidf_topk(sf_dir))
+    bm = _as_ds(q_bm25_topk(sf_dir))
+
+    def pad_t(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "variant": _const_i64(len(b), 0),
+            "a": b["doc_id"].astype(np.int64), "w": b["word"],
+            "b": b["tf"].astype(np.int64),
+            "c": b["df"].astype(np.int64),
+            "f": np.zeros(len(b), dtype=np.float64)})
+
+    def pad_b(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "variant": _const_i64(len(b), 1),
+            "a": b["doc_id"].astype(np.int64), "w": b["query_id"],
+            "b": b["rank"].astype(np.int64),
+            "c": _const_i64(len(b), 0),
+            "f": b["score"].astype(np.float64)})
+
+    return (tf.map_batches(pad_t, batch_format="pandas")
+            .union(bm.map_batches(pad_b, batch_format="pandas")))
 
 
 def q_normalize_text(sf_dir: str):

@@ -54,7 +54,7 @@ def test_registry_head_covers_families():
         "relational_rank",
         # text
         "doc_stats", "lang_id", "rep_stats", "chunk_windows",
-        "text_rewrite", "vocab2", "tfidf_topk", "colloc2",
+        "text_rewrite", "vocab2", "retrieval2", "colloc2",
         "lm_logprob2", "decontam2", "zscore_by_source",
         "top_quality_per_lang", "dsir_weights", "quality_filter2",
         "pii_scrub", "ppl_buckets2",

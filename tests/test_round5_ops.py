@@ -846,3 +846,56 @@ def test_mg_topwords_flat_fallback(ray_session):
     ref = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:4]
     assert list(out["word"]) == [w for w, _ in ref]
     assert list(out["cnt"]) == [n for _, n in ref]
+
+
+# ---------------------------------------------------------------------------
+# BM25 retrieval top-k
+# ---------------------------------------------------------------------------
+
+def test_bm25_matches_scalar(ray_session):
+    """Brute-force scalar BM25 (math.log, per-doc loops) over uneven
+    blocks == the distributed two-pass ranking, including the no-hit
+    doc exclusion and the (score, doc_id) tie order."""
+    import math
+
+    import ray.data
+
+    from kmerray.extras.text import bm25_topk
+    texts = ["sort merge join sort sort", "window scan scan",
+             "data data data key", "merge merge window",
+             "the quick brown fox",          # no query terms at all
+             "sort", "scan window scan window scan",
+             "key customer filter data key"]
+    docs = pd.DataFrame({"doc_id": np.arange(8, dtype=np.int64),
+                         "text": texts})
+    queries = (("qa", ("sort", "merge")), ("qb", ("scan", "window")),
+               ("qc", ("data", "key", "customer")))
+    ds = ray.data.from_pandas([docs.iloc[:3], docs.iloc[3:5],
+                               docs.iloc[5:]])
+    out = bm25_topk(ds, queries=queries, k=3)
+
+    # scalar reference
+    toks = [t.split(" ") for t in texts]
+    n, avgdl = len(toks), sum(len(t) for t in toks) / len(toks)
+    k1, b, sc = 1.2, 0.75, 10 ** 4
+    ref = []
+    for qid, ts in queries:
+        scored = []
+        for d, tok in enumerate(toks):
+            s, hit = 0.0, False
+            for term in ts:
+                tf = tok.count(term)
+                if tf == 0:
+                    continue
+                hit = True
+                df = sum(term in t for t in toks)
+                idf = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+                s += idf * (tf * (k1 + 1.0)) / (
+                    tf + k1 * (1.0 - b + b * len(tok) / avgdl))
+            if hit:
+                scored.append((math.floor(s * sc + 0.5) / sc, d))
+        scored.sort(key=lambda x: (-x[0], x[1]))
+        for r, (s, d) in enumerate(scored[:3], 1):
+            ref.append((qid, d, s, r))
+    got = list(out.itertuples(index=False, name=None))
+    assert got == ref
