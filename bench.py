@@ -170,6 +170,10 @@ def run_bench() -> dict:
     timed("kmer_complexity", lambda: kmer_complexity(
         rseq(heavy_files), 15).count())
 
+    # r5b: two-pass diginorm (bucketed count + broadcast median scan)
+    from kmerray.pipelines.counter import diginorm
+    timed("diginorm", lambda: diginorm(rseq(heavy_files), 15).count())
+
     # minimizers (31, 7) exploded
     timed("min_31_7", lambda: consume(minimisers_exploded(
         rseq(), 31, 7)), repeat=2)

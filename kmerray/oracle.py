@@ -55,6 +55,26 @@ SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kmers,
 FROM km GROUP BY doc_id"""
 
 
+def diginorm_sql(path: str, k: int, cutoff: int = None) -> str:
+    """Mirror of pipelines.counter.diginorm: per-read median canonical
+    k-mer abundance vs the global table, exact ceil-rank median
+    (1-based rank ceil(n/2) ascending), integer cutoff compare."""
+    if cutoff is None:
+        from .pipelines.counter import DIGINORM_CUTOFF
+        cutoff = DIGINORM_CUTOFF
+    return f"""WITH {km_cte(path, k)},
+cnt AS (SELECT kmer, CAST(count(*) AS BIGINT) AS c
+        FROM km GROUP BY kmer),
+ab AS (SELECT km.doc_id, cnt.c FROM km JOIN cnt USING (kmer)),
+r AS (SELECT doc_id, c,
+             row_number() OVER (PARTITION BY doc_id ORDER BY c) AS rn,
+             CAST(count(*) OVER (PARTITION BY doc_id) AS BIGINT) AS n
+      FROM ab)
+SELECT doc_id, n AS n_kmers, c AS med_abund,
+       CAST(c <= {cutoff} AS BIGINT) AS keep
+FROM r WHERE rn = (n + 1) // 2"""
+
+
 def cfv_norm_sql(path: str, k: int) -> str:
     """Nonzero normalized CFV entries (doc_id, col, freq): `col` is the
     canonical column index (rank of the canonical k-mer among all 4^k

@@ -330,3 +330,63 @@ def kmer_complexity(ds: "ray.data.Dataset", k: int
 
     return ds.map_batches(per_doc, batch_format="pyarrow",
                           zero_copy_batch=True)
+
+
+DIGINORM_CUTOFF = 20
+
+
+def diginorm(ds: "ray.data.Dataset", k: int,
+             cutoff: int = DIGINORM_CUTOFF,
+             counts_source=None) -> "ray.data.Dataset":
+    """Two-pass digital normalization — the khmer diginorm redundancy
+    signal (Brown et al. 2012, arXiv:1203.4802): per-read MEDIAN
+    canonical k-mer abundance against the global count table; reads
+    whose median exceeds ``cutoff`` are saturated (already covered by
+    the kept set) and flagged for discard.  Classic diginorm streams
+    order-dependently (its count-min updates online); this two-pass
+    form scores every read against the FINAL global table, so it is
+    deterministic and partition-invariant — the batch-pipeline
+    analogue (and what an exact SQL oracle can certify).
+
+    Scale design: pass 1 is the ctr two-phase bucketed count
+    (/root/reference/counter/src/lib.rs:100 semantics); the table
+    broadcasts once (``ray.put`` → zero-copy plasma read per node,
+    the J1/cov discipline — ``counts_source`` also accepts a
+    pre-built ref so the sharded/join cov scale paths apply
+    unchanged); pass 2 is stateless ``map_batches``: ONE lexsort per
+    batch orders every read's abundances, the median is the exact
+    ceil-rank element (1-based rank ``ceil(n/2)`` ascending — the
+    bottom-k sketch convention, integer-exact, no interpolation).
+
+    Sub-k reads emit no row (no valid k-mer).  Output:
+    ``(doc_id, n_kmers:int64, med_abund:int64, keep:int64)``."""
+    import ray as _ray
+
+    from .cov import collect_count_table
+    if counts_source is None:
+        counts_source = _ray.put(collect_count_table(count_kmers(ds, k)))
+
+    def per_doc(batch: pa.Table) -> pa.Table:
+        km, ct = _ray.get(counts_source)
+        values, offsets = list_column_to_numpy(batch.column("tokens"))
+        canon, row = canonical_flat_kmers(values, offsets, k)
+        # every canonical k-mer of the corpus is in its own global
+        # table -> the searchsorted lookup always hits
+        ab = ct[np.searchsorted(km, canon)]
+        n = batch.num_rows
+        tot = np.bincount(row, minlength=n).astype(np.int64)
+        sab = ab[np.lexsort((ab, row))]
+        starts = np.zeros(n, np.int64)
+        starts[1:] = np.cumsum(tot)[:-1]
+        keep_row = tot > 0
+        ranks = starts[keep_row] + (tot[keep_row] + 1) // 2 - 1
+        med = sab[ranks].astype(np.int64)
+        return pa.table({
+            "doc_id": batch.column("doc_id").filter(pa.array(keep_row)),
+            "n_kmers": pa.array(tot[keep_row]),
+            "med_abund": pa.array(med),
+            "keep": pa.array((med <= cutoff).astype(np.int64)),
+        })
+
+    return ds.map_batches(per_doc, batch_format="pyarrow",
+                          zero_copy_batch=True)

@@ -454,6 +454,7 @@ def registry() -> dict:
         "ctr_global_counts": q_global_counts,
         "kmer_novelty": q_kmer_novelty,
         "kmer_complexity": q_kmer_complexity,
+        "diginorm": q_diginorm,
         "bigram_stats": q_bigram_stats,
         "pmi_pairs": q_pmi_pairs,
         "asof_cov_hist": q_asof_cov_hist,
@@ -568,8 +569,13 @@ FROM ({oracle.kmer_novelty_sql(path, K_GLOBAL)})
 UNION ALL
 SELECT CAST(2 AS BIGINT), CAST(0 AS BIGINT), n_kmers, n_distinct,
        complexity, doc_id
-FROM ({oracle.kmer_complexity_sql(path, K_GLOBAL)})""",
+FROM ({oracle.kmer_complexity_sql(path, K_GLOBAL)})
+UNION ALL
+SELECT CAST(3 AS BIGINT), med_abund, n_kmers, keep,
+       CAST(0.0 AS DOUBLE), doc_id
+FROM ({oracle.diginorm_sql(path, K_GLOBAL)})""",
         "kmer_complexity": oracle.kmer_complexity_sql(path, K_GLOBAL),
+        "diginorm": oracle.diginorm_sql(path, K_GLOBAL),
         "cfv_norm": oracle.cfv_norm_sql(path, K_PER_DOC),
         "cfv_raw": oracle.cfv_raw_sql(path, K_RAW),
         "oligo_cgr": oracle.oligo_cgr_sql(path, K_PER_DOC),
@@ -2622,10 +2628,18 @@ def q_kmer_complexity(sf_dir: str, k: int = K_GLOBAL):
     return kmer_complexity(_seq(sf_dir, ["doc_id", "tokens"]), k=k)
 
 
+def q_diginorm(sf_dir: str, k: int = K_GLOBAL):
+    """Two-pass digital normalization: per-read median canonical
+    k-mer abundance vs the global table, saturated reads flagged."""
+    from .pipelines.counter import diginorm
+    return diginorm(_seq(sf_dir, ["doc_id", "tokens"]), k=k)
+
+
 def q_ctr_all(sf_dir: str):
     """Global k-mer dictionary family: exact global counts (variant 0)
     UNION the per-day novel-k-mer discovery curve (variant 1) UNION
-    the per-sequence k-mer complexity QC surface (variant 2)."""
+    the per-sequence k-mer complexity QC surface (variant 2) UNION
+    the two-pass diginorm saturation flags (variant 3)."""
     cnts = q_global_counts(sf_dir)
 
     def pad0(b: pa.Table) -> pa.Table:
@@ -2655,12 +2669,24 @@ def q_ctr_all(sf_dir: str):
             "f": b.column("complexity"),
             "id": b.column("doc_id")})
 
+    def pad3(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        return pa.table({
+            "variant": pa.array(np.full(n, 3, dtype=np.int64)),
+            "a": b.column("med_abund"), "b": b.column("n_kmers"),
+            "c": b.column("keep"),
+            "f": pa.array(np.zeros(n, dtype=np.float64)),
+            "id": b.column("doc_id").cast(pa.string())})
+
     cplx = q_kmer_complexity(sf_dir)
+    dgn = q_diginorm(sf_dir)
     return (cnts.map_batches(pad0, batch_format="pyarrow",
                              zero_copy_batch=True)
             .union(ray.data.from_arrow(nov_tab))
             .union(cplx.map_batches(pad2, batch_format="pyarrow",
-                                    zero_copy_batch=True)))
+                                    zero_copy_batch=True))
+            .union(dgn.map_batches(pad3, batch_format="pyarrow",
+                                   zero_copy_batch=True)))
 
 
 def q_colloc2(sf_dir: str):

@@ -899,3 +899,63 @@ def test_bm25_matches_scalar(ray_session):
             ref.append((qid, d, s, r))
     got = list(out.itertuples(index=False, name=None))
     assert got == ref
+
+
+# ---------------------------------------------------------------------------
+# two-pass digital normalization
+# ---------------------------------------------------------------------------
+
+def test_diginorm_matches_scalar(ray_session):
+    """Per-read ceil-rank median of global canonical k-mer abundances
+    vs a Counter-based scalar reference; the repeated read's median
+    saturates above the cutoff, the unique reads stay below, sub-k
+    reads emit no row."""
+    from collections import Counter
+
+    import pyarrow as pa
+    import ray.data
+
+    from kmerray.core.encoding import canonical_flat_kmers
+    from kmerray.pipelines.counter import diginorm
+
+    rng = np.random.default_rng(9)
+    k = 4
+    toks = [rng.integers(0, 4, size=20).astype(np.int32)
+            for _ in range(6)]
+    toks += [toks[0].copy() for _ in range(5)]   # saturate read 0's kmers
+    toks.append(np.array([1, 2, 3], dtype=np.int32))   # sub-k
+    ids = np.array([f"r{i}" for i in range(len(toks))], dtype=object)
+
+    # scalar reference
+    glob = Counter()
+    per = {}
+    for i, t in enumerate(toks):
+        offs = np.array([0, len(t)], dtype=np.int64)
+        kms, _ = canonical_flat_kmers(t, offs, k)
+        per[ids[i]] = kms
+        glob.update(kms.tolist())
+    exp = {}
+    for rid, kms in per.items():
+        if not len(kms):
+            continue
+        ab = sorted(glob[x] for x in kms.tolist())
+        med = ab[(len(ab) + 1) // 2 - 1]
+        exp[rid] = (len(ab), med, int(med <= 3))
+
+    offs = np.zeros(len(toks) + 1, dtype=np.int32)
+    np.cumsum([len(t) for t in toks], out=offs[1:])
+    tab = pa.table({
+        "doc_id": pa.array(ids, pa.string()),
+        "tokens": pa.ListArray.from_arrays(
+            pa.array(offs), pa.array(np.concatenate(toks), pa.int32()))})
+    ds = ray.data.from_arrow([tab.slice(0, 4), tab.slice(4, 5),
+                              tab.slice(9)])
+    out = (diginorm(ds, k=k, cutoff=3).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    assert len(out) == len(exp)
+    for _, r in out.iterrows():
+        n, med, keep = exp[r["doc_id"]]
+        assert (r["n_kmers"], r["med_abund"], r["keep"]) == (n, med, keep)
+    # the duplicated read family is flagged saturated
+    assert out[out["doc_id"] == "r0"]["keep"].iloc[0] == 0
+    assert out[out["doc_id"] == "r1"]["keep"].iloc[0] == 1
