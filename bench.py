@@ -306,6 +306,17 @@ def run_bench() -> dict:
     timed("zscore_by_source", lambda: grouped_zscore(
         docs().map_batches(_with_source,
                            batch_format="pandas")).count())
+    # r5b: pairwise source JSD (one word-bucketed exchange,
+    # buckets x pairs scalars folded at the driver)
+    from kmerray.extras.text import source_divergence
+
+    def _with_src_text(b):
+        b = b.copy()
+        b["source"] = np.char.mod("src%d",
+                                  b["doc_id"].to_numpy() % 8)
+        return b[["source", "text"]]
+    timed("source_divergence", lambda: len(source_divergence(
+        docs().map_batches(_with_src_text, batch_format="pandas"))))
 
     # r4 additions: DSIR importance weights (two LM passes + scoring;
     # half corpus bounds the leg) and the global quality-percentile

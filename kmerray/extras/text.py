@@ -1781,3 +1781,104 @@ def bm25_topk(ds: "ray.data.Dataset", queries=BM25_QUERIES,
     part["rank"] = part.groupby("query_id").cumcount().to_numpy() + 1
     part["rank"] = part["rank"].astype(np.int64)
     return part.reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# Jensen-Shannon source divergence
+# ---------------------------------------------------------------------------
+
+JSD_DP = 6
+
+
+def source_divergence(ds: "ray.data.Dataset",
+                      dp: int = JSD_DP) -> "pd.DataFrame":
+    """Pairwise Jensen-Shannon divergence (nats, equal weights)
+    between every two sources' unigram distributions — the
+    data-mixing / domain-shift diagnostic (Lin 1991): which corpus
+    slices are interchangeable and which add genuinely new text.
+
+    Scale design: ONE word-hash-bucketed exchange of per-block
+    (source, word, count) partials (the word_counts discipline — the
+    exchange is vocab x sources, not corpus-sized); per-source token
+    totals come from a cheap scalar pre-pass and ride the closure.
+    Because every occurrence of a word lands in exactly one bucket,
+    each bucket computes its words' EXACT per-pair contribution sums
+    locally (one pivot matrix + vectorized pair loop) and emits
+    S*(S-1)/2 partial doubles — the driver folds buckets x pairs
+    scalars, never the vocabulary.
+
+    Float discipline: the per-word term is the same IEEE expression
+    tree both engines; only summation order differs (bucket partials
+    + driver fold vs one SQL SUM), so both sides round the FINAL
+    scalar with the tie-safe floor convention (the unigram_logprob
+    rule).  Words absent from both sources of a pair contribute
+    nothing; one-sided words contribute their 0.5*p*ln(2) mass
+    through the same guarded term.
+
+    Output: pandas ``(s1, s2, jsd:double)``, one row per unordered
+    source pair (s1 < s2)."""
+    scale = float(10 ** dp)
+
+    def totals(b: pd.DataFrame) -> pd.DataFrame:
+        src = b["source"].to_numpy(object)
+        ln = b["text"].str.count(" ").to_numpy() + 1
+        out = pd.DataFrame({"source": src, "n": ln})
+        return out.groupby("source", as_index=False)["n"].sum()
+
+    tot = (ds.map_batches(totals, batch_format="pandas").to_pandas()
+           .groupby("source")["n"].sum().sort_index())
+    s_list = list(tot.index)
+    n_tok = tot.to_numpy().astype(np.float64)
+    s_idx = {s: i for i, s in enumerate(s_list)}
+    S = len(s_list)
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        vals, offs = flat_words(b["text"])
+        rowid = np.repeat(np.arange(len(b)), np.diff(offs))
+        src = b["source"].to_numpy(object)[rowid]
+        df = pd.DataFrame({"source": src, "word": vals})
+        out = df.groupby(["source", "word"], as_index=False).size()
+        out.columns = ["source", "word", "c"]
+        out["c"] = out["c"].astype(np.int64)
+        out["wb"] = (content_hash64(out["word"].to_numpy(object))
+                     % np.uint64(64)).astype(np.int64)
+        return out
+
+    part = ds.map_batches(partial, batch_format="pandas")
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby(["word", "source"], as_index=False)["c"].sum()
+        wcode, _ = pd.factorize(agg["word"], sort=False)
+        scode = np.array([s_idx[s] for s in agg["source"]],
+                         dtype=np.int64)
+        mat = np.zeros((wcode.max() + 1, S), dtype=np.float64)
+        mat[wcode, scode] = agg["c"].to_numpy(np.int64)
+        r1, r2, rv = [], [], []
+        for i in range(S):
+            for j in range(i + 1, S):
+                c1, c2 = mat[:, i], mat[:, j]
+                mask = (c1 + c2) > 0
+                if not mask.any():
+                    continue
+                c1m, c2m = c1[mask], c2[mask]
+                p = c1m / n_tok[i]
+                q = c2m / n_tok[j]
+                m = 0.5 * (p + q)
+                t1 = np.zeros(len(p))
+                t2 = np.zeros(len(p))
+                nz1, nz2 = c1m > 0, c2m > 0
+                t1[nz1] = 0.5 * p[nz1] * np.log(p[nz1] / m[nz1])
+                t2[nz2] = 0.5 * q[nz2] * np.log(q[nz2] / m[nz2])
+                r1.append(s_list[i])
+                r2.append(s_list[j])
+                rv.append(float((t1 + t2).sum()))
+        return pd.DataFrame({"s1": np.array(r1, dtype=object),
+                             "s2": np.array(r2, dtype=object),
+                             "v": np.array(rv, dtype=np.float64)})
+
+    folded = (part.groupby("wb").map_groups(merge, batch_format="pandas")
+              .to_pandas().groupby(["s1", "s2"], as_index=False)["v"]
+              .sum())
+    folded["jsd"] = np.floor(folded["v"].to_numpy() * scale + 0.5) / scale
+    out = folded[["s1", "s2", "jsd"]].sort_values(["s1", "s2"])
+    return out.reset_index(drop=True)

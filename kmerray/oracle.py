@@ -467,6 +467,45 @@ SELECT doc_id, n_distinct, entropy,
 FROM e"""
 
 
+def source_divergence_sql(dp: int = None) -> str:
+    """Mirror of extras.text.source_divergence: identical IEEE
+    per-word term, arbitrary-order SUM absorbed by the tie-safe
+    floor rounding of the FINAL pair scalar (the unigram_logprob
+    discipline)."""
+    from .extras.text import JSD_DP
+    dp = JSD_DP if dp is None else dp
+    sc = 10 ** dp
+    p1 = "(CAST(c1 AS DOUBLE) / n1)"
+    p2 = "(CAST(c2 AS DOUBLE) / n2)"
+    m = f"(0.5 * ({p1} + {p2}))"
+    return f"""WITH w AS (
+  SELECT source, unnest(string_split(text, ' ')) AS word
+  FROM documents),
+wc AS (SELECT source, word, CAST(count(*) AS BIGINT) AS c
+       FROM w GROUP BY source, word),
+tot AS (SELECT source, CAST(sum(c) AS BIGINT) AS n
+        FROM wc GROUP BY source),
+pairs AS (SELECT a.source AS s1, a.n AS n1, b.source AS s2, b.n AS n2
+          FROM tot a JOIN tot b ON a.source < b.source),
+vocab AS (SELECT DISTINCT word FROM wc),
+grid AS (
+  SELECT p.s1, p.s2, p.n1, p.n2,
+         coalesce(w1.c, 0) AS c1, coalesce(w2.c, 0) AS c2
+  FROM pairs p CROSS JOIN vocab v
+  LEFT JOIN wc w1 ON w1.source = p.s1 AND w1.word = v.word
+  LEFT JOIN wc w2 ON w2.source = p.s2 AND w2.word = v.word
+  WHERE coalesce(w1.c, 0) + coalesce(w2.c, 0) > 0),
+t AS (
+  SELECT s1, s2,
+         SUM(CASE WHEN c1 > 0
+               THEN 0.5 * {p1} * ln({p1} / {m}) ELSE 0.0 END
+           + CASE WHEN c2 > 0
+               THEN 0.5 * {p2} * ln({p2} / {m}) ELSE 0.0 END) AS raw
+  FROM grid GROUP BY s1, s2)
+SELECT s1, s2, floor(raw * {float(sc)!r} + 0.5) / {float(sc)!r} AS jsd
+FROM t"""
+
+
 def bm25_topk_sql(queries=None, k: int = None, k1: float = None,
                   b: float = None, dp: int = None) -> str:
     """Mirror of extras.text.bm25_topk: identical IEEE expression tree

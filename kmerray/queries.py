@@ -417,7 +417,7 @@ def registry() -> dict:
         "colloc2": q_colloc2,
         "lm_logprob2": q_lm_logprob2,
         "decontam2": q_decontam2,
-        "zscore_by_source": q_zscore_by_source,
+        "source_stats2": q_source_stats2,
         "top_quality_per_lang": q_top_quality_per_lang,
         # --- dedup ---
         "dedup_survivors2": q_dedup_survivors2,
@@ -504,6 +504,8 @@ def registry() -> dict:
         "mg_topwords": q_mg_topwords,
         "tfidf_topk": q_tfidf_topk,
         "bm25_topk": q_bm25_topk,
+        "zscore_by_source": q_zscore_by_source,
+        "source_divergence": q_source_divergence,
         "bpe_merges": q_bpe_merges,
         "bpe_encode": q_bpe_encode,
         "cfv_raw": q_cfv_raw,
@@ -711,6 +713,14 @@ SELECT CAST(1 AS BIGINT), doc_id, avg_logprob
 FROM ({oracle.bigram_logprob_sql(
     dp=LM_DP, min_count=BIGRAM_LM_MIN_COUNT)})""",
         "zscore_by_source": oracle.zscore_by_source_sql(),
+        "source_divergence": oracle.source_divergence_sql(),
+        "source_stats2": f"""\
+SELECT CAST(0 AS BIGINT) AS variant, CAST(doc_id AS VARCHAR) AS s1,
+       '' AS s2, z AS f
+FROM ({oracle.zscore_by_source_sql()})
+UNION ALL
+SELECT CAST(1 AS BIGINT), s1, s2, jsd
+FROM ({oracle.source_divergence_sql()})""",
         "events_distinct": oracle.events_distinct_sql(),
         "events_funnel": oracle.events_funnel_sql(),
         "asof_backfill": oracle.asof_backfill_sql(
@@ -1988,6 +1998,38 @@ def q_zscore_by_source(sf_dir: str):
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
                                columns=["doc_id", "source", "n_chars"])
     return grouped_zscore(ds, key="source", col="n_chars")
+
+
+def q_source_divergence(sf_dir: str):
+    """Pairwise Jensen-Shannon divergence between source unigram
+    distributions (one word-bucketed exchange, driver folds
+    buckets x pairs scalars)."""
+    from .extras.text import source_divergence
+    return source_divergence(ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["source", "text"]))
+
+
+def q_source_stats2(sf_dir: str):
+    """Per-source statistics family: per-doc robust z-scores
+    (variant 0) UNION the pairwise source JSD matrix (variant 1)."""
+    zs = q_zscore_by_source(sf_dir)
+    dv = _as_ds(q_source_divergence(sf_dir))
+
+    def pad_z(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "variant": _const_i64(len(b), 0),
+            "s1": b["doc_id"].astype(np.int64).astype(str),
+            "s2": np.full(len(b), "", dtype=object),
+            "f": b["z"].astype(np.float64)})
+
+    def pad_d(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "variant": _const_i64(len(b), 1),
+            "s1": b["s1"], "s2": b["s2"],
+            "f": b["jsd"].astype(np.float64)})
+
+    return (zs.map_batches(pad_z, batch_format="pandas")
+            .union(dv.map_batches(pad_d, batch_format="pandas")))
 
 
 def q_cluster_reps(sf_dir: str):

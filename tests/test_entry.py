@@ -55,7 +55,7 @@ def test_registry_head_covers_families():
         # text
         "doc_stats", "lang_id", "rep_stats", "chunk_windows",
         "text_rewrite", "vocab2", "retrieval2", "colloc2",
-        "lm_logprob2", "decontam2", "zscore_by_source",
+        "lm_logprob2", "decontam2", "source_stats2",
         "top_quality_per_lang", "dsir_weights", "quality_filter2",
         "pii_scrub", "ppl_buckets2",
         # dedup / similarity

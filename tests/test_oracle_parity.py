@@ -29,7 +29,7 @@ FAST = ["kmer_counts_per_doc", "whole_seq_minimiser", "lag_lead",
         "weighted_sample", "sketch_quantiles", "bloom_decontam",
         "kmer_complexity", "vocab_coverage", "char_entropy",
         # round-5b ops
-        "mg_topwords", "bm25_topk", "diginorm"]
+        "mg_topwords", "bm25_topk", "diginorm", "source_divergence"]
 
 pytestmark = pytest.mark.skipif(not os.path.exists(SF),
                                 reason="driver testdata unavailable")

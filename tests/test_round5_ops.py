@@ -959,3 +959,53 @@ def test_diginorm_matches_scalar(ray_session):
     # the duplicated read family is flagged saturated
     assert out[out["doc_id"] == "r0"]["keep"].iloc[0] == 0
     assert out[out["doc_id"] == "r1"]["keep"].iloc[0] == 1
+
+
+# ---------------------------------------------------------------------------
+# Jensen-Shannon source divergence
+# ---------------------------------------------------------------------------
+
+def test_source_divergence_matches_scalar(ray_session):
+    """Pairwise JSD vs a Counter/math scalar reference across uneven
+    blocks: identical sources give 0, disjoint sources give ln(2),
+    the one-sided-word guard matches."""
+    import math
+    from collections import Counter
+
+    import ray.data
+
+    from kmerray.extras.text import source_divergence
+    docs = pd.DataFrame({
+        "source": ["a", "a", "b", "b", "c"],
+        "text": ["x y x z", "x y", "x y x z", "x y", "p q p q q"]})
+    ds = ray.data.from_pandas([docs.iloc[:2], docs.iloc[2:4],
+                               docs.iloc[4:]])
+    out = source_divergence(ds, dp=6)
+
+    cnt = {s: Counter() for s in "abc"}
+    for _, r in docs.iterrows():
+        cnt[r["source"]].update(r["text"].split(" "))
+
+    def jsd(ca, cb):
+        na, nb = sum(ca.values()), sum(cb.values())
+        s = 0.0
+        for w in set(ca) | set(cb):
+            p, q = ca[w] / na, cb[w] / nb
+            m = 0.5 * (p + q)
+            t = 0.0
+            if ca[w]:
+                t += 0.5 * p * math.log(p / m)
+            if cb[w]:
+                t += 0.5 * q * math.log(q / m)
+            s += t
+        return math.floor(s * 1e6 + 0.5) / 1e6
+
+    exp = {("a", "b"): jsd(cnt["a"], cnt["b"]),
+           ("a", "c"): jsd(cnt["a"], cnt["c"]),
+           ("b", "c"): jsd(cnt["b"], cnt["c"])}
+    assert len(out) == 3
+    for _, r in out.iterrows():
+        assert r["jsd"] == exp[(r["s1"], r["s2"])]
+    # identical distributions -> 0; fully disjoint vocab -> ln 2
+    assert exp[("a", "b")] == 0.0
+    assert abs(exp[("a", "c")] - math.log(2.0)) < 1e-6
