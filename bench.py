@@ -317,6 +317,12 @@ def run_bench() -> dict:
         return b[["source", "text"]]
     timed("source_divergence", lambda: len(source_divergence(
         docs().map_batches(_with_src_text, batch_format="pandas"))))
+    # r5b: median/MAD robust outliers (value-histogram partials, MAD
+    # folded off the same histogram, stateless score pass)
+    from kmerray.extras.grouped import grouped_mad_outliers
+    timed("mad_outliers", lambda: grouped_mad_outliers(
+        docs().map_batches(_with_source,
+                           batch_format="pandas")).count())
 
     # r4 additions: DSIR importance weights (two LM passes + scoring;
     # half corpus bounds the leg) and the global quality-percentile

@@ -98,3 +98,90 @@ def grouped_zscore(ds: "ray.data.Dataset", key: str = "source",
                                  "z": z})
 
     return ds.map_batches(Z, concurrency=(1, 8), batch_format="pandas")
+
+
+def grouped_mad_outliers(ds: "ray.data.Dataset", key: str = "source",
+                         col: str = "n_chars",
+                         n_mads: int = 3) -> "ray.data.Dataset":
+    """Per-group ROBUST standardization — median/MAD z-scores and the
+    classic ``|x - med| > n_mads * MAD`` outlier flag (Hampel
+    identifier).  The robust complement to :func:`grouped_zscore`:
+    heavy-tailed web-scale feature distributions (lengths, scores)
+    break mean/std standardization because the outliers being hunted
+    inflate the std; median and MAD have a 50% breakdown point.
+
+    Scale shape: one ``map_batches`` pass emits per-block
+    ``(key, value, count)`` VALUE-HISTOGRAM partials (the
+    tok_quantiles discipline — the exchange is groups x distinct
+    values, never the corpus); the driver folds them, reads the
+    group median off the cumsum with the exact ceil-rank rule
+    (1-based rank ``ceil(n/2)``), then derives the MAD from the SAME
+    histogram by folding it around the median (|v - med| re-bin +
+    one more cumsum) — no second data pass.  The <= groups x 2 ints
+    broadcast once; the scoring pass is stateless.
+
+    Exactness: med and MAD are integers; ``rz`` is ONE
+    int64-difference / int64 IEEE division (bit-exact vs SQL, the
+    zscore convention); the flag is a pure integer compare.
+    MAD = 0 (majority-constant group) yields ``rz = NaN``, flag
+    still exact.
+
+    Output: ``(doc_id, med:int64, mad:int64, rz:double,
+    outlier:int64)``."""
+    import numpy as np
+
+    import ray
+
+    def part(b: pd.DataFrame) -> pd.DataFrame:
+        g = (pd.DataFrame({key: b[key],
+                           "v": b[col].to_numpy().astype(np.int64)})
+             .groupby([key, "v"], as_index=False).size())
+        g.columns = [key, "v", "c"]
+        return g
+
+    rows = (ds.map_batches(part, batch_format="pandas").to_pandas()
+            .groupby([key, "v"], as_index=False)["c"].sum())
+    stats: dict = {}
+    for k_, g in rows.groupby(key):
+        v = g["v"].to_numpy(np.int64)
+        c = g["c"].to_numpy(np.int64)
+        order = np.argsort(v)
+        v, c = v[order], c[order]
+        cum = np.cumsum(c)
+        n = int(cum[-1])
+        med = int(v[np.searchsorted(cum, (n + 1) // 2)])
+        # fold the histogram around med -> |v - med| histogram
+        av = np.abs(v - med)
+        ao = np.argsort(av, kind="stable")
+        av, ac = av[ao], c[ao]
+        # merge equal deviations (v=med-d and v=med+d)
+        uu, inv = np.unique(av, return_inverse=True)
+        uc = np.bincount(inv, weights=ac).astype(np.int64)
+        cum2 = np.cumsum(uc)
+        mad = int(uu[np.searchsorted(cum2, (n + 1) // 2)])
+        stats[k_] = (med, mad)
+    ref = ray.put(stats)
+
+    class Score:
+        def __init__(self):
+            st = ray.get(ref)
+            self.med_map = pd.Series({k_: v[0] for k_, v in st.items()})
+            self.mad_map = pd.Series({k_: v[1] for k_, v in st.items()})
+
+        def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
+            x = b[col].to_numpy().astype(np.int64)
+            med = b[key].map(self.med_map).to_numpy(np.int64)
+            mad = b[key].map(self.mad_map).to_numpy(np.int64)
+            diff = x - med
+            with np.errstate(divide="ignore", invalid="ignore"):
+                rz = np.where(mad == 0, np.nan,
+                              diff.astype(np.float64)
+                              / mad.astype(np.float64))
+            return pd.DataFrame({
+                "doc_id": b["doc_id"].to_numpy(),
+                "med": med, "mad": mad, "rz": rz,
+                "outlier": (np.abs(diff) > n_mads * mad)
+                .astype(np.int64)})
+
+    return ds.map_batches(Score, concurrency=4, batch_size=4096,
+                          num_cpus=0.5, batch_format="pandas")

@@ -467,6 +467,35 @@ SELECT doc_id, n_distinct, entropy,
 FROM e"""
 
 
+def mad_outliers_sql(n_mads: int = 3) -> str:
+    """Mirror of extras.grouped.grouped_mad_outliers: exact ceil-rank
+    median and MAD per source, ONE int/int IEEE division for rz,
+    integer Hampel flag; MAD = 0 -> NaN."""
+    return f"""WITH r AS (
+  SELECT source, n_chars,
+         row_number() OVER (PARTITION BY source ORDER BY n_chars)
+           AS rn,
+         CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS n
+  FROM documents),
+med AS (SELECT source, CAST(n_chars AS BIGINT) AS med, n
+        FROM r WHERE rn = (n + 1) // 2),
+dv AS (SELECT d.source, abs(d.n_chars - m.med) AS ad
+       FROM documents d JOIN med m USING (source)),
+r2 AS (SELECT source, ad,
+              row_number() OVER (PARTITION BY source ORDER BY ad)
+                AS rn,
+              CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS n
+       FROM dv),
+mad AS (SELECT source, CAST(ad AS BIGINT) AS mad
+        FROM r2 WHERE rn = (n + 1) // 2)
+SELECT d.doc_id, m.med, x.mad,
+       CASE WHEN x.mad = 0 THEN CAST('nan' AS DOUBLE)
+            ELSE CAST(d.n_chars - m.med AS DOUBLE) / x.mad END AS rz,
+       CAST(abs(d.n_chars - m.med) > {n_mads} * x.mad AS BIGINT)
+         AS outlier
+FROM documents d JOIN med m USING (source) JOIN mad x USING (source)"""
+
+
 def source_divergence_sql(dp: int = None) -> str:
     """Mirror of extras.text.source_divergence: identical IEEE
     per-word term, arbitrary-order SUM absorbed by the tie-safe

@@ -506,6 +506,7 @@ def registry() -> dict:
         "bm25_topk": q_bm25_topk,
         "zscore_by_source": q_zscore_by_source,
         "source_divergence": q_source_divergence,
+        "mad_outliers": q_mad_outliers,
         "bpe_merges": q_bpe_merges,
         "bpe_encode": q_bpe_encode,
         "cfv_raw": q_cfv_raw,
@@ -714,13 +715,20 @@ FROM ({oracle.bigram_logprob_sql(
     dp=LM_DP, min_count=BIGRAM_LM_MIN_COUNT)})""",
         "zscore_by_source": oracle.zscore_by_source_sql(),
         "source_divergence": oracle.source_divergence_sql(),
+        "mad_outliers": oracle.mad_outliers_sql(),
         "source_stats2": f"""\
 SELECT CAST(0 AS BIGINT) AS variant, CAST(doc_id AS VARCHAR) AS s1,
-       '' AS s2, z AS f
+       '' AS s2, CAST(0 AS BIGINT) AS a, CAST(0 AS BIGINT) AS b,
+       CAST(0 AS BIGINT) AS c, z AS f
 FROM ({oracle.zscore_by_source_sql()})
 UNION ALL
-SELECT CAST(1 AS BIGINT), s1, s2, jsd
-FROM ({oracle.source_divergence_sql()})""",
+SELECT CAST(1 AS BIGINT), s1, s2, CAST(0 AS BIGINT),
+       CAST(0 AS BIGINT), CAST(0 AS BIGINT), jsd
+FROM ({oracle.source_divergence_sql()})
+UNION ALL
+SELECT CAST(2 AS BIGINT), CAST(doc_id AS VARCHAR), '', med, mad,
+       outlier, rz
+FROM ({oracle.mad_outliers_sql()})""",
         "events_distinct": oracle.events_distinct_sql(),
         "events_funnel": oracle.events_funnel_sql(),
         "asof_backfill": oracle.asof_backfill_sql(
@@ -2009,27 +2017,53 @@ def q_source_divergence(sf_dir: str):
         f"{sf_dir}/documents.parquet", columns=["source", "text"]))
 
 
+def q_mad_outliers(sf_dir: str):
+    """Per-source median/MAD robust z-scores + Hampel outlier flags
+    (value-histogram partials, MAD folded off the same histogram)."""
+    from .extras.grouped import grouped_mad_outliers
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "source", "n_chars"])
+    return grouped_mad_outliers(ds, key="source", col="n_chars")
+
+
 def q_source_stats2(sf_dir: str):
-    """Per-source statistics family: per-doc robust z-scores
-    (variant 0) UNION the pairwise source JSD matrix (variant 1)."""
+    """Per-source statistics family: per-doc z-scores (variant 0)
+    UNION the pairwise source JSD matrix (variant 1) UNION the
+    median/MAD robust outlier surface (variant 2)."""
     zs = q_zscore_by_source(sf_dir)
     dv = _as_ds(q_source_divergence(sf_dir))
+    md = q_mad_outliers(sf_dir)
 
     def pad_z(b: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame({
             "variant": _const_i64(len(b), 0),
             "s1": b["doc_id"].astype(np.int64).astype(str),
             "s2": np.full(len(b), "", dtype=object),
+            "a": _const_i64(len(b), 0), "b": _const_i64(len(b), 0),
+            "c": _const_i64(len(b), 0),
             "f": b["z"].astype(np.float64)})
 
     def pad_d(b: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame({
             "variant": _const_i64(len(b), 1),
             "s1": b["s1"], "s2": b["s2"],
+            "a": _const_i64(len(b), 0), "b": _const_i64(len(b), 0),
+            "c": _const_i64(len(b), 0),
             "f": b["jsd"].astype(np.float64)})
 
+    def pad_m(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "variant": _const_i64(len(b), 2),
+            "s1": b["doc_id"].astype(np.int64).astype(str),
+            "s2": np.full(len(b), "", dtype=object),
+            "a": b["med"].astype(np.int64),
+            "b": b["mad"].astype(np.int64),
+            "c": b["outlier"].astype(np.int64),
+            "f": b["rz"].astype(np.float64)})
+
     return (zs.map_batches(pad_z, batch_format="pandas")
-            .union(dv.map_batches(pad_d, batch_format="pandas")))
+            .union(dv.map_batches(pad_d, batch_format="pandas"))
+            .union(md.map_batches(pad_m, batch_format="pandas")))
 
 
 def q_cluster_reps(sf_dir: str):

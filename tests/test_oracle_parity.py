@@ -29,7 +29,8 @@ FAST = ["kmer_counts_per_doc", "whole_seq_minimiser", "lag_lead",
         "weighted_sample", "sketch_quantiles", "bloom_decontam",
         "kmer_complexity", "vocab_coverage", "char_entropy",
         # round-5b ops
-        "mg_topwords", "bm25_topk", "diginorm", "source_divergence"]
+        "mg_topwords", "bm25_topk", "diginorm", "source_divergence",
+        "mad_outliers"]
 
 pytestmark = pytest.mark.skipif(not os.path.exists(SF),
                                 reason="driver testdata unavailable")

@@ -1009,3 +1009,48 @@ def test_source_divergence_matches_scalar(ray_session):
     # identical distributions -> 0; fully disjoint vocab -> ln 2
     assert exp[("a", "b")] == 0.0
     assert abs(exp[("a", "c")] - math.log(2.0)) < 1e-6
+
+
+# ---------------------------------------------------------------------------
+# median/MAD robust outliers
+# ---------------------------------------------------------------------------
+
+def test_mad_outliers_matches_scalar(ray_session):
+    """Ceil-rank median + MAD vs a sorted-list scalar reference across
+    uneven blocks; a planted extreme value is flagged, the MAD=0
+    constant group yields NaN rz with exact flags."""
+    import ray.data
+
+    from kmerray.extras.grouped import grouped_mad_outliers
+    vals_a = [10, 12, 11, 10, 13, 11, 12, 1000]   # outlier 1000
+    vals_b = [5, 5, 5, 5]                          # constant -> MAD 0
+    docs = pd.DataFrame({
+        "doc_id": np.arange(12, dtype=np.int64),
+        "source": ["a"] * 8 + ["b"] * 4,
+        "n_chars": np.array(vals_a + vals_b, dtype=np.int64)})
+    ds = ray.data.from_pandas([docs.iloc[:5], docs.iloc[5:9],
+                               docs.iloc[9:]])
+    out = (grouped_mad_outliers(ds).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+
+    def ref(vals):
+        s = sorted(vals)
+        med = s[(len(s) + 1) // 2 - 1]
+        ad = sorted(abs(v - med) for v in vals)
+        mad = ad[(len(ad) + 1) // 2 - 1]
+        return med, mad
+
+    med_a, mad_a = ref(vals_a)
+    med_b, mad_b = ref(vals_b)
+    for i, v in enumerate(vals_a):
+        r = out.iloc[i]
+        assert (r["med"], r["mad"]) == (med_a, mad_a)
+        assert r["rz"] == (v - med_a) / mad_a
+        assert r["outlier"] == int(abs(v - med_a) > 3 * mad_a)
+    assert out.iloc[7]["outlier"] == 1          # the planted extreme
+    assert out[out["doc_id"] < 7]["outlier"].sum() == 0
+    for i, v in enumerate(vals_b):
+        r = out.iloc[8 + i]
+        assert (r["med"], r["mad"]) == (med_b, mad_b)
+        assert np.isnan(r["rz"]) and r["outlier"] == 0
+    assert mad_b == 0
