@@ -484,6 +484,11 @@ def run_bench() -> dict:
     from kmerray.extras.decomp import semdedup_survivors
     timed("semdedup", lambda: semdedup_survivors(
         emb(), n_clusters=64, iters=5, threshold=0.4).count())
+    # r5c: SSL-prototypes pruning (keep the hardest frac per cluster;
+    # per-block quota pre-cut, driver folds <= blocks x k x quota)
+    from kmerray.extras.decomp import proto_prune
+    timed("proto_prune", lambda: proto_prune(
+        emb(), n_clusters=8, iters=5).count())
 
     # materialized IVF: one-time cell-partitioned build (cached,
     # untimed — amortized across query runs), then a pruned-regime

@@ -327,3 +327,69 @@ def _assign_with_embedding(ds: "ray.data.Dataset",
 
     return ds.map_batches(AssignEmb, concurrency=(1, 8),
                           batch_format="pyarrow", zero_copy_batch=True)
+
+
+PRUNE_FRAC = 0.5
+
+
+def proto_prune(ds: "ray.data.Dataset", n_clusters: int = 8,
+                iters: int = 5,
+                frac: float = PRUNE_FRAC) -> "ray.data.Dataset":
+    """SSL-prototypes data pruning (Sorscher et al. 2022,
+    arXiv:2206.14486): prototypicality = distance to the assigned
+    k-means centroid; in the abundant-data regime the EASY (most
+    prototypical) examples are redundant, so keep the ``frac``
+    HARDEST per cluster (largest distance, ties to lowest vec_id).
+    Pruning per cluster (not globally) preserves coverage of every
+    mode — the paper's key design point.
+
+    Scale shape: the fit is :func:`kmeans_fit`'s streaming
+    sufficient-statistics loop; assignment keeps the winning squared
+    distance; per-cluster sizes come from ONE bincount-partial fold
+    (driver sees blocks x k ints) giving each cluster's integer
+    quota ``ceil(frac * n_c)``; the rank-and-cut is the grouped_topk
+    partial-per-block + bucket-merge discipline with a PER-KEY k —
+    each block pre-cuts to its own per-cluster quota so the exchange
+    carries <= blocks x k x quota rows, never the corpus.
+
+    Output: the integer surface ``(cluster, vec_id)`` of survivors —
+    the float distance orders but is never emitted (the cluster_reps
+    exactness contract)."""
+    slim = ds.select_columns(["vec_id", "embedding"]).materialize()
+    cent = kmeans_fit(slim, n_clusters, iters, pre_materialized=True)
+    assigned = assign_with_dist(slim, cent).materialize()
+
+    def counts(b: pa.Table) -> pa.Table:
+        c = np.bincount(b.column("cluster").to_numpy(),
+                        minlength=n_clusters).astype(np.int64)
+        return pa.table({"cluster": pa.array(np.arange(n_clusters,
+                                                       dtype=np.int64)),
+                         "n": pa.array(c)})
+
+    part = (assigned.map_batches(counts, batch_format="pyarrow")
+            .to_pandas().groupby("cluster")["n"].sum())
+    quota = {int(c): int(np.ceil(frac * int(n)))
+             for c, n in part.items()}
+
+    def blk_cut(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.sort_values(["cluster", "d2", "vec_id"],
+                          ascending=[True, False, True])
+        r = b.groupby("cluster").cumcount().to_numpy()
+        q = b["cluster"].map(quota).to_numpy()
+        return b[r < q]
+
+    # per-block pre-cut, single small merge (<= blocks x k x quota
+    # rows; at larger quotas swap the driver fold for the
+    # grouped_topk bucket merge unchanged)
+    pre = assigned.map_batches(blk_cut, batch_format="pandas",
+                               zero_copy_batch=False).to_pandas()
+    pre = pre.sort_values(["cluster", "d2", "vec_id"],
+                          ascending=[True, False, True])
+    r = pre.groupby("cluster").cumcount().to_numpy()
+    q = pre["cluster"].map(quota).to_numpy()
+    out = pre[r < q]
+    import ray as _ray
+    return _ray.data.from_pandas(pd.DataFrame({
+        "cluster": out["cluster"].to_numpy(np.int64),
+        "vec_id": out["vec_id"].to_numpy(np.int64)})
+        .reset_index(drop=True))

@@ -1812,6 +1812,39 @@ SELECT CAST(cluster AS BIGINT) AS cluster, vec_id FROM (
   FROM asg) WHERE rn <= {n_per}"""
 
 
+def proto_prune_sql(emb_path: str, n_clusters: int = 8,
+                    iters: int = 5, frac: float = None) -> str:
+    """Mirror of extras.decomp.proto_prune: assign to the literal
+    reference centroids, keep the ceil(frac * n_c) FARTHEST per
+    cluster (ties to lowest vec_id).  Engine ranks on squared
+    distance, SQL on list_distance — monotone, ties broken by
+    vec_id (the cluster_reps contract)."""
+    from .extras.decomp import PRUNE_FRAC
+    frac = PRUNE_FRAC if frac is None else frac
+    cent = _ref_kmeans_centroids(emb_path, n_clusters, iters)
+    rows = ",\n  ".join(f"({i}, {_dlist(cent[i])})"
+                        for i in range(n_clusters))
+    return f"""WITH cent(cluster, cvec) AS (VALUES
+  {rows}),
+d AS (
+  SELECT vec_id, cluster,
+         list_distance(CAST(embedding AS DOUBLE[]), cvec) AS dist
+  FROM embeddings, cent),
+asg AS (
+  SELECT vec_id, cluster, dist FROM (
+    SELECT vec_id, cluster, dist,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY dist, cluster) AS rn
+    FROM d) WHERE rn = 1)
+SELECT CAST(cluster AS BIGINT) AS cluster, vec_id FROM (
+  SELECT cluster, vec_id,
+         row_number() OVER (PARTITION BY cluster
+                            ORDER BY dist DESC, vec_id) AS rn,
+         CAST(count(*) OVER (PARTITION BY cluster) AS BIGINT) AS n
+  FROM asg)
+WHERE rn <= CAST(ceil({frac!r} * n) AS BIGINT)"""
+
+
 def dup_spans_sql(w: int = 5) -> str:
     """Duplicate-window-span stats: a window is "dup" iff its exact
     w-word string occurs in >= 2 distinct documents.  The engine keys

@@ -507,6 +507,7 @@ def registry() -> dict:
         "zscore_by_source": q_zscore_by_source,
         "source_divergence": q_source_divergence,
         "mad_outliers": q_mad_outliers,
+        "proto_prune": q_proto_prune,
         "bpe_merges": q_bpe_merges,
         "bpe_encode": q_bpe_encode,
         "cfv_raw": q_cfv_raw,
@@ -936,7 +937,13 @@ UNION ALL
 SELECT CAST(1 AS BIGINT), vec_id, CAST(-1 AS BIGINT),
        CAST(cluster AS DOUBLE)
 FROM ({oracle.kmeans_assign_sql(f"{sf_dir}/embeddings.parquet",
-                                KMEANS_K, 5)})""",
+                                KMEANS_K, 5)})
+UNION ALL
+SELECT CAST(2 AS BIGINT), vec_id, cluster, CAST(-1.0 AS DOUBLE)
+FROM ({oracle.proto_prune_sql(f"{sf_dir}/embeddings.parquet",
+                              KMEANS_K, 5)})""",
+        "proto_prune": oracle.proto_prune_sql(
+            f"{sf_dir}/embeddings.parquet", KMEANS_K, 5),
     }
 
 
@@ -2571,11 +2578,23 @@ def q_events_enriched(sf_dir: str):
     return out
 
 
+def q_proto_prune(sf_dir: str):
+    """SSL-prototypes pruning: keep the hardest ceil(frac*n_c) rows
+    per k-means cluster (largest centroid distance)."""
+    from .extras.decomp import proto_prune
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                               columns=["vec_id", "embedding"])
+    return proto_prune(ds, n_clusters=KMEANS_K, iters=5)
+
+
 def q_decomp_project(sf_dir: str):
     """Distributed-PCA projection entries (variant 0: comp, val)
-    UNION k-means assignments (variant 1: comp -1, val = cluster)."""
+    UNION k-means assignments (variant 1: comp -1, val = cluster)
+    UNION the SSL-prototypes prune survivors (variant 2: comp = the
+    cluster, val = -1)."""
     pca = q_pca_project_check(sf_dir)
     km = q_kmeans_assign(sf_dir)
+    pp = q_proto_prune(sf_dir)
 
     def pad_p(b: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame({
@@ -2588,8 +2607,15 @@ def q_decomp_project(sf_dir: str):
             "comp": _const_i64(len(b), -1),
             "val": b["cluster"].astype(np.float64)})
 
+    def pad_s(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "variant": _const_i64(len(b), 2), "vec_id": b["vec_id"],
+            "comp": b["cluster"].astype(np.int64),
+            "val": np.full(len(b), -1.0, dtype=np.float64)})
+
     return (pca.map_batches(pad_p, batch_format="pandas")
-            .union(km.map_batches(pad_k, batch_format="pandas")))
+            .union(km.map_batches(pad_k, batch_format="pandas"))
+            .union(pp.map_batches(pad_s, batch_format="pandas")))
 
 
 # --- round-5 ops: C4 cleaning, block (paragraph) dedup, temperature

@@ -1054,3 +1054,46 @@ def test_mad_outliers_matches_scalar(ray_session):
         assert (r["med"], r["mad"]) == (med_b, mad_b)
         assert np.isnan(r["rz"]) and r["outlier"] == 0
     assert mad_b == 0
+
+
+# ---------------------------------------------------------------------------
+# SSL-prototypes pruning
+# ---------------------------------------------------------------------------
+
+def test_proto_prune_matches_scalar(ray_session):
+    """Hardest-fraction-per-cluster pruning vs a numpy brute-force
+    reference (same deterministic fit, ceil quota per cluster, ties
+    to lowest vec_id), across uneven blocks."""
+    import pyarrow as pa
+    import ray.data
+
+    from kmerray.extras.decomp import kmeans_fit, proto_prune
+    rng = np.random.default_rng(3)
+    x = np.vstack([rng.normal(0, 1, (20, 6)),
+                   rng.normal(5, 1, (15, 6))])
+    tab = pa.table({
+        "vec_id": pa.array(np.arange(35, dtype=np.int64)),
+        "embedding": pa.array([r.tolist() for r in x],
+                              pa.list_(pa.float64()))})
+    ds = ray.data.from_arrow([tab.slice(0, 12), tab.slice(12, 9),
+                              tab.slice(21)])
+    out = (proto_prune(ds, n_clusters=2, iters=3, frac=0.4)
+           .to_pandas().sort_values("vec_id").reset_index(drop=True))
+
+    cent = kmeans_fit(ray.data.from_arrow(tab), n_clusters=2, iters=3)
+    d2 = ((x[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+    a = np.argmin(d2, axis=1)
+    win = d2[np.arange(35), a]
+    exp = []
+    for c in range(2):
+        ids = np.flatnonzero(a == c)
+        quota = int(np.ceil(0.4 * len(ids)))
+        order = ids[np.lexsort((ids, -win[ids]))][:quota]
+        exp += [(c, int(i)) for i in order]
+    exp.sort(key=lambda t: t[1])
+    got = list(out[["cluster", "vec_id"]]
+               .itertuples(index=False, name=None))
+    assert got == exp
+    # both clusters respect their own quota
+    assert out["cluster"].value_counts().to_dict() == {
+        c: int(np.ceil(0.4 * int((a == c).sum()))) for c in range(2)}
