@@ -489,6 +489,10 @@ def run_bench() -> dict:
     from kmerray.extras.decomp import proto_prune
     timed("proto_prune", lambda: proto_prune(
         emb(), n_clusters=8, iters=5).count())
+    # r5d: greedy k-center coreset (2k streaming passes over the slim
+    # embedding table, one broadcast center per round)
+    from kmerray.extras.decomp import kcenter_select
+    timed("kcenter_select", lambda: kcenter_select(emb(), k=16).count())
 
     # materialized IVF: one-time cell-partitioned build (cached,
     # untimed — amortized across query runs), then a pruned-regime

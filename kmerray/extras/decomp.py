@@ -393,3 +393,98 @@ def proto_prune(ds: "ray.data.Dataset", n_clusters: int = 8,
         "cluster": out["cluster"].to_numpy(np.int64),
         "vec_id": out["vec_id"].to_numpy(np.int64)})
         .reset_index(drop=True))
+
+
+def kcenter_select(ds: "ray.data.Dataset", k: int = 16) -> "ray.data.Dataset":
+    """Greedy k-center coreset selection (Gonzalez 1985 farthest-point
+    traversal; the active-learning coreset of Sener & Savarese 2018,
+    arXiv:1708.00489): seed = the LOWEST vec_id (reshard-stable, the
+    kmeans_fit init discipline), then k-1 rounds of "pick the point
+    farthest from the selected set" (ties to lowest vec_id), then one
+    assignment pass counting how many points each center covers.
+
+    Scale shape: the selected set never exceeds k rows, and each round
+    is ONE streaming pass over the materialized slim projection
+    against a SINGLE broadcast center — the running min-distance
+    column ``mind2`` rides the dataset (updated in place per round, so
+    round t compares against ONE new center, not all t), and the
+    round's winner comes from per-block argmax partials (driver folds
+    <= blocks rows).  The coverage pass emits per-block bincount
+    partials (blocks x k ints).  2k streaming passes total over the
+    embedding table (which is orders of magnitude smaller than the doc
+    corpus); nothing corpus-sized ever reaches the driver.
+
+    Float discipline: d2 uses the same kmeans kernel
+    ``(x*x).sum(1) - 2 x@c + (c*c).sum()`` as the oracle generator's
+    single-process reference; BLAS blocking can differ at the ~1-ulp
+    level between block shapes, so selections diverge only if two
+    points' min-distances coincide within ~1e-12 relative (the
+    documented kmeans_assign caveat — does not occur on generic float
+    embeddings).  Output is the integer surface (rank, vec_id,
+    n_assigned) — no float is emitted."""
+    slim = ds.select_columns(["vec_id", "embedding"]).materialize()
+    seed = _bottom_ids_table(slim, 1)
+    sel_ids = [int(seed.column("vec_id")[0].as_py())]
+    sel_vecs = [np.asarray(seed.column("embedding")[0].as_py(),
+                           dtype=np.float64)]
+
+    state = slim
+    for rnd in range(k - 1):
+        c = sel_vecs[-1]
+        ref = ray.put(c)
+        first = rnd == 0
+
+        def update(b: pa.Table, _ref=ref, _first=first) -> pa.Table:
+            cc = ray.get(_ref)
+            x = _emb_matrix(b)
+            d2 = (x * x).sum(axis=1) - 2.0 * (x @ cc) + (cc * cc).sum()
+            if _first:
+                mind2 = d2
+            else:
+                mind2 = np.minimum(b.column("mind2").to_numpy(), d2)
+            return pa.table({"vec_id": b.column("vec_id"),
+                             "embedding": b.column("embedding"),
+                             "mind2": pa.array(mind2)})
+
+        state = state.map_batches(update, batch_format="pyarrow",
+                                  zero_copy_batch=True).materialize()
+
+        def blockmax(b: pa.Table) -> pa.Table:
+            ids = b.column("vec_id").to_numpy()
+            m = b.column("mind2").to_numpy()
+            i = int(np.lexsort((ids, -m))[0])
+            return pa.table({
+                "vec_id": pa.array([int(ids[i])], pa.int64()),
+                "mind2": pa.array([float(m[i])], pa.float64()),
+                "embedding": pa.array(
+                    [b.column("embedding")[i].as_py()],
+                    pa.list_(pa.float64()))})
+
+        part = (state.map_batches(blockmax, batch_format="pyarrow",
+                                  zero_copy_batch=True).take_all())
+        win = min(part, key=lambda r: (-r["mind2"], r["vec_id"]))
+        sel_ids.append(int(win["vec_id"]))
+        sel_vecs.append(np.asarray(win["embedding"], dtype=np.float64))
+
+    cent = np.vstack(sel_vecs)
+    cref = ray.put(cent)
+
+    def cover(b: pa.Table) -> pa.Table:
+        cc = ray.get(cref)
+        x = _emb_matrix(b)
+        d2 = (x * x).sum(axis=1)[:, None] - 2.0 * (x @ cc.T) \
+            + (cc * cc).sum(axis=1)
+        a = np.argmin(d2, axis=1)
+        n = np.bincount(a, minlength=k).astype(np.int64)
+        return pa.table({"rank": pa.array(np.arange(k, dtype=np.int64)),
+                         "n": pa.array(n)})
+
+    part = (slim.map_batches(cover, batch_format="pyarrow",
+                             zero_copy_batch=True)
+            .to_pandas().groupby("rank")["n"].sum())
+    out = pd.DataFrame({
+        "rank": np.arange(k, dtype=np.int64),
+        "vec_id": np.asarray(sel_ids, dtype=np.int64),
+        "n_assigned": part.reindex(range(k), fill_value=0)
+                          .to_numpy(np.int64)})
+    return ray.data.from_pandas(out)

@@ -1845,6 +1845,58 @@ SELECT CAST(cluster AS BIGINT) AS cluster, vec_id FROM (
 WHERE rn <= CAST(ceil({frac!r} * n) AS BIGINT)"""
 
 
+def _ref_kcenter(emb_path: str, k: int):
+    """Independent single-process greedy k-center reference (seed =
+    lowest vec_id, farthest-point traversal, argmax ties to lowest
+    vec_id) — same d2 kernel as the distributed engine; shared by the
+    kcenter oracle."""
+    import numpy as np
+    ids, x = _emb_xy(emb_path)
+    pos = int(np.argsort(ids, kind="stable")[0])
+    sel = [pos]
+    c = x[pos]
+    mind2 = (x * x).sum(axis=1) - 2.0 * (x @ c) + (c * c).sum()
+    for _ in range(k - 1):
+        p = int(np.lexsort((ids, -mind2))[0])
+        sel.append(p)
+        c = x[p]
+        d2 = (x * x).sum(axis=1) - 2.0 * (x @ c) + (c * c).sum()
+        mind2 = np.minimum(mind2, d2)
+    return ids[sel], x[sel]
+
+
+def kcenter_select_sql(emb_path: str, k: int = 16) -> str:
+    """Mirror of extras.decomp.kcenter_select: the greedy selection is
+    run here by an independent single-process reference (the
+    _ref_kmeans_centroids discipline) and embedded as literal (rank,
+    vec_id, centroid) rows; the SQL then re-derives the coverage
+    assignment — each point's nearest selected center (list_distance,
+    ties to lowest rank, matching the engine's argmin-ties-to-lowest-
+    index) — and counts per center, so a divergence in EITHER the
+    engine's greedy picks (vs the literals) or its distributed
+    coverage pass (vs the SQL counts) fails the hash."""
+    ids, vecs = _ref_kcenter(emb_path, k)
+    rows = ",\n  ".join(
+        f"(CAST({r} AS BIGINT), CAST({int(ids[r])} AS BIGINT), "
+        f"{_dlist(vecs[r])})" for r in range(k))
+    return f"""WITH cent(rank, cid, cvec) AS (VALUES
+  {rows}),
+d AS (
+  SELECT e.vec_id, c.rank,
+         list_distance(CAST(e.embedding AS DOUBLE[]), c.cvec) AS dist
+  FROM embeddings e, cent c),
+asg AS (
+  SELECT vec_id, rank FROM (
+    SELECT vec_id, rank,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY dist, rank) AS rn
+    FROM d) WHERE rn = 1)
+SELECT c.rank AS rank, c.cid AS vec_id,
+       CAST(count(a.vec_id) AS BIGINT) AS n_assigned
+FROM cent c LEFT JOIN asg a ON a.rank = c.rank
+GROUP BY c.rank, c.cid"""
+
+
 def dup_spans_sql(w: int = 5) -> str:
     """Duplicate-window-span stats: a window is "dup" iff its exact
     w-word string occurs in >= 2 distinct documents.  The engine keys

@@ -508,6 +508,7 @@ def registry() -> dict:
         "source_divergence": q_source_divergence,
         "mad_outliers": q_mad_outliers,
         "proto_prune": q_proto_prune,
+        "kcenter_select": q_kcenter_select,
         "bpe_merges": q_bpe_merges,
         "bpe_encode": q_bpe_encode,
         "cfv_raw": q_cfv_raw,
@@ -941,9 +942,15 @@ FROM ({oracle.kmeans_assign_sql(f"{sf_dir}/embeddings.parquet",
 UNION ALL
 SELECT CAST(2 AS BIGINT), vec_id, cluster, CAST(-1.0 AS DOUBLE)
 FROM ({oracle.proto_prune_sql(f"{sf_dir}/embeddings.parquet",
-                              KMEANS_K, 5)})""",
+                              KMEANS_K, 5)})
+UNION ALL
+SELECT CAST(3 AS BIGINT), vec_id, rank, CAST(n_assigned AS DOUBLE)
+FROM ({oracle.kcenter_select_sql(f"{sf_dir}/embeddings.parquet",
+                                 KCENTER_K)})""",
         "proto_prune": oracle.proto_prune_sql(
             f"{sf_dir}/embeddings.parquet", KMEANS_K, 5),
+        "kcenter_select": oracle.kcenter_select_sql(
+            f"{sf_dir}/embeddings.parquet", KCENTER_K),
     }
 
 
@@ -1913,6 +1920,7 @@ def q_group_sample(sf_dir: str):
 
 
 KMEANS_K = 8
+KCENTER_K = 16
 
 
 def q_kmeans_assign(sf_dir: str):
@@ -2587,14 +2595,27 @@ def q_proto_prune(sf_dir: str):
     return proto_prune(ds, n_clusters=KMEANS_K, iters=5)
 
 
+def q_kcenter_select(sf_dir: str):
+    """Greedy k-center coreset: seed = lowest vec_id, k-1 rounds of
+    farthest-point traversal, then a coverage-count assignment pass
+    (integer output surface, SQL-gated against an independent
+    single-process reference via literal centers)."""
+    from .extras.decomp import kcenter_select
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                               columns=["vec_id", "embedding"])
+    return kcenter_select(ds, k=KCENTER_K)
+
+
 def q_decomp_project(sf_dir: str):
     """Distributed-PCA projection entries (variant 0: comp, val)
     UNION k-means assignments (variant 1: comp -1, val = cluster)
     UNION the SSL-prototypes prune survivors (variant 2: comp = the
-    cluster, val = -1)."""
+    cluster, val = -1) UNION the greedy k-center coreset (variant 3:
+    comp = rank, val = coverage count)."""
     pca = q_pca_project_check(sf_dir)
     km = q_kmeans_assign(sf_dir)
     pp = q_proto_prune(sf_dir)
+    kc = q_kcenter_select(sf_dir)
 
     def pad_p(b: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame({
@@ -2613,9 +2634,16 @@ def q_decomp_project(sf_dir: str):
             "comp": b["cluster"].astype(np.int64),
             "val": np.full(len(b), -1.0, dtype=np.float64)})
 
+    def pad_c(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "variant": _const_i64(len(b), 3), "vec_id": b["vec_id"],
+            "comp": b["rank"].astype(np.int64),
+            "val": b["n_assigned"].astype(np.float64)})
+
     return (pca.map_batches(pad_p, batch_format="pandas")
             .union(km.map_batches(pad_k, batch_format="pandas"))
-            .union(pp.map_batches(pad_s, batch_format="pandas")))
+            .union(pp.map_batches(pad_s, batch_format="pandas"))
+            .union(kc.map_batches(pad_c, batch_format="pandas")))
 
 
 # --- round-5 ops: C4 cleaning, block (paragraph) dedup, temperature

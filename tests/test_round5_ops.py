@@ -1097,3 +1097,49 @@ def test_proto_prune_matches_scalar(ray_session):
     # both clusters respect their own quota
     assert out["cluster"].value_counts().to_dict() == {
         c: int(np.ceil(0.4 * int((a == c).sum()))) for c in range(2)}
+
+
+# ---------------------------------------------------------------------------
+# greedy k-center coreset
+# ---------------------------------------------------------------------------
+
+def test_kcenter_select_matches_scalar(ray_session):
+    """Farthest-point traversal vs a numpy brute-force reference
+    (seed = lowest vec_id, argmax ties to lowest vec_id, coverage
+    ties to lowest rank), across uneven blocks and shuffled ids."""
+    import pyarrow as pa
+    import ray.data
+
+    from kmerray.extras.decomp import kcenter_select
+    rng = np.random.default_rng(11)
+    x = rng.normal(0, 1, (30, 5))
+    ids = rng.permutation(30).astype(np.int64)  # ids not block-sorted
+    tab = pa.table({
+        "vec_id": pa.array(ids),
+        "embedding": pa.array([r.tolist() for r in x],
+                              pa.list_(pa.float64()))})
+    ds = ray.data.from_arrow([tab.slice(0, 11), tab.slice(11, 7),
+                              tab.slice(18)])
+    out = (kcenter_select(ds, k=4).to_pandas()
+           .sort_values("rank").reset_index(drop=True))
+
+    # brute reference (same d2 kernel)
+    pos = int(np.argsort(ids, kind="stable")[0])
+    sel = [pos]
+    c = x[pos]
+    mind2 = (x * x).sum(axis=1) - 2.0 * (x @ c) + (c * c).sum()
+    for _ in range(3):
+        p = int(np.lexsort((ids, -mind2))[0])
+        sel.append(p)
+        c = x[p]
+        d2 = (x * x).sum(axis=1) - 2.0 * (x @ c) + (c * c).sum()
+        mind2 = np.minimum(mind2, d2)
+    cent = x[sel]
+    d2 = ((x[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+    a = np.argmin(d2, axis=1)
+    n = np.bincount(a, minlength=4)
+
+    assert out["vec_id"].tolist() == [int(ids[p]) for p in sel]
+    assert out["rank"].tolist() == [0, 1, 2, 3]
+    assert out["n_assigned"].tolist() == n.tolist()
+    assert int(out["n_assigned"].sum()) == 30
