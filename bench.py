@@ -338,6 +338,12 @@ def run_bench() -> dict:
     timed("dsir_weights", lambda: dsir_weights(
         docs_half().map_batches(_with_lang_col,
                                 batch_format="pandas")).count())
+    # r5c: NB curated-vs-crawl classifier (same fused counting
+    # exchange as dsir, one broadcast term table, stateless scoring)
+    from kmerray.extras.text import nb_classify
+    timed("nb_classify", lambda: nb_classify(
+        docs_half().map_batches(_with_lang_col,
+                                batch_format="pandas")).count())
     timed("quality_filter", lambda: quality_filter(docs()).count())
 
     # r4 multimodal + hygiene legs: actor-pool stages over opaque
@@ -558,6 +564,11 @@ def run_bench() -> dict:
         events(["ts", "event_type", "user_id"])).count())
     timed("events_funnel", lambda: funnel_first_completion(
         events(["ts", "event_id", "event_type", "user_id"])).count())
+    # r5c: cohort retention triangle (distinct-(user,day) combiner,
+    # one user-hash exchange, driver folds buckets x days^2 ints)
+    from kmerray.extras.events import retention_cohorts
+    timed("retention_cohorts", lambda: len(retention_cohorts(
+        events(["user_id", "ts"]))))
     # r5: single-pass per-column data-quality profile (no shuffle;
     # reads all columns incl. props by design — profiling IS a
     # full-table scan, so it pays its own read)

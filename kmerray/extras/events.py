@@ -388,3 +388,89 @@ def funnel_first_completion(ds: "ray.data.Dataset", a: str = "view",
     bucketed = _with_user_bucket(ds, n_buckets)
     return bucketed.groupby("ubucket").map_groups(per_bucket,
                                                   batch_format="pandas")
+
+
+DAY_US = 24 * HOUR_US
+
+
+def retention_cohorts(ds: "ray.data.Dataset",
+                      period_us: int = DAY_US,
+                      n_buckets: int = 32) -> pd.DataFrame:
+    """Classic cohort-retention matrix: users are cohorted by their
+    first active period (day), and ``n_users`` counts how many of a
+    cohort's users were active again ``day_offset`` periods later —
+    the standard product-analytics retention triangle, and at corpus
+    scale the contributor-activity surface for data-freshness audits.
+
+    Scale shape: per-block partials pre-collapse to DISTINCT
+    ``(user, period)`` pairs (one lexsort per block, the events-suite
+    combiner discipline), ONE user-hash-bucketed exchange — a user's
+    rows land whole in one bucket, so ``cohort = min(period)`` is
+    exact per bucket — and each bucket emits pre-counted ``(cohort,
+    offset, n)`` partials; the driver folds ``buckets × periods²``
+    int rows, never the event stream.  All-integer surface: counts
+    and day arithmetic are exact on both engines.
+
+    Output: ``(cohort_day, day_offset, n_users)`` with ``cohort_day``
+    in epoch periods (``epoch_us // period_us``)."""
+
+    def partial(batch: pd.DataFrame) -> pa.Table:
+        u = batch["user_id"].to_numpy().astype(np.int64)
+        day = _epoch_us(batch["ts"]) // period_us
+        order = np.lexsort((day, u))
+        su, sd = u[order], day[order]
+        first = np.ones(len(su), dtype=bool)
+        first[1:] = (su[1:] != su[:-1]) | (sd[1:] != sd[:-1])
+        su, sd = su[first], sd[first]
+        return pa.table({"user": pa.array(su), "day": pa.array(sd),
+                         "ub": pa.array(su % n_buckets)})
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        u = g["user"].to_numpy()
+        day = g["day"].to_numpy()
+        order = np.lexsort((day, u))
+        u, day = u[order], day[order]
+        first = np.ones(len(u), dtype=bool)
+        first[1:] = (u[1:] != u[:-1]) | (day[1:] != day[:-1])
+        u, day = u[first], day[first]
+        ustart = np.ones(len(u), dtype=bool)
+        ustart[1:] = u[1:] != u[:-1]
+        # post-lexsort each user's first row carries its min day;
+        # broadcast it down the user's run
+        cohort = day[np.maximum.accumulate(
+            np.where(ustart, np.arange(len(u)), 0))]
+        off = day - cohort
+        order2 = np.lexsort((off, cohort))
+        kc, ko = cohort[order2], off[order2]
+        kf = np.ones(len(kc), dtype=bool)
+        kf[1:] = (kc[1:] != kc[:-1]) | (ko[1:] != ko[:-1])
+        starts = np.flatnonzero(kf)
+        lens = np.diff(np.append(starts, len(kc)))
+        return pd.DataFrame({"cohort_day": kc[starts],
+                             "day_offset": ko[starts],
+                             "n": lens.astype(np.int64)})
+
+    parts = (ds.map_batches(partial, batch_format="pandas")
+             .groupby("ub").map_groups(merge, batch_format="pandas"))
+    tabs = [t for t in ray.get(parts.to_arrow_refs()) if t.num_rows]
+    empty = pd.DataFrame({
+        "cohort_day": pd.Series([], dtype=np.int64),
+        "day_offset": pd.Series([], dtype=np.int64),
+        "n_users": pd.Series([], dtype=np.int64)})
+    if not tabs:
+        return empty
+    allp = pa.concat_tables(tabs)
+    c = allp.column("cohort_day").to_numpy()
+    o = allp.column("day_offset").to_numpy()
+    n = allp.column("n").to_numpy()
+    order = np.lexsort((o, c))
+    c, o, n = c[order], o[order], n[order]
+    first = np.ones(len(c), dtype=bool)
+    first[1:] = (c[1:] != c[:-1]) | (o[1:] != o[:-1])
+    starts = np.flatnonzero(first)
+    csum = np.zeros(len(c) + 1, dtype=np.int64)
+    np.cumsum(n, out=csum[1:])
+    ends = np.append(starts[1:], len(c))
+    return pd.DataFrame({"cohort_day": c[starts],
+                         "day_offset": o[starts],
+                         "n_users": csum[ends] - csum[starts]})

@@ -861,33 +861,17 @@ def bigram_logprob(ds: "ray.data.Dataset", lam: float = 0.75,
                           batch_format="pandas")
 
 
-def dsir_weights(ds: "ray.data.Dataset", target_lang: str = "en",
-                 dp: int = 4, min_count: int = 1) -> "ray.data.Dataset":
-    """DSIR-style log importance weights (Xie et al. 2023, "Data
-    Selection for Language Models via Importance Resampling"): per doc
-    the mean over words of ``ln p_target(w) - ln p_background(w)``,
-    where the target LM is fit on the ``lang == target_lang`` slice
-    and the background LM on the whole corpus.  High weight = looks
-    like the target domain; the standard resampling score for mixing
-    web data toward a target distribution.
-
-    Scale shape: ONE fused LM pass — each block's partial counts the
-    full corpus and the target slice simultaneously (two integer
-    columns on the same hash key), so the corpus is tokenized once
-    and there is one bucketed exchange instead of two; the bounded
-    vocab-sized dictionary is materialized via arrow-block gather and
-    broadcast once (``ray.put``), and the scoring pass is a stateless
-    searchsorted per batch — no shuffle of the corpus rows.  Unseen-in-target words take the add-one count floor
-    (the fixed-LM convention, same as :func:`unigram_logprob`).
-
-    ``logweight`` is rounded to ``dp`` decimals on both engines (sum
-    order differs between numpy and SQL aggregation)."""
-    n_buckets = 64
+def _class_counts(ds: "ray.data.Dataset", target_lang: str,
+                  n_buckets: int = 64
+                  ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Fused per-word ``(corpus count, target-slice count)`` keyed by
+    the 64-bit word hash — ONE tokenization pass (each occurrence
+    contributes to ``c_all`` always and to ``c_tgt`` iff its row is
+    target-lang), ONE hash-bucketed exchange, arrow-block gather of
+    the bounded vocab-sized int64 dictionary, hash-sorted.  Shared by
+    :func:`dsir_weights` and :func:`nb_classify`."""
 
     def partial(batch: pd.DataFrame) -> pa.Table:
-        # ONE tokenization pass counts the full corpus AND the
-        # target slice: each word occurrence contributes to c_all
-        # always and to c_tgt iff its row is target-lang
         vals, offs = flat_words(batch["text"])
         h = content_hash64(vals)
         rowid = np.repeat(np.arange(len(batch)), np.diff(offs))
@@ -924,10 +908,34 @@ def dsir_weights(ds: "ray.data.Dataset", target_lang: str = "en",
     wh = dic.column("wh").to_numpy()
     ca = dic.column("cnt_all").to_numpy()
     ct = dic.column("cnt_tgt").to_numpy()
+    order = np.argsort(wh)
+    return wh[order], ca[order], ct[order]
+
+
+def dsir_weights(ds: "ray.data.Dataset", target_lang: str = "en",
+                 dp: int = 4, min_count: int = 1) -> "ray.data.Dataset":
+    """DSIR-style log importance weights (Xie et al. 2023, "Data
+    Selection for Language Models via Importance Resampling"): per doc
+    the mean over words of ``ln p_target(w) - ln p_background(w)``,
+    where the target LM is fit on the ``lang == target_lang`` slice
+    and the background LM on the whole corpus.  High weight = looks
+    like the target domain; the standard resampling score for mixing
+    web data toward a target distribution.
+
+    Scale shape: ONE fused LM pass — each block's partial counts the
+    full corpus and the target slice simultaneously (two integer
+    columns on the same hash key), so the corpus is tokenized once
+    and there is one bucketed exchange instead of two; the bounded
+    vocab-sized dictionary is materialized via arrow-block gather and
+    broadcast once (``ray.put``), and the scoring pass is a stateless
+    searchsorted per batch — no shuffle of the corpus rows.  Unseen-in-target words take the add-one count floor
+    (the fixed-LM convention, same as :func:`unigram_logprob`).
+
+    ``logweight`` is rounded to ``dp`` decimals on both engines (sum
+    order differs between numpy and SQL aggregation)."""
+    wh, ca, ct = _class_counts(ds, target_lang)
     if not ct.any():
         raise ValueError("empty LM slice (no target docs?)")
-    order = np.argsort(wh)
-    wh, ca, ct = wh[order], ca[order], ct[order]
     keep_a, keep_t = ca >= min_count, ct >= min_count
     bg = (wh[keep_a], ca[keep_a], float(ca.sum()))
     tgt = (wh[keep_t], ct[keep_t], float(ct.sum()))
@@ -962,6 +970,84 @@ def dsir_weights(ds: "ray.data.Dataset", target_lang: str = "en",
             return pd.DataFrame({
                 "doc_id": batch["doc_id"].astype(np.int64),
                 "logweight": np.floor(avg * scale + 0.5) / scale,
+            })
+
+    return ds.map_batches(Score, concurrency=(1, 8),
+                          batch_format="pandas")
+
+
+def nb_classify(ds: "ray.data.Dataset", target_lang: str = "en",
+                dp: int = 4) -> "ray.data.Dataset":
+    """Multinomial Naive Bayes quality classifier — the GPT-3-style
+    linear document filter (Brown et al. 2020 Appendix A: a classifier
+    trained curated-vs-crawl scores every crawl doc; docs the model
+    thinks look curated are kept preferentially).  The deterministic
+    stand-in for the curated positive class is the ``lang ==
+    target_lang`` slice — the same stand-in :func:`dsir_weights` uses
+    for its target distribution.
+
+    Training is counting: per-word positive / negative occurrence
+    counts with add-one smoothing.  Per doc the score is the mean
+    per-token log-likelihood ratio::
+
+        t(w)  = ln((c_pos(w)+1)/(N_pos+V)) - ln((c_neg(w)+1)/(N_neg+V))
+        llr   = mean over tokens of t(w);    keep = llr > 0
+
+    Scale shape: ONE fused counting pass + ONE hash-bucketed exchange
+    (:func:`_class_counts`, the dsir_weights shape — the corpus is
+    tokenized once and only int64 partials move), the vocab-bounded
+    ``(hash, term)`` table broadcast once via ``ray.put``, and a
+    stateless searchsorted scoring pass — the corpus rows never
+    shuffle.  A production run would prune the dictionary by
+    min-count exactly as :func:`unigram_logprob` does (changing only
+    the add-one floor for pruned words); kept unpruned here so every
+    corpus word is in-dictionary and the surface is exactly the
+    closed-form NB score.
+
+    Exactness: every t(w) argument is an exact int64 ratio — both
+    engines evaluate the identical IEEE expression
+    ``ln(int/double) - ln(int/double)``; only the per-doc SUM order
+    differs, absorbed by tie-safe floor dp-rounding (the
+    dsir_weights convention), and ``keep`` compares the ROUNDED
+    value so the flag is engine-identical.
+
+    Output: ``(doc_id, llr, keep)``."""
+    wh, ca, ct = _class_counts(ds, target_lang)
+    if not ct.any():
+        raise ValueError("empty positive slice (no target docs?)")
+    cn = ca - ct
+    nv = len(wh)
+    denom_p = float(int(ct.sum()) + nv)
+    denom_n = float(int(cn.sum()) + nv)
+    term = (np.log((ct + 1).astype(np.float64) / denom_p)
+            - np.log((cn + 1).astype(np.float64) / denom_n))
+    lm_ref = ray.put((wh, term))
+    scale = 10.0 ** dp
+
+    class Score:
+        def __init__(self):
+            self.wh, self.term = ray.get(lm_ref)
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            vals, offs = flat_words(batch["text"])
+            bh = content_hash64(vals).view(np.int64)
+            idx = np.searchsorted(self.wh, bh)
+            idx = np.minimum(idx, max(len(self.wh) - 1, 0))
+            hit = self.wh[idx] == bh if len(self.wh) else \
+                np.zeros(len(bh), dtype=bool)
+            # misses are impossible when scoring the training corpus
+            # itself (dictionary is unpruned); 0-term keeps a foreign
+            # corpus scoreable
+            t = np.where(hit, self.term[idx], 0.0)
+            nrows = len(batch)
+            rowid = np.repeat(np.arange(nrows), np.diff(offs))
+            n = np.maximum(np.diff(offs), 1)
+            avg = np.bincount(rowid, weights=t, minlength=nrows) / n
+            llr = np.floor(avg * scale + 0.5) / scale
+            return pd.DataFrame({
+                "doc_id": batch["doc_id"].astype(np.int64),
+                "llr": llr,
+                "keep": (llr > 0).astype(np.int64),
             })
 
     return ds.map_batches(Score, concurrency=(1, 8),

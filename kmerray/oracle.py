@@ -1994,6 +1994,20 @@ SELECT d.doc_id,
 FROM documents d JOIN s USING (source)"""
 
 
+def retention_cohorts_sql(period_us: int = 86_400_000_000) -> str:
+    """Mirror of extras.events.retention_cohorts: DISTINCT (user,
+    period) activity pairs, per-user min-period cohort, integer
+    offset counts — all-integer surface, exact on both engines."""
+    return f"""WITH d AS (
+  SELECT DISTINCT user_id, epoch_us(ts) // {period_us} AS day
+  FROM events),
+c AS (SELECT user_id, min(day) AS cohort FROM d GROUP BY user_id)
+SELECT c.cohort AS cohort_day, d.day - c.cohort AS day_offset,
+       CAST(count(*) AS BIGINT) AS n_users
+FROM d JOIN c USING (user_id)
+GROUP BY 1, 2"""
+
+
 def events_distinct_sql(window_us: int = 3_600_000_000) -> str:
     """Exact COUNT + COUNT(DISTINCT user) per (event_type, window)."""
     return f"""SELECT event_type,
@@ -2097,6 +2111,36 @@ SELECT w.doc_id,
     AS logweight
 FROM w JOIN cb ON w.word = cb.word
        LEFT JOIN ct ON w.word = ct.word, tb, tt
+GROUP BY w.doc_id"""
+
+
+def nb_classify_sql(target_lang: str = "en", dp: int = 4) -> str:
+    """Mirror of extras.text.nb_classify: add-one multinomial NB
+    log-likelihood-ratio score per doc, positive class = the
+    ``lang == target_lang`` slice.  Every per-word term is
+    ``ln(int/double) - ln(int/double)`` on exact integer counts —
+    identical IEEE expression both engines; the per-doc mean is
+    tie-safe floor-dp-rounded and ``keep`` compares the ROUNDED
+    value (the dsir_weights convention)."""
+    scale = 10 ** dp
+    rounded = f"floor(avg(t) * {scale} + 0.5) / {scale}"
+    return f"""WITH w AS (
+  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS word
+  FROM documents),
+cb AS (SELECT word, CAST(count(*) AS BIGINT) AS ca,
+              CAST(count(*) FILTER (WHERE lang = '{target_lang}')
+                   AS BIGINT) AS ct
+       FROM w GROUP BY word),
+v AS (SELECT CAST(count(*) AS BIGINT) AS nv,
+             CAST(sum(ct) AS BIGINT) AS npos,
+             CAST(sum(ca - ct) AS BIGINT) AS nneg FROM cb),
+term AS (SELECT word,
+    ln((ct + 1) / CAST(npos + nv AS DOUBLE))
+  - ln((ca - ct + 1) / CAST(nneg + nv AS DOUBLE)) AS t
+  FROM cb, v)
+SELECT w.doc_id, {rounded} AS llr,
+       CAST({rounded} > 0 AS BIGINT) AS keep
+FROM w JOIN term USING (word)
 GROUP BY w.doc_id"""
 
 

@@ -467,6 +467,7 @@ def registry() -> dict:
         "cust_order_rollup": q_cust_order_rollup,
         "events_distinct": q_events_distinct,
         "events_funnel": q_events_funnel,
+        "retention_cohorts": q_retention_cohorts,
         "emb_near_dup": q_emb_near_dup,
         "dup_spans": q_dup_spans,
         "dup_span_scrub": q_dup_span_scrub,
@@ -495,6 +496,7 @@ def registry() -> dict:
         "data_profile": q_data_profile,
         "unigram_logprob": q_unigram_logprob,
         "bigram_logprob": q_bigram_logprob,
+        "nb_classify": q_nb_classify,
         "decontam_spans": q_decontam_spans,
         "hard_negatives": q_hard_negatives,
         "quantize_emb": q_quantize_emb,
@@ -708,13 +710,18 @@ FROM ({oracle.block_dedup_sql(BLOCK_W)})""",
         "unigram_logprob": oracle.unigram_logprob_sql(LM_DP),
         "bigram_logprob": oracle.bigram_logprob_sql(
             dp=LM_DP, min_count=BIGRAM_LM_MIN_COUNT),
+        "nb_classify": oracle.nb_classify_sql(dp=LM_DP),
         "lm_logprob2": f"""\
-SELECT CAST(0 AS BIGINT) AS variant, doc_id, avg_logprob
+SELECT CAST(0 AS BIGINT) AS variant, doc_id, avg_logprob,
+       CAST(0 AS BIGINT) AS keep
 FROM ({oracle.unigram_logprob_sql(LM_DP)})
 UNION ALL
-SELECT CAST(1 AS BIGINT), doc_id, avg_logprob
+SELECT CAST(1 AS BIGINT), doc_id, avg_logprob, CAST(0 AS BIGINT)
 FROM ({oracle.bigram_logprob_sql(
-    dp=LM_DP, min_count=BIGRAM_LM_MIN_COUNT)})""",
+    dp=LM_DP, min_count=BIGRAM_LM_MIN_COUNT)})
+UNION ALL
+SELECT CAST(2 AS BIGINT), doc_id, llr, keep
+FROM ({oracle.nb_classify_sql(dp=LM_DP)})""",
         "zscore_by_source": oracle.zscore_by_source_sql(),
         "source_divergence": oracle.source_divergence_sql(),
         "mad_outliers": oracle.mad_outliers_sql(),
@@ -868,7 +875,12 @@ FROM ({oracle.events_funnel_sql()})
 UNION ALL
 SELECT CAST(2 AS BIGINT), col || ':' || metric, CAST(0 AS BIGINT),
        CAST(0 AS BIGINT), CAST(0 AS BIGINT), val_num, val_str
-FROM ({oracle.data_profile_sql()})""",
+FROM ({oracle.data_profile_sql()})
+UNION ALL
+SELECT CAST(3 AS BIGINT), '', cohort_day, day_offset, n_users,
+       CAST(0.0 AS DOUBLE), ''
+FROM ({oracle.retention_cohorts_sql()})""",
+        "retention_cohorts": oracle.retention_cohorts_sql(),
         "data_profile": oracle.data_profile_sql(),
         "asof_lagged": f"""\
 SELECT CAST(0 AS BIGINT) AS variant, doc_id, bin, val
@@ -1996,22 +2008,39 @@ def q_bigram_logprob(sf_dir: str):
     return bigram_logprob(ds, dp=LM_DP, min_count=BIGRAM_LM_MIN_COUNT)
 
 
+def q_nb_classify(sf_dir: str):
+    """Naive Bayes quality classifier (GPT-3-style curated-vs-crawl
+    filter; positive class = the ``lang == 'en'`` slice): one fused
+    counting exchange, broadcast term table, stateless scoring."""
+    from .extras.text import nb_classify
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text", "lang"])
+    return nb_classify(ds, dp=LM_DP)
+
+
 def q_lm_logprob2(sf_dir: str):
     """LM quality-scoring family: unigram proxy (variant 0) UNION the
-    interpolated bigram LM (variant 1)."""
+    interpolated bigram LM (variant 1) UNION the NB curated-vs-crawl
+    classifier (variant 2, llr as the score + keep flag)."""
     uni = q_unigram_logprob(sf_dir)
     bi = q_bigram_logprob(sf_dir)
+    nb = q_nb_classify(sf_dir)
 
-    def pad(v):
+    def pad(v, score_col="avg_logprob", keep_col=None):
         def fn(b: pd.DataFrame) -> pd.DataFrame:
+            keep = (b[keep_col].astype(np.int64) if keep_col
+                    else _const_i64(len(b), 0))
             return pd.DataFrame({
                 "variant": _const_i64(len(b), v),
                 "doc_id": b["doc_id"].astype(np.int64),
-                "avg_logprob": b["avg_logprob"].astype(np.float64)})
+                "avg_logprob": b[score_col].astype(np.float64),
+                "keep": keep})
         return fn
 
     return (uni.map_batches(pad(0), batch_format="pandas")
-            .union(bi.map_batches(pad(1), batch_format="pandas")))
+            .union(bi.map_batches(pad(1), batch_format="pandas"))
+            .union(nb.map_batches(pad(2, "llr", "keep"),
+                                  batch_format="pandas")))
 
 
 def q_zscore_by_source(sf_dir: str):
@@ -2218,13 +2247,25 @@ def q_data_profile(sf_dir: str):
     return data_profile(ray.data.read_parquet(f"{sf_dir}/events.parquet"))
 
 
+def q_retention_cohorts(sf_dir: str):
+    """Cohort-retention matrix (first-active-day cohorts × day
+    offsets): distinct-(user, day) combiner, one user-hash exchange,
+    driver folds buckets × days² int partials."""
+    from .extras.events import retention_cohorts
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id", "ts"])
+    return retention_cohorts(ds)
+
+
 def q_events_flow(sf_dir: str):
     """Event-stream analytics: exact distinct-user window counts
     (variant 0) UNION earliest funnel completions (variant 1) UNION
-    the single-pass per-column data-quality profile (variant 2)."""
+    the single-pass per-column data-quality profile (variant 2)
+    UNION the cohort-retention matrix (variant 3)."""
     dist = q_events_distinct(sf_dir)
     fun = q_events_funnel(sf_dir)
     prof = q_data_profile(sf_dir)
+    ret = _as_ds(q_retention_cohorts(sf_dir))
 
     def pad_d(b: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame({
@@ -2256,9 +2297,20 @@ def q_events_flow(sf_dir: str):
             "vnum": b["val_num"].astype(np.float64),
             "vstr": b["val_str"]})
 
+    def pad_r(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "variant": _const_i64(len(b), 3),
+            "key_str": np.full(len(b), "", dtype=object),
+            "k1": b["cohort_day"].astype(np.int64),
+            "k2": b["day_offset"].astype(np.int64),
+            "k3": b["n_users"].astype(np.int64),
+            "vnum": np.zeros(len(b)),
+            "vstr": np.full(len(b), "", dtype=object)})
+
     return (dist.map_batches(pad_d, batch_format="pandas")
             .union(fun.map_batches(pad_f, batch_format="pandas"))
-            .union(prof.map_batches(pad_p, batch_format="pandas")))
+            .union(prof.map_batches(pad_p, batch_format="pandas"))
+            .union(ret.map_batches(pad_r, batch_format="pandas")))
 
 
 def q_asof_lagged(sf_dir: str):

@@ -30,7 +30,9 @@ FAST = ["kmer_counts_per_doc", "whole_seq_minimiser", "lag_lead",
         "kmer_complexity", "vocab_coverage", "char_entropy",
         # round-5b ops
         "mg_topwords", "bm25_topk", "diginorm", "source_divergence",
-        "mad_outliers", "proto_prune", "kcenter_select"]
+        "mad_outliers", "proto_prune", "kcenter_select",
+        # round-5c ops
+        "nb_classify", "retention_cohorts"]
 
 pytestmark = pytest.mark.skipif(not os.path.exists(SF),
                                 reason="driver testdata unavailable")

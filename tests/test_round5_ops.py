@@ -1143,3 +1143,106 @@ def test_kcenter_select_matches_scalar(ray_session):
     assert out["rank"].tolist() == [0, 1, 2, 3]
     assert out["n_assigned"].tolist() == n.tolist()
     assert int(out["n_assigned"].sum()) == 30
+
+
+# ---------------------------------------------------------------------------
+# Naive Bayes quality classifier
+# ---------------------------------------------------------------------------
+
+def test_nb_classify_matches_scalar(ray_session):
+    """Add-one multinomial NB llr vs a Counter/math scalar reference:
+    planted positive-distinctive vocabulary drives keep=1 on the
+    target-lang docs and keep=0 on the rest, across uneven blocks."""
+    import math
+    from collections import Counter
+
+    import ray.data
+
+    from kmerray.extras.text import nb_classify
+
+    docs = pd.DataFrame({
+        "doc_id": np.arange(8, dtype=np.int64),
+        "lang": ["en", "en", "en", "de", "de", "fr", "en", "de"],
+        "text": [
+            "alpha beta gamma alpha",
+            "alpha beta beta",
+            "gamma alpha beta",
+            "zeta eta theta zeta",
+            "eta theta zeta",
+            "theta zeta eta eta",
+            "alpha gamma gamma",
+            "zeta theta",
+        ]})
+    ds = ray.data.from_pandas([docs.iloc[:3], docs.iloc[3:5],
+                               docs.iloc[5:]])
+    out = _pdf(nb_classify(ds, target_lang="en", dp=4))
+
+    pos, allc = Counter(), Counter()
+    for _, r in docs.iterrows():
+        ws = r["text"].split(" ")
+        allc.update(ws)
+        if r["lang"] == "en":
+            pos.update(ws)
+    nv = len(allc)
+    npos = sum(pos.values())
+    nneg = sum(allc.values()) - npos
+    ref_llr, ref_keep = [], []
+    for _, r in docs.iterrows():
+        ws = r["text"].split(" ")
+        ts = [math.log((pos.get(w, 0) + 1) / float(npos + nv))
+              - math.log((allc[w] - pos.get(w, 0) + 1)
+                         / float(nneg + nv)) for w in ws]
+        llr = math.floor(sum(ts) / max(len(ws), 1) * 1e4 + 0.5) / 1e4
+        ref_llr.append(llr)
+        ref_keep.append(int(llr > 0))
+    assert out["llr"].tolist() == ref_llr
+    assert out["keep"].tolist() == ref_keep
+    # the planted vocabularies are disjoint: en docs keep, rest drop
+    assert out["keep"].tolist() == [1, 1, 1, 0, 0, 0, 1, 0]
+
+
+# ---------------------------------------------------------------------------
+# cohort retention matrix
+# ---------------------------------------------------------------------------
+
+def test_retention_cohorts_matches_scalar(ray_session):
+    """Retention triangle vs a set/Counter scalar reference: planted
+    multi-day users with duplicate same-day events, across uneven
+    blocks (a user's rows deliberately split between blocks)."""
+    from collections import Counter
+
+    import ray.data
+
+    from kmerray.extras.events import retention_cohorts
+
+    DAY = 86_400_000_000
+    # (user, day) activity incl. same-day dups and gaps
+    act = [(1, 0), (1, 0), (1, 1), (1, 3),
+           (2, 0), (2, 3),
+           (3, 1), (3, 1), (3, 2),
+           (4, 3)]
+    ts = np.array([d * DAY + 1234 for _, d in act],
+                  dtype="datetime64[us]")
+    ev = pd.DataFrame({
+        "user_id": np.array([u for u, _ in act], dtype=np.int64),
+        "ts": ts})
+    ds = ray.data.from_pandas([ev.iloc[:3], ev.iloc[3:6], ev.iloc[6:]])
+    out = (retention_cohorts(ds)
+           .sort_values(["cohort_day", "day_offset"])
+           .reset_index(drop=True))
+
+    days = {}
+    for u, d in act:
+        days.setdefault(u, set()).add(d)
+    ref = Counter()
+    for u, ds_ in days.items():
+        c = min(ds_)
+        for d in ds_:
+            ref[(c, d - c)] += 1
+    exp = pd.DataFrame(
+        [(c, o, n) for (c, o), n in sorted(ref.items())],
+        columns=["cohort_day", "day_offset", "n_users"])
+    pd.testing.assert_frame_equal(out.astype(np.int64),
+                                  exp.astype(np.int64))
+    # sanity: every cohort has its offset-0 row covering all members
+    assert set(out[out["day_offset"] == 0]["n_users"]) == {2, 1, 1}
