@@ -583,6 +583,10 @@ def run_bench() -> dict:
     timed("join_semi", lambda: consume(q_high_qty_orders(SF_DIR)))
     from kmerray.queries import q_shipping_priority
     timed("join_q3_topk", lambda: consume(q_shipping_priority(SF_DIR)))
+    # r5c: integer PageRank over the co-order item graph (one edge
+    # exchange + 2 bucketed exchanges per iteration, 5 iterations)
+    from kmerray.queries import q_pagerank
+    timed("pagerank", lambda: consume(q_pagerank(SF_DIR)))
 
     ray.shutdown()
 

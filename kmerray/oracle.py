@@ -1629,6 +1629,43 @@ ORDER BY revenue_e4 DESC, o.o_orderkey
 LIMIT {k}"""
 
 
+def pagerank_sql(iters: int = 5, scale: int = 1_000_000,
+                 damp: int = 85) -> str:
+    """Mirror of extras.graph.pagerank: integer fixed-point PageRank
+    over the co-order item-transition graph, iterations unrolled as
+    CTEs.  All arithmetic is int64 floor division / exact integer
+    sums, so the engine and SQL agree bit-for-bit (sums CAST back to
+    BIGINT — DuckDB promotes sum(BIGINT) to HUGEINT)."""
+    base = (100 - damp) * scale // 100
+    ctes = [f"""e AS (
+  SELECT src, dst FROM (
+    SELECT l_partkey AS src,
+           lead(l_partkey) OVER (PARTITION BY l_orderkey
+                                 ORDER BY l_linenumber, l_partkey)
+             AS dst
+    FROM lineitem) WHERE dst IS NOT NULL)""",
+            "nodes AS (SELECT DISTINCT l_partkey AS node "
+            "FROM lineitem)",
+            "deg AS (SELECT src, CAST(count(*) AS BIGINT) AS c "
+            "FROM e GROUP BY src)",
+            f"r0 AS (SELECT node, CAST({scale} AS BIGINT) AS r "
+            "FROM nodes)"]
+    for t in range(iters):
+        ctes.append(f"""r{t + 1} AS (
+  SELECT n.node,
+         {base} + {damp} * COALESCE(s.c, 0) // 100 AS r
+  FROM nodes n LEFT JOIN (
+    SELECT e.dst AS node, CAST(sum(r{t}.r // d.c) AS BIGINT) AS c
+    FROM e JOIN r{t} ON e.src = r{t}.node
+           JOIN deg d ON d.src = e.src
+    GROUP BY e.dst) s USING (node))"""
+        )
+    return f"""WITH {','.join(ctes)}
+SELECT rr.node, CAST(rr.r AS BIGINT) AS rank,
+       COALESCE(d.c, CAST(0 AS BIGINT)) AS deg
+FROM r{iters} rr LEFT JOIN deg d ON d.src = rr.node"""
+
+
 def cust_order_rollup_sql() -> str:
     """Mirror of extras.relational.customer_order_rollup (LEFT OUTER
     join: customers with zero orders appear with zero counts)."""

@@ -462,6 +462,7 @@ def registry() -> dict:
         "lag_lead": q_lag_lead,
         "sessionize": q_sessionize,
         "high_qty_orders": q_high_qty_orders,
+        "pagerank": q_pagerank,
         "cust_no_big_order": q_cust_no_big_order,
         "shipping_priority": q_shipping_priority,
         "cust_order_rollup": q_cust_order_rollup,
@@ -541,6 +542,7 @@ def registry() -> dict:
         "emb_lsh_recall": q_emb_lsh_recall,
         # forced scale-path variants (same oracle as their auto head
         # entry; pytest holds the switch parity)
+        "pagerank_exchange": q_pagerank_exchange,
         "cov_hist_sharded": q_cov_hist_sharded,
         "cov_hist_join": q_cov_hist_join,
         "asof_cov_hist_sharded": q_asof_cov_hist_sharded,
@@ -855,7 +857,13 @@ FROM ({oracle.shipping_priority_sql()})
 UNION ALL
 SELECT CAST(1 AS BIGINT), c_custkey, c_mktsegment,
        CAST(n_orders AS DOUBLE), CAST(sum_cents AS DOUBLE)
-FROM ({oracle.cust_order_rollup_sql()})""",
+FROM ({oracle.cust_order_rollup_sql()})
+UNION ALL
+SELECT CAST(2 AS BIGINT), node, '',
+       CAST("rank" AS DOUBLE), CAST(deg AS DOUBLE)
+FROM ({oracle.pagerank_sql()})""",
+        "pagerank": oracle.pagerank_sql(),
+        "pagerank_exchange": oracle.pagerank_sql(),
         "windowed_all": f"""\
 SELECT CAST(0 AS BIGINT) AS variant, doc_id, prev_n_tok AS v1,
        next_n_tok AS v2
@@ -2193,12 +2201,35 @@ def q_relational_exist(sf_dir: str):
             .union(anti.map_batches(pad_a, batch_format="pandas")))
 
 
+def q_pagerank(sf_dir: str):
+    """Integer fixed-point PageRank over the co-order item graph
+    (edge build = one order-keyed exchange; 2 bucketed exchanges per
+    iteration; all-int64 surface, bit-exact vs the unrolled CTE)."""
+    from .extras.graph import pagerank
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_linenumber", "l_partkey"])
+    return pagerank(li)
+
+
+def q_pagerank_exchange(sf_dir: str):
+    """Forced fully-distributed iteration engine (the above-bound
+    scale path); same oracle as the auto (broadcast) head entry."""
+    from .extras.graph import pagerank
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_linenumber", "l_partkey"])
+    return pagerank(li, force="exchange")
+
+
 def q_relational_rank(sf_dir: str):
     """Ranked relational results: Q3-style top-k shipping priority
-    (variant 0) UNION LEFT-OUTER customer order rollup (variant 1);
-    exact int64 cents/counts ride as doubles (< 2^53)."""
+    (variant 0) UNION LEFT-OUTER customer order rollup (variant 1)
+    UNION integer PageRank over the co-order item graph (variant 2);
+    exact int64 cents/counts/ranks ride as doubles (< 2^53)."""
     topk = q_shipping_priority(sf_dir)
     roll = q_cust_order_rollup(sf_dir)
+    pr = q_pagerank(sf_dir)
 
     def pad_t(b: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame({
@@ -2216,8 +2247,17 @@ def q_relational_rank(sf_dir: str):
             "val1": b["n_orders"].astype(np.float64),
             "val2": b["sum_cents"].astype(np.float64)})
 
+    def pad_p(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "variant": _const_i64(len(b), 2),
+            "key": b["node"].astype(np.int64),
+            "cat": np.full(len(b), "", dtype=object),
+            "val1": b["rank"].astype(np.float64),
+            "val2": b["deg"].astype(np.float64)})
+
     return (topk.map_batches(pad_t, batch_format="pandas")
-            .union(roll.map_batches(pad_r, batch_format="pandas")))
+            .union(roll.map_batches(pad_r, batch_format="pandas"))
+            .union(pr.map_batches(pad_p, batch_format="pandas")))
 
 
 def q_windowed_all(sf_dir: str):

@@ -32,7 +32,7 @@ FAST = ["kmer_counts_per_doc", "whole_seq_minimiser", "lag_lead",
         "mg_topwords", "bm25_topk", "diginorm", "source_divergence",
         "mad_outliers", "proto_prune", "kcenter_select",
         # round-5c ops
-        "nb_classify", "retention_cohorts"]
+        "nb_classify", "retention_cohorts", "pagerank"]
 
 pytestmark = pytest.mark.skipif(not os.path.exists(SF),
                                 reason="driver testdata unavailable")
@@ -54,7 +54,8 @@ def test_query_matches_oracle(ray_session, name):
     ray_df = res.to_pandas() if hasattr(res, "to_pandas") else \
         pd.DataFrame(res)
     con = duckdb.connect()
-    for t in ["documents", "embeddings", "events"]:
+    for t in ["documents", "embeddings", "events", "lineitem",
+              "orders", "customer"]:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
                     f"read_parquet('{SF}/{t}.parquet')")
     sql_df = con.sql(oracle_registry(SF)[name]).df()

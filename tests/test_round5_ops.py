@@ -1246,3 +1246,59 @@ def test_retention_cohorts_matches_scalar(ray_session):
                                   exp.astype(np.int64))
     # sanity: every cohort has its offset-0 row covering all members
     assert set(out[out["day_offset"] == 0]["n_users"]) == {2, 1, 1}
+
+
+# ---------------------------------------------------------------------------
+# integer PageRank
+# ---------------------------------------------------------------------------
+
+def test_pagerank_matches_scalar(ray_session):
+    """Integer fixed-point PageRank vs a dict/loop scalar reference
+    on a hand-built order graph: dangling nodes, duplicate
+    (order, linenumber) rows (partkey tiebreak), multi-edges, and
+    rows split across blocks."""
+    import ray.data
+
+    from kmerray.extras.graph import (PR_DAMP_NUM, PR_SCALE,
+                                      order_transition_edges, pagerank)
+
+    li = pd.DataFrame({
+        # order 1: chain 10 -> 11 -> 12; order 2: 12 -> 10 twice
+        # (multi-edge via dup linenumber pair), order 3: singleton 13
+        "l_orderkey":   np.array([1, 1, 1, 2, 2, 2, 3],
+                                 dtype=np.int64),
+        "l_linenumber": np.array([1, 2, 3, 1, 1, 2, 1],
+                                 dtype=np.int64),
+        "l_partkey":    np.array([10, 11, 12, 12, 10, 10, 13],
+                                 dtype=np.int64)})
+    ds = ray.data.from_pandas([li.iloc[:2], li.iloc[2:5], li.iloc[5:]])
+
+    edges = (order_transition_edges(ds).to_pandas()
+             .sort_values(["src", "dst"]).reset_index(drop=True))
+    # order 2 sorts (1,10),(1,12),(2,10) -> edges 10->12, 12->10
+    assert list(zip(edges["src"], edges["dst"])) == [
+        (10, 11), (10, 12), (11, 12), (12, 10)]
+
+    out = (pagerank(ds, iters=4).to_pandas()
+           .sort_values("node").reset_index(drop=True))
+
+    # scalar reference
+    nodes = sorted(set(li["l_partkey"]))
+    eds = [(10, 11), (10, 12), (11, 12), (12, 10)]
+    deg = {n: sum(1 for s, _ in eds if s == n) for n in nodes}
+    r = {n: PR_SCALE for n in nodes}
+    base = (100 - PR_DAMP_NUM) * PR_SCALE // 100
+    for _ in range(4):
+        acc = {n: 0 for n in nodes}
+        for s, t in eds:
+            acc[t] += r[s] // deg[s]
+        r = {n: base + PR_DAMP_NUM * acc[n] // 100 for n in nodes}
+    assert out["node"].tolist() == nodes
+    assert out["rank"].tolist() == [r[n] for n in nodes]
+    assert out["deg"].tolist() == [deg[n] for n in nodes]
+    # the dangling singleton 13 holds the bare base rank
+    assert out.loc[out["node"] == 13, "rank"].iloc[0] == base
+    # the forced fully-distributed engine agrees bit-for-bit
+    out2 = (pagerank(ds, iters=4, force="exchange").to_pandas()
+            .sort_values("node").reset_index(drop=True))
+    pd.testing.assert_frame_equal(out, out2)
