@@ -499,6 +499,12 @@ def run_bench() -> dict:
     # embedding table, one broadcast center per round)
     from kmerray.extras.decomp import kcenter_select
     timed("kcenter_select", lambda: kcenter_select(emb(), k=16).count())
+    # r5c: exact all-vectors k-NN graph over the first shard (the
+    # O(n^2) exact operator: one task per query block streaming the
+    # shard, zero exchanges)
+    from kmerray.extras.similarity import knn_graph
+    timed("knn_graph", lambda: knn_graph(
+        emb_files[0], k=5, block_rows=4096).count())
 
     # materialized IVF: one-time cell-partitioned build (cached,
     # untimed — amortized across query runs), then a pruned-regime

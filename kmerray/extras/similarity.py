@@ -557,3 +557,78 @@ def seed_centroid_topk(ds: "ray.data.Dataset", seed_mod: int = 17,
                           zero_copy_batch=True)
     return cand.sort(["score", "vec_id"],
                      descending=[True, False]).limit(k)
+
+
+def knn_graph(full_path: str, k: int = 5, dp: int = 6,
+              block_rows: int = 4096) -> "ray.data.Dataset":
+    """EXACT all-vectors k-NN cosine graph — the neighborhood
+    structure under SemDeDup-style semantic dedup, kNN-classifier
+    curation, and graph-based diversity selection.  One task per
+    query block; each task streams every db block from parquet
+    (row-group pruned, two-block memory footprint) keeping a running
+    per-row top-k, so the task output IS the final n×k graph — no
+    exchange at all.  The O(n²/block) scan per task is inherent to
+    the exact operator; the sub-quadratic scale paths are the
+    LSH/IVF family (``lsh_topk`` / ``ivf_topk_indexed``) and
+    cluster-restricted search (``semdedup_survivors``), which this
+    exact graph oracles.
+
+    Determinism / oracle parity: similarities are tie-safe
+    floor-rounded at ``dp`` BEFORE ranking, and neighbors order by
+    ``(rounded sim DESC, vec_id ASC)`` — numpy's blocked matmul and
+    DuckDB's sequential ``list_cosine_similarity`` loop differ in the
+    last ulp, which the shared rounding absorbs (boundary odds
+    ~1e-10/pair, the emb_near_dup caveat class).  Zero vectors take
+    the ``_normalize`` 1e-30 floor (sim 0), absent from the synthetic
+    corpus.
+
+    Output: ``(vec_id, nbr, sim, rnk)``, ``rnk`` 1-based."""
+    import pyarrow.parquet as pq
+    n = pq.ParquetFile(full_path).metadata.num_rows
+    bounds = [(s, min(s + block_rows, n))
+              for s in range(0, n, block_rows)]
+    pair_ds = ray.data.from_items(
+        [{"bi": i} for i in range(len(bounds))])
+    scale = 10.0 ** dp
+
+    def score(batch: pd.DataFrame) -> pa.Table:
+        pf = pq.ParquetFile(full_path)
+        ends = _rg_ends(pf)
+        out = []
+        for bi in batch["bi"]:
+            ida, ma = _read_block(pf, ends, *bounds[int(bi)])
+            rows = len(ida)
+            best_s = np.full((rows, k), -2.0)
+            best_i = np.full((rows, k), -1, dtype=np.int64)
+            for j in range(len(bounds)):
+                idb, mb = _read_block(pf, ends, *bounds[j])
+                s = np.floor(ma @ mb.T * scale + 0.5) / scale
+                s[ida[:, None] == idb[None, :]] = -2.0   # self
+                kk = min(k, s.shape[1])
+                part = np.argpartition(-s, kk - 1, axis=1)[:, :kk]
+                cs = np.take_along_axis(s, part, axis=1)
+                ci = idb[part]
+                all_s = np.concatenate([best_s, cs], axis=1)
+                all_i = np.concatenate([best_i, ci], axis=1)
+                # per-row (sim DESC, id ASC): two stable argsorts
+                o1 = np.argsort(all_i, axis=1, kind="stable")
+                s1 = np.take_along_axis(all_s, o1, axis=1)
+                i1 = np.take_along_axis(all_i, o1, axis=1)
+                o2 = np.argsort(-s1, axis=1, kind="stable")
+                best_s = np.take_along_axis(s1, o2, axis=1)[:, :k]
+                best_i = np.take_along_axis(i1, o2, axis=1)[:, :k]
+            valid = best_i >= 0
+            rid = np.repeat(ida, valid.sum(axis=1))
+            rnk = (np.cumsum(valid, axis=1))[valid]
+            out.append(pa.table({
+                "vec_id": pa.array(rid, pa.int64()),
+                "nbr": pa.array(best_i[valid], pa.int64()),
+                "sim": pa.array(best_s[valid], pa.float64()),
+                "rnk": pa.array(rnk.astype(np.int64), pa.int64())}))
+        return pa.concat_tables(out) if out else pa.table({
+            "vec_id": pa.array([], pa.int64()),
+            "nbr": pa.array([], pa.int64()),
+            "sim": pa.array([], pa.float64()),
+            "rnk": pa.array([], pa.int64())})
+
+    return pair_ds.map_batches(score, batch_format="pandas")

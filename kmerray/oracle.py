@@ -996,6 +996,26 @@ FROM (VALUES
   {rows}) AS t(event_type, est, exact)"""
 
 
+def knn_graph_sql(k: int = 5, dp: int = 6) -> str:
+    """Mirror of extras.similarity.knn_graph: exact all-vectors
+    k-NN by (floor-dp-rounded cosine DESC, nbr ASC) — the rounding
+    absorbs numpy-vs-DuckDB last-ulp sum-order differences."""
+    scale = 10 ** dp
+    return f"""WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+s AS (
+  SELECT a.vec_id AS vec_id, b.vec_id AS nbr,
+         floor(list_cosine_similarity(a.v, b.v) * {scale} + 0.5)
+           / {scale} AS sim
+  FROM e a JOIN e b ON a.vec_id <> b.vec_id),
+r AS (SELECT vec_id, nbr, sim,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY sim DESC, nbr) AS rnk
+      FROM s)
+SELECT vec_id, nbr, sim, CAST(rnk AS BIGINT) AS rnk FROM r
+WHERE rnk <= {k}"""
+
+
 def emb_near_dup_sql(threshold: float = 0.4) -> str:
     return f"""WITH e AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings

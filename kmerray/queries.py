@@ -492,6 +492,7 @@ def registry() -> dict:
         "bloom_decontam": q_bloom_decontam,
         "ann_topk": q_ann_topk,
         "seed_topk": q_seed_topk,
+        "knn_graph": q_knn_graph,
         "dedup_incremental": q_dedup_incremental,
         "pack_emit": q_pack_emit,
         "data_profile": q_data_profile,
@@ -787,11 +788,16 @@ FROM ({oracle.decontam_sql()})""",
         "bloom_decontam": oracle.decontam_sql(),
         "seed_topk": oracle.seed_topk_sql(SEED_MOD, SEED_TOPK_K),
         "ann_topk2": f"""\
-SELECT CAST(0 AS BIGINT) AS variant, qid AS a, vec_id AS b
+SELECT CAST(0 AS BIGINT) AS variant, qid AS a, vec_id AS b,
+       CAST(0 AS BIGINT) AS c
 FROM ({oracle.ann_topk_sql(ANN_QUERIES, ANN_K)})
 UNION ALL
-SELECT CAST(1 AS BIGINT), vec_id, score
-FROM ({oracle.seed_topk_sql(SEED_MOD, SEED_TOPK_K)})""",
+SELECT CAST(1 AS BIGINT), vec_id, score, CAST(0 AS BIGINT)
+FROM ({oracle.seed_topk_sql(SEED_MOD, SEED_TOPK_K)})
+UNION ALL
+SELECT CAST(2 AS BIGINT), vec_id, nbr, rnk
+FROM ({oracle.knn_graph_sql(KNN_K, KNN_DP)})""",
+        "knn_graph": oracle.knn_graph_sql(KNN_K, KNN_DP),
         "scan_features": f"""\
 SELECT CAST(0 AS BIGINT) AS variant, doc_id, n_tok, cum_tok AS val1,
        bin AS val2, '' AS txt
@@ -1761,27 +1767,52 @@ def q_seed_topk(sf_dir: str):
     return seed_centroid_topk(ds, seed_mod=SEED_MOD, k=SEED_TOPK_K)
 
 
+KNN_K = 5
+KNN_DP = 6
+
+
+def q_knn_graph(sf_dir: str):
+    """Exact all-vectors k-NN cosine graph (one task per query
+    block streaming the corpus, running top-k — no exchange)."""
+    from .extras.similarity import knn_graph
+    return knn_graph(f"{sf_dir}/embeddings.parquet", k=KNN_K,
+                     dp=KNN_DP)
+
+
 def q_ann_topk2(sf_dir: str):
     """Similarity-ranking family: brute-force cosine top-k per query
     (variant 0) UNION the quantized seed-centroid global top-k
-    (variant 1, the classifier-lite quality-ranking pattern)."""
+    (variant 1, the classifier-lite quality-ranking pattern) UNION
+    the exact all-vectors k-NN graph (variant 2, rank gated here,
+    rounded sims gated in the tail twin)."""
     ann = q_ann_topk(sf_dir)
     seed = q_seed_topk(sf_dir)
+    knn = q_knn_graph(sf_dir)
 
     def pad_a(b: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame({
             "variant": _const_i64(len(b), 0),
             "a": b["qid"].astype(np.int64),
-            "b": b["vec_id"].astype(np.int64)})
+            "b": b["vec_id"].astype(np.int64),
+            "c": _const_i64(len(b), 0)})
 
     def pad_s(b: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame({
             "variant": _const_i64(len(b), 1),
             "a": b["vec_id"].astype(np.int64),
-            "b": b["score"].astype(np.int64)})
+            "b": b["score"].astype(np.int64),
+            "c": _const_i64(len(b), 0)})
+
+    def pad_k(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "variant": _const_i64(len(b), 2),
+            "a": b["vec_id"].astype(np.int64),
+            "b": b["nbr"].astype(np.int64),
+            "c": b["rnk"].astype(np.int64)})
 
     return (ann.map_batches(pad_a, batch_format="pandas")
-            .union(seed.map_batches(pad_s, batch_format="pandas")))
+            .union(seed.map_batches(pad_s, batch_format="pandas"))
+            .union(knn.map_batches(pad_k, batch_format="pandas")))
 
 
 def q_sample_split(sf_dir: str):

@@ -1302,3 +1302,49 @@ def test_pagerank_matches_scalar(ray_session):
     out2 = (pagerank(ds, iters=4, force="exchange").to_pandas()
             .sort_values("node").reset_index(drop=True))
     pd.testing.assert_frame_equal(out, out2)
+
+
+# ---------------------------------------------------------------------------
+# exact k-NN graph
+# ---------------------------------------------------------------------------
+
+def test_knn_graph_matches_bruteforce(ray_session, tmp_path):
+    """Streaming-block exact k-NN vs a full-matrix numpy reference:
+    ranked by (rounded sim DESC, id ASC), self excluded, multiple
+    row groups and block sizes smaller than the corpus; k >= n
+    degenerates to the all-neighbors graph."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from kmerray.extras.similarity import knn_graph
+
+    rng = np.random.default_rng(5)
+    n, d, k = 37, 8, 4
+    x = rng.normal(0, 1, (n, d)).astype(np.float32)
+    ids = np.arange(100, 100 + n, dtype=np.int64)
+    tab = pa.table({
+        "vec_id": pa.array(ids),
+        "embedding": pa.array([r.tolist() for r in x],
+                              pa.list_(pa.float32()))})
+    path = str(tmp_path / "emb.parquet")
+    pq.write_table(tab, path, row_group_size=9)
+
+    out = (knn_graph(path, k=k, dp=6, block_rows=10).to_pandas()
+           .sort_values(["vec_id", "rnk"]).reset_index(drop=True))
+
+    m = x.astype(np.float64)
+    m = m / np.linalg.norm(m, axis=1, keepdims=True)
+    s = np.floor(m @ m.T * 1e6 + 0.5) / 1e6
+    rows = []
+    for i in range(n):
+        cand = [(-s[i, j], ids[j]) for j in range(n) if j != i]
+        cand.sort()
+        for r_, (negs, nbr) in enumerate(cand[:k], 1):
+            rows.append((ids[i], nbr, -negs, r_))
+    exp = pd.DataFrame(rows, columns=["vec_id", "nbr", "sim", "rnk"])
+    pd.testing.assert_frame_equal(out, exp, check_dtype=False)
+
+    # k >= n: every other vector is a neighbor, ranks dense 1..n-1
+    full = knn_graph(path, k=n + 3, dp=6, block_rows=10).to_pandas()
+    assert len(full) == n * (n - 1)
+    assert full.groupby("vec_id")["rnk"].max().eq(n - 1).all()
