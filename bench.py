@@ -374,6 +374,10 @@ def run_bench() -> dict:
     timed("pii_scrub", lambda: pii_scrub_pipeline(docs()).count())
     from kmerray.extras.pii import domain_stats_pipeline
     timed("domain_stats", lambda: domain_stats_pipeline(docs()).count())
+    # r5c: RefinedWeb URL dedup (regex scan streams, one exchange of
+    # (doc_id, url) pairs — the corpus text never shuffles)
+    from kmerray.extras.pii import url_dedup_pipeline
+    timed("url_dedup", lambda: url_dedup_pipeline(docs()).count())
     from kmerray.extras.text import ppl_buckets
     timed("ppl_buckets", lambda: ppl_buckets(docs_half()).count())
 

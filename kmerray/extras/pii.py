@@ -133,3 +133,109 @@ def domain_stats_pipeline(ds: "ray.data.Dataset") -> "ray.data.Dataset":
                              "n_docs": [np.int64(g["n"].sum())]})
 
     return part.groupby("domain").map_groups(merge, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# URL-normalized dedup (the RefinedWeb curation stage: one page per
+# normalized URL survives; Penedo et al. 2023 §3.2 run URL dedup
+# before any content dedup because recrawls dominate raw CommonCrawl)
+# ---------------------------------------------------------------------------
+
+URL_CAPTURE = "(" + URL_PATTERN + ")"
+
+
+def _normalize_urls(url: pd.Series) -> pd.Series:
+    """Scheme / userinfo / case / www / trailing-slash normalization,
+    in this exact operation order (the SQL twin mirrors it):
+    strip scheme -> strip userinfo -> lowercase -> strip leading
+    'www.' -> strip trailing '/'.  Userinfo strips BEFORE lowering
+    (its charset is case-sensitive in both dialects)."""
+    s = url.str.replace(r"^https?://", "", regex=True)
+    s = s.str.replace(r"^[A-Za-z0-9._%+-]+@", "", regex=True)
+    s = s.str.lower()
+    s = s.str.replace(r"^www\.", "", regex=True)
+    return s.str.rstrip("/")
+
+
+def url_dedup_pipeline(ds: "ray.data.Dataset",
+                       n_buckets: int = 32) -> "ray.data.Dataset":
+    """Keep one doc per normalized first URL (lowest doc_id); docs
+    without a URL always survive.  ONE url-hash-bucketed exchange of
+    ``(doc_id, url)`` int/string pairs — the text never shuffles, and
+    the hash only routes (a collision co-buckets two URLs, the
+    in-bucket compare is on the string, so results are exact).
+
+    Output: ``(doc_id, url_norm, keep)`` — ``url_norm`` '' for
+    URL-less docs."""
+    from .text import content_hash64
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        ids = b["doc_id"].to_numpy().astype(np.int64)
+        url = b["text"].str.extract(URL_CAPTURE, expand=False)
+        has = url.notna().to_numpy()
+        norm = _normalize_urls(url[has]).to_numpy(object)
+        h = content_hash64(norm) if len(norm) else \
+            np.zeros(0, dtype=np.uint64)
+        out_url = np.full(len(ids), "", dtype=object)
+        out_url[has] = norm
+        ub = ids % n_buckets                 # URL-less rows spread
+        ub[has] = (h % np.uint64(n_buckets)).astype(np.int64)
+        return pd.DataFrame({
+            "doc_id": ids, "url": out_url,
+            "kind": has.astype(np.int64), "ub": ub})
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        kind = g["kind"].to_numpy()
+        ids = g["doc_id"].to_numpy()
+        keep = np.ones(len(g), dtype=np.int64)
+        hasm = kind == 1
+        if hasm.any():
+            sub = g[hasm]
+            mins = sub.groupby("url")["doc_id"].transform("min")
+            keep[hasm] = (sub["doc_id"].to_numpy()
+                          == mins.to_numpy()).astype(np.int64)
+        return pd.DataFrame({"doc_id": ids,
+                             "url_norm": g["url"].to_numpy(object),
+                             "keep": keep})
+
+    return (ds.map_batches(partial, batch_format="pandas")
+            .groupby("ub").map_groups(merge, batch_format="pandas"))
+
+
+def synth_urltext_table(n_docs: int, seed: int = 77) -> pa.Table:
+    """Deterministic corpus for the URL-dedup gate: most docs carry a
+    first URL assembled from colliding variants (scheme / case /
+    'www.' / trailing slash / userinfo) of a small host×path space,
+    so normalization produces real duplicate groups; some docs carry
+    a second URL (first-match edge) and some carry none."""
+    rng = np.random.default_rng([seed, n_docs])
+    ids, texts = [], []
+    hosts = ["Site%d.example" % k for k in range(12)]
+    for i in range(n_docs):
+        words = list(rng.choice(_FILLER,
+                                size=int(rng.integers(4, 20))))
+        if rng.random() < 0.8:
+            host = hosts[int(rng.integers(len(hosts)))]
+            host = host.lower() if rng.random() < 0.5 else host
+            url = "%s://%s%s%s/p/%d%s" % (
+                "https" if rng.random() < 0.5 else "http",
+                "u%d@" % rng.integers(9) if rng.random() < 0.1 else "",
+                "www." if rng.random() < 0.4 else "",
+                host, rng.integers(6),
+                "/" if rng.random() < 0.3 else "")
+            words.insert(int(rng.integers(0, len(words) + 1)), url)
+            if rng.random() < 0.2:     # second URL: must be ignored
+                words.append("https://other%d.example/q"
+                             % rng.integers(100))
+        ids.append(i)
+        texts.append(" ".join(words))
+    return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                     "text": pa.array(texts)})
+
+
+def ensure_urltext_parquet(n_docs: int = 400, seed: int = 77) -> str:
+    from .multimodal import _ensure_cached_parquet
+    return _ensure_cached_parquet(
+        f"urltext-n{n_docs}-s{seed}-v1", "urltext.parquet",
+        lambda: synth_urltext_table(n_docs, seed=seed),
+        {"n_docs": n_docs, "seed": seed}, 128)

@@ -1364,6 +1364,29 @@ def ppl_buckets_scored_sql(tiles: int = 3) -> str:
 FROM documents"""
 
 
+def url_dedup_sql(path: str) -> str:
+    """Mirror of extras.pii.url_dedup_pipeline: first URL per doc,
+    normalized scheme -> userinfo -> lower -> www -> trailing '/'
+    in the engine's exact operation order (all patterns anchored, so
+    DuckDB's replace-first and pandas' replace-all coincide); keep =
+    no URL, or lowest doc_id in the normalized-URL group."""
+    from .extras.pii import URL_CAPTURE
+    return f"""WITH u AS (
+  SELECT doc_id, regexp_extract(text, '{URL_CAPTURE}', 1) AS raw
+  FROM read_parquet('{path}')),
+n AS (SELECT doc_id,
+  CASE WHEN raw = '' THEN NULL ELSE
+    rtrim(regexp_replace(lower(regexp_replace(regexp_replace(
+      raw, '^https?://', ''), '^[A-Za-z0-9._%+-]+@', '')),
+      '^www\\.', ''), '/')
+  END AS url FROM u)
+SELECT doc_id, COALESCE(url, '') AS url_norm,
+  CAST(CASE WHEN url IS NULL THEN TRUE
+       ELSE doc_id = min(doc_id) OVER (PARTITION BY url) END
+       AS BIGINT) AS keep
+FROM n"""
+
+
 def pii_scrub_sql(path: str) -> str:
     """Mirror of extras.pii.pii_scrub_pipeline: pattern counts on the
     original text + URL->EMAIL->PHONE ordered regexp_replace.  The

@@ -526,6 +526,7 @@ def registry() -> dict:
         "quality": q_quality,
         "dedup_exact": q_dedup_exact,
         "dedup_keep_best": q_dedup_keep_best,
+        "url_dedup": q_url_dedup,
         "pack_bins": q_pack_bins,
         "rank_by_len": q_rank_by_len,
         "tok_quantiles": q_tok_quantiles,
@@ -771,7 +772,11 @@ SELECT CAST(1 AS BIGINT), doc_id
 FROM ({oracle.dedup_keep_best_sql()})
 UNION ALL
 SELECT CAST(2 AS BIGINT), doc_id
-FROM ({oracle.incremental_dedup_sql()})""",
+FROM ({oracle.incremental_dedup_sql()})
+UNION ALL
+SELECT CAST(3 AS BIGINT), doc_id
+FROM ({oracle.url_dedup_sql(_urltext_path())}) WHERE keep = 1""",
+        "url_dedup": oracle.url_dedup_sql(_urltext_path()),
         "dedup_incremental": oracle.incremental_dedup_sql(),
         "decontam_frac": oracle.decontam_frac_sql(),
         "decontam2": f"""\
@@ -998,6 +1003,11 @@ def _video_path() -> str:
 def _webtext_path() -> str:
     from .extras.pii import ensure_webtext_parquet
     return ensure_webtext_parquet()
+
+
+def _urltext_path() -> str:
+    from .extras.pii import ensure_urltext_parquet
+    return ensure_urltext_parquet()
 
 
 PPL_TILES = 3
@@ -2445,14 +2455,25 @@ def q_text_rewrite(sf_dir: str):
             .union(stop.map_batches(pad_s, batch_format="pandas")))
 
 
+def q_url_dedup(sf_dir: str):
+    """RefinedWeb-style URL dedup over the deterministic injected
+    URL-variant corpus: one exchange of (doc_id, url) pairs, keep =
+    lowest doc_id per normalized first URL (URL-less docs pass)."""
+    from .extras.pii import url_dedup_pipeline
+    return url_dedup_pipeline(ray.data.read_parquet(_urltext_path()))
+
+
 def q_dedup_survivors2(sf_dir: str):
-    """Exact-dedup survivors under three policies: first-seen
+    """Exact-dedup survivors under four policies: first-seen
     (policy 0, min doc_id) UNION keep-best (policy 1, max quality)
     UNION snapshot-incremental admission (policy 2, new-wave docs
-    deduped against the old snapshot AND within the wave)."""
+    deduped against the old snapshot AND within the wave) UNION
+    URL-normalized dedup survivors (policy 3, over the injected
+    URL-variant corpus; full url_norm surface gated in the tail)."""
     first = q_dedup_exact(sf_dir)
     best = q_dedup_keep_best(sf_dir)
     incr = q_dedup_incremental(sf_dir)
+    url = q_url_dedup(sf_dir)
 
     def pad(policy):
         def fn(b: pd.DataFrame) -> pd.DataFrame:
@@ -2461,9 +2482,16 @@ def q_dedup_survivors2(sf_dir: str):
                 "doc_id": b["doc_id"].astype(np.int64)})
         return fn
 
+    def pad_u(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b["keep"] == 1]
+        return pd.DataFrame({
+            "policy": _const_i64(len(b), 3),
+            "doc_id": b["doc_id"].astype(np.int64)})
+
     return (first.map_batches(pad(0), batch_format="pandas")
             .union(best.map_batches(pad(1), batch_format="pandas"))
-            .union(incr.map_batches(pad(2), batch_format="pandas")))
+            .union(incr.map_batches(pad(2), batch_format="pandas"))
+            .union(url.map_batches(pad_u, batch_format="pandas")))
 
 
 def q_dup_spans2(sf_dir: str):

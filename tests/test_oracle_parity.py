@@ -32,7 +32,8 @@ FAST = ["kmer_counts_per_doc", "whole_seq_minimiser", "lag_lead",
         "mg_topwords", "bm25_topk", "diginorm", "source_divergence",
         "mad_outliers", "proto_prune", "kcenter_select",
         # round-5c ops
-        "nb_classify", "retention_cohorts", "pagerank", "knn_graph"]
+        "nb_classify", "retention_cohorts", "pagerank", "knn_graph",
+        "url_dedup"]
 
 pytestmark = pytest.mark.skipif(not os.path.exists(SF),
                                 reason="driver testdata unavailable")

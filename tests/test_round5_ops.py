@@ -1348,3 +1348,38 @@ def test_knn_graph_matches_bruteforce(ray_session, tmp_path):
     full = knn_graph(path, k=n + 3, dp=6, block_rows=10).to_pandas()
     assert len(full) == n * (n - 1)
     assert full.groupby("vec_id")["rnk"].max().eq(n - 1).all()
+
+
+# ---------------------------------------------------------------------------
+# URL-normalized dedup
+# ---------------------------------------------------------------------------
+
+def test_url_dedup_normalization_and_keeper(ray_session):
+    """Scheme / userinfo / case / www / trailing-slash variants
+    collapse to one normalized URL and only the lowest doc_id
+    survives; URL-less docs always pass; only the FIRST URL counts;
+    rows split across blocks."""
+    import ray.data
+
+    from kmerray.extras.pii import url_dedup_pipeline
+
+    docs = pd.DataFrame({
+        "doc_id": np.arange(7, dtype=np.int64),
+        "text": [
+            "see https://www.Site1.example/p/3/ today",       # keeper
+            "see http://site1.example/p/3 again",             # dup
+            "x HTTP is not a url here",                       # no URL
+            "u http://bob@Site1.example/p/3/ mirror",         # dup
+            "first https://a.example/x then https://site1.example/p/3",
+            "other https://site2.example/p/3 page",           # distinct
+            "plain words only",                               # no URL
+        ]})
+    ds = ray.data.from_pandas([docs.iloc[:2], docs.iloc[2:5],
+                               docs.iloc[5:]])
+    out = _pdf(url_dedup_pipeline(ds, n_buckets=4))
+    assert out["keep"].tolist() == [1, 0, 1, 0, 1, 1, 1]
+    assert out.loc[0, "url_norm"] == "site1.example/p/3"
+    assert out.loc[3, "url_norm"] == "site1.example/p/3"
+    # doc 4's FIRST url wins -> a.example/x, not the site1 dup
+    assert out.loc[4, "url_norm"] == "a.example/x"
+    assert out.loc[2, "url_norm"] == "" and out.loc[6, "url_norm"] == ""
