@@ -355,6 +355,7 @@ def run_bench() -> dict:
     from kmerray.extras.multimodal import (audio_energy_pipeline,
                                            frame_sample_pipeline,
                                            synth_audio_table,
+                                           synth_media_table,
                                            synth_video_table)
     from kmerray.extras.pii import pii_scrub_pipeline
 
@@ -371,6 +372,11 @@ def run_bench() -> dict:
         _blocks(aud), concurrency=8).count())
     timed("frame_sample", lambda: frame_sample_pipeline(
         _blocks(vid), concurrency=8).count())
+    # r5c: content-defined chunking over the media payloads (64
+    # shifted-XOR passes over the flat batch buffer, zero shuffles)
+    from kmerray.extras.cdc import cdc_chunks
+    med = synth_media_table(max(2_000, int(20_000 * sf / 0.1)))
+    timed("cdc_chunks", lambda: cdc_chunks(_blocks(med)).count())
     timed("pii_scrub", lambda: pii_scrub_pipeline(docs()).count())
     from kmerray.extras.pii import domain_stats_pipeline
     timed("domain_stats", lambda: domain_stats_pipeline(docs()).count())

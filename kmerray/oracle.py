@@ -1364,6 +1364,62 @@ def ppl_buckets_scored_sql(tiles: int = 3) -> str:
 FROM documents"""
 
 
+def _ref_cdc(path: str) -> list:
+    """INDEPENDENT byte-at-a-time CDC fit (the sequential recurrence
+    the engine's vectorized 64-term XOR expansion claims to equal):
+    h = ((h << 1) & 2^64-1) ^ GEAR[b], cut after a masked zero or at
+    payload end; chunk hash = XOR of rotl64(GEAR2[b], i mod 64)."""
+    import pyarrow.parquet as pq
+
+    from .extras.cdc import CDC_MASK, GEAR, GEAR2
+    t = pq.read_table(path, columns=["item_id", "payload"])
+    M64 = (1 << 64) - 1
+    mask = int(CDC_MASK)
+    rows = []
+    for item, pay in zip(t.column("item_id").to_pylist(),
+                         t.column("payload").to_pylist()):
+        h, start, idx = 0, 0, 0
+        for i, b in enumerate(pay):
+            h = ((h << 1) & M64) ^ int(GEAR[b])
+            if (h & mask) == 0 or i == len(pay) - 1:
+                ch = 0
+                for k in range(start, i + 1):
+                    s = (k - start) & 63
+                    g = int(GEAR2[pay[k]])
+                    ch ^= ((g << s) & M64) | (g >> ((64 - s) & 63))
+                if ch >= 1 << 63:
+                    ch -= 1 << 64
+                rows.append((item, idx, start, i - start + 1, ch))
+                idx += 1
+                start = i + 1
+    return rows
+
+
+def cdc_chunks_sql(path: str) -> str:
+    """The independent sequential CDC fit embedded as literals —
+    divergence anywhere in the engine's vectorized boundary or
+    chunk-hash computation fails the hash."""
+    rows = ",\n  ".join(
+        f"({_qlit(it)}, {i}, {s}, {ln}, {ch})"
+        for it, i, s, ln, ch in _ref_cdc(path))
+    return f"""SELECT item_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+       CAST(start AS BIGINT) AS start,
+       CAST(length AS BIGINT) AS length,
+       CAST(chash AS BIGINT) AS chash
+FROM (VALUES
+  {rows}) AS t(item_id, chunk_idx, start, length, chash)"""
+
+
+def cdc_digest_sql(path: str) -> str:
+    """Per-item digest derived IN SQL from the independent chunk
+    fit: count / bit_xor / byte total."""
+    return f"""SELECT item_id, CAST(count(*) AS BIGINT) AS n_chunks,
+       CAST(bit_xor(chash) AS BIGINT) AS xh,
+       CAST(sum(length) AS BIGINT) AS tot
+FROM ({cdc_chunks_sql(path)})
+GROUP BY item_id"""
+
+
 def url_dedup_sql(path: str) -> str:
     """Mirror of extras.pii.url_dedup_pipeline: first URL per doc,
     normalized scheme -> userinfo -> lower -> www -> trailing '/'

@@ -480,6 +480,8 @@ def registry() -> dict:
         "quality_filter": q_quality_filter,
         "frame_sample": q_frame_sample,
         "audio_energy": q_audio_energy,
+        "cdc_chunks": q_cdc_chunks,
+        "cdc_digest": q_cdc_digest,
         "semdedup": q_semdedup,
         "ppl_buckets": q_ppl_buckets,
         "ppl_buckets_scored": q_ppl_buckets_scored,
@@ -943,11 +945,17 @@ SELECT CAST(1 AS BIGINT), doc_id, model_score, tile
 FROM ({oracle.ppl_buckets_scored_sql(PPL_TILES)})""",
         "media_windows": f"""\
 SELECT CAST(0 AS BIGINT) AS variant, item_id, frame_idx AS idx,
-       mean AS val
+       mean AS val, '' AS h
 FROM ({oracle.frame_sample_sql(_video_path(), FRAME_STRIDE)})
 UNION ALL
-SELECT CAST(1 AS BIGINT), item_id, win_idx, energy
-FROM ({oracle.audio_energy_sql(_audio_path(), AUDIO_WIN, AUDIO_HOP)})""",
+SELECT CAST(1 AS BIGINT), item_id, win_idx, energy, ''
+FROM ({oracle.audio_energy_sql(_audio_path(), AUDIO_WIN, AUDIO_HOP)})
+UNION ALL
+SELECT CAST(2 AS BIGINT), item_id, n_chunks, CAST(tot AS DOUBLE),
+       CAST(xh AS VARCHAR)
+FROM ({oracle.cdc_digest_sql(_cdc_media_path())})""",
+        "cdc_chunks": oracle.cdc_chunks_sql(_cdc_media_path()),
+        "cdc_digest": oracle.cdc_digest_sql(_cdc_media_path()),
         "domain_stats": oracle.domain_stats_sql(_webtext_path()),
         "winnow_fp": oracle.winnow_sql(WINNOW_W),
         "gopher_filter": oracle.gopher_filter_sql(),
@@ -2536,27 +2544,57 @@ def q_dup_spans2(sf_dir: str):
             .union(blocks.map_batches(pad_b, batch_format="pandas")))
 
 
+def _cdc_media_path() -> str:
+    from .extras.multimodal import ensure_media_parquet
+    return ensure_media_parquet(n_items=64)
+
+
+def q_cdc_chunks(sf_dir: str):
+    """Content-defined chunk table (FastCDC gear hash, vectorized
+    64-term XOR expansion) over the small media fixture."""
+    from .extras.cdc import cdc_chunks
+    return cdc_chunks(ray.data.read_parquet(_cdc_media_path()))
+
+
+def q_cdc_digest(sf_dir: str):
+    """Per-item CDC digest (count / xor-of-chunk-hashes / bytes)."""
+    from .extras.cdc import cdc_digest
+    return cdc_digest(ray.data.read_parquet(_cdc_media_path()))
+
+
 def q_media_windows(sf_dir: str):
     """Per-window multimodal features: sampled video-frame means
-    (variant 0) UNION hop-strided audio window energies (variant 1) —
-    both actor-pool decode stages over opaque binary payloads."""
+    (variant 0) UNION hop-strided audio window energies (variant 1)
+    UNION the per-item content-defined-chunking digest (variant 2;
+    the full chunk table is gated in the tail twin)."""
     vid = q_frame_sample(sf_dir)
     aud = q_audio_energy(sf_dir)
+    cdc = q_cdc_digest(sf_dir)
 
     def pad_v(b: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame({
             "variant": _const_i64(len(b), 0), "item_id": b["item_id"],
             "idx": b["frame_idx"].astype(np.int64),
-            "val": b["mean"].astype(np.float64)})
+            "val": b["mean"].astype(np.float64),
+            "h": np.full(len(b), "", dtype=object)})
 
     def pad_a(b: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame({
             "variant": _const_i64(len(b), 1), "item_id": b["item_id"],
             "idx": b["win_idx"].astype(np.int64),
-            "val": b["energy"].astype(np.float64)})
+            "val": b["energy"].astype(np.float64),
+            "h": np.full(len(b), "", dtype=object)})
+
+    def pad_c(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "variant": _const_i64(len(b), 2), "item_id": b["item_id"],
+            "idx": b["n_chunks"].astype(np.int64),
+            "val": b["tot"].astype(np.float64),
+            "h": b["xh"].astype(np.int64).astype(str)})
 
     return (vid.map_batches(pad_v, batch_format="pandas")
-            .union(aud.map_batches(pad_a, batch_format="pandas")))
+            .union(aud.map_batches(pad_a, batch_format="pandas"))
+            .union(cdc.map_batches(pad_c, batch_format="pandas")))
 
 
 def q_ppl_buckets2(sf_dir: str):

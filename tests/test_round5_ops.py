@@ -1383,3 +1383,77 @@ def test_url_dedup_normalization_and_keeper(ray_session):
     # doc 4's FIRST url wins -> a.example/x, not the site1 dup
     assert out.loc[4, "url_norm"] == "a.example/x"
     assert out.loc[2, "url_norm"] == "" and out.loc[6, "url_norm"] == ""
+
+
+# ---------------------------------------------------------------------------
+# content-defined chunking
+# ---------------------------------------------------------------------------
+
+def _cdc_ref(pay: bytes):
+    """Sequential byte-at-a-time reference (mirrors oracle._ref_cdc)."""
+    from kmerray.extras.cdc import CDC_MASK, GEAR, GEAR2
+    M64 = (1 << 64) - 1
+    mask = int(CDC_MASK)
+    h, start = 0, 0
+    out = []
+    for i, b in enumerate(pay):
+        h = ((h << 1) & M64) ^ int(GEAR[b])
+        if (h & mask) == 0 or i == len(pay) - 1:
+            ch = 0
+            for k in range(start, i + 1):
+                s = (k - start) & 63
+                g = int(GEAR2[pay[k]])
+                ch ^= ((g << s) & M64) | (g >> ((64 - s) & 63))
+            out.append((start, i - start + 1,
+                        ch - (1 << 64) if ch >= 1 << 63 else ch))
+            start = i + 1
+    return out
+
+
+def test_cdc_chunks_matches_sequential(ray_session):
+    """Vectorized 64-term XOR expansion == the sequential recurrence,
+    across payloads batched together (fix-up correctness) incl. a
+    payload shorter than the 64-byte window."""
+    import pyarrow as pa
+    import ray.data
+
+    from kmerray.extras.cdc import cdc_chunks
+    rng = np.random.default_rng(3)
+    pays = [rng.integers(0, 256, size=n, dtype=np.uint8).tobytes()
+            for n in (700, 13, 250, 64)]
+    tab = pa.table({
+        "item_id": pa.array([f"i{k}" for k in range(len(pays))]),
+        "payload": pa.array(pays, pa.binary())})
+    out = (cdc_chunks(ray.data.from_arrow(tab)).to_pandas()
+           .sort_values(["item_id", "chunk_idx"])
+           .reset_index(drop=True))
+    rows = []
+    for k, p in enumerate(pays):
+        for idx, (s, ln, ch) in enumerate(_cdc_ref(p)):
+            rows.append((f"i{k}", idx, s, ln, ch))
+    exp = pd.DataFrame(rows, columns=["item_id", "chunk_idx", "start",
+                                      "length", "chash"]) \
+        .sort_values(["item_id", "chunk_idx"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(out, exp, check_dtype=False)
+
+
+def test_cdc_insertion_shifts_one_chunk(ray_session):
+    """The content-defined property: inserting bytes near the front
+    changes only the chunks up to the first boundary after the edit —
+    later chunk hashes are identical (offset-shifted), which is the
+    whole point vs fixed-size chunking."""
+    import pyarrow as pa
+    import ray.data
+
+    from kmerray.extras.cdc import cdc_chunks
+    rng = np.random.default_rng(9)
+    base = rng.integers(0, 256, size=4000, dtype=np.uint8).tobytes()
+    edited = base[:10] + b"INSERTED" + base[10:]
+    tab = pa.table({"item_id": pa.array(["a", "b"]),
+                    "payload": pa.array([base, edited], pa.binary())})
+    out = cdc_chunks(ray.data.from_arrow(tab)).to_pandas()
+    ha = set(out[out.item_id == "a"]["chash"])
+    hb = set(out[out.item_id == "b"]["chash"])
+    shared = len(ha & hb)
+    assert shared >= len(ha) - 3          # only the head chunks churn
+    assert shared < len(ha | hb)          # but something did change
