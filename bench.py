@@ -345,6 +345,9 @@ def run_bench() -> dict:
         docs_half().map_batches(_with_lang_col,
                                 batch_format="pandas")).count())
     timed("quality_filter", lambda: quality_filter(docs()).count())
+    # r5c: blocklist substring counting (one C-regex pass per phrase)
+    from kmerray.extras.text import phrase_hits
+    timed("phrase_hits", lambda: phrase_hits(docs()).count())
 
     # r4 multimodal + hygiene legs: actor-pool stages over opaque
     # binary payloads (synth built OUTSIDE the timer, sliced into

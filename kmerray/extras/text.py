@@ -1968,3 +1968,45 @@ def source_divergence(ds: "ray.data.Dataset",
     folded["jsd"] = np.floor(folded["v"].to_numpy() * scale + 0.5) / scale
     out = folded[["s1", "s2", "jsd"]].sort_values(["s1", "s2"])
     return out.reset_index(drop=True)
+
+
+def phrase_hits(ds: "ray.data.Dataset",
+                phrases: tuple = ("batch batch", "table scan",
+                                  "spark")) -> "ray.data.Dataset":
+    """Blocklist / brand-safety phrase counting: non-overlapping
+    SUBSTRING occurrences of each listed phrase per doc (multi-word
+    phrases cross token boundaries, which a word-split op can't see)
+    — the policy-filter primitive behind badword lists, licensing
+    blocklists and contamination probes.
+
+    One stateless pass: per phrase a vectorized C-regex
+    ``str.count`` over the column (the phrase list is bounded, the
+    corpus never shuffles).  Left-to-right non-overlapping counting
+    matches the SQL ``(len(t) - len(replace(t, p, ''))) // len(p)``
+    identity exactly — both scan leftmost-non-overlapping, so
+    self-overlapping phrases ('aa' in 'aaa') agree.  Exact integer
+    surface, rows only where a phrase hits.
+
+    Output: ``(doc_id, phrase, n)``."""
+    import re
+    pats = [(p, re.escape(p)) for p in phrases]
+
+    def fn(b: pd.DataFrame) -> pd.DataFrame:
+        ids = b["doc_id"].astype(np.int64).to_numpy()
+        outs = []
+        for p, pat in pats:
+            n = b["text"].str.count(pat).to_numpy(np.int64)
+            m = n > 0
+            if m.any():
+                outs.append(pd.DataFrame({
+                    "doc_id": ids[m],
+                    "phrase": np.full(int(m.sum()), p, dtype=object),
+                    "n": n[m]}))
+        if not outs:
+            return pd.DataFrame({
+                "doc_id": pd.Series([], dtype=np.int64),
+                "phrase": pd.Series([], dtype=object),
+                "n": pd.Series([], dtype=np.int64)})
+        return pd.concat(outs, ignore_index=True)
+
+    return ds.map_batches(fn, batch_format="pandas")

@@ -2250,6 +2250,18 @@ FROM w JOIN cb ON w.word = cb.word
 GROUP BY w.doc_id"""
 
 
+def phrase_hits_sql(phrases: tuple) -> str:
+    """Mirror of extras.text.phrase_hits via the replace-length
+    identity: both engines count leftmost non-overlapping substring
+    occurrences."""
+    vals = ", ".join(f"({_qlit(p)})" for p in phrases)
+    return f"""SELECT doc_id, p AS phrase,
+       CAST((length(text) - length(replace(text, p, '')))
+            // length(p) AS BIGINT) AS n
+FROM documents, (VALUES {vals}) AS ph(p)
+WHERE length(text) - length(replace(text, p, '')) > 0"""
+
+
 def nb_classify_sql(target_lang: str = "en", dp: int = 4) -> str:
     """Mirror of extras.text.nb_classify: add-one multinomial NB
     log-likelihood-ratio score per doc, positive class = the

@@ -475,6 +475,7 @@ def registry() -> dict:
         "block_dedup": q_block_dedup,
         "c4_filter": q_c4_filter,
         "char_entropy": q_char_entropy,
+        "phrase_hits": q_phrase_hits,
         "temperature_sample": q_temperature_sample,
         "weighted_sample": q_weighted_sample,
         "quality_filter": q_quality_filter,
@@ -927,7 +928,12 @@ FROM ({oracle.c4_filter_sql(C4_DELIM, C4_MWL, C4_MIN_LINES, None,
 UNION ALL
 SELECT CAST(2 AS BIGINT), doc_id, n_distinct,
        CAST(floor(entropy * 10000 + 0.5) AS BIGINT), keep, ''
-FROM ({oracle.char_entropy_sql()})""",
+FROM ({oracle.char_entropy_sql()})
+UNION ALL
+SELECT CAST(3 AS BIGINT), doc_id, n, CAST(0 AS BIGINT),
+       CAST(0 AS BIGINT), phrase
+FROM ({oracle.phrase_hits_sql(BLOCK_PHRASES)})""",
+        "phrase_hits": oracle.phrase_hits_sql(BLOCK_PHRASES),
         "char_entropy": oracle.char_entropy_sql(),
         "frame_sample": oracle.frame_sample_sql(_video_path(),
                                                 FRAME_STRIDE),
@@ -2881,16 +2887,28 @@ def q_temperature_sample(sf_dir: str):
     return temperature_sample(ds)
 
 
+BLOCK_PHRASES = ("batch batch", "table scan", "spark")
+
+
+def q_phrase_hits(sf_dir: str):
+    """Blocklist substring counting (multi-word phrases cross token
+    boundaries): one stateless C-regex pass, exact integer counts."""
+    from .extras.text import phrase_hits
+    return phrase_hits(_docs(sf_dir), BLOCK_PHRASES)
+
+
 def q_quality_filter2(sf_dir: str):
-    """Quality gating three ways: global-percentile survivor filter
+    """Quality gating four ways: global-percentile survivor filter
     (variant 0) UNION the C4 line+page cleaning rules (variant 1,
     incl. the rewritten clean_text) UNION the character-entropy
     gibberish screen (variant 2; v2 carries the dp-rounded entropy
     scaled to an exact int — both engines floor(entropy*1e4+0.5) the
-    same bit-identical double)."""
+    same bit-identical double) UNION blocklist phrase hits (variant
+    3, counts in v1, the phrase riding txt)."""
     qf = q_quality_filter(sf_dir)
     c4 = q_c4_filter(sf_dir)
     ce = _as_ds(q_char_entropy(sf_dir))
+    ph = q_phrase_hits(sf_dir)
 
     def pad_q(b: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame({
@@ -2920,9 +2938,19 @@ def q_quality_filter2(sf_dir: str):
             "keep": b["keep"].astype(np.int64),
             "txt": np.full(len(b), "", dtype=object)})
 
+    def pad_p(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "variant": _const_i64(len(b), 3),
+            "doc_id": b["doc_id"].astype(np.int64),
+            "v1": b["n"].astype(np.int64),
+            "v2": _const_i64(len(b), 0),
+            "keep": _const_i64(len(b), 0),
+            "txt": b["phrase"]})
+
     return (qf.map_batches(pad_q, batch_format="pandas")
             .union(c4.map_batches(pad_c, batch_format="pandas"))
-            .union(ce.map_batches(pad_e, batch_format="pandas")))
+            .union(ce.map_batches(pad_e, batch_format="pandas"))
+            .union(ph.map_batches(pad_p, batch_format="pandas")))
 
 
 def q_kmer_novelty(sf_dir: str):

@@ -1457,3 +1457,43 @@ def test_cdc_insertion_shifts_one_chunk(ray_session):
     shared = len(ha & hb)
     assert shared >= len(ha) - 3          # only the head chunks churn
     assert shared < len(ha | hb)          # but something did change
+
+
+# ---------------------------------------------------------------------------
+# blocklist phrase hits
+# ---------------------------------------------------------------------------
+
+def test_phrase_hits_matches_scalar(ray_session):
+    """Substring (not token) counting vs a str.count scalar
+    reference: multi-word phrases crossing token boundaries,
+    self-overlapping phrase non-overlap rule, zero-hit rows absent."""
+    import ray.data
+
+    from kmerray.extras.text import phrase_hits
+
+    docs = pd.DataFrame({
+        "doc_id": np.arange(4, dtype=np.int64),
+        "text": ["aaa b table scan c table scanner",
+                 "spark sparkle spark",
+                 "nothing here",
+                 "batch batch batch"]})
+    out = (phrase_hits(ray.data.from_pandas(
+        [docs.iloc[:2], docs.iloc[2:]]), ("aa", "table scan", "spark",
+                                          "batch batch"))
+        .to_pandas().sort_values(["doc_id", "phrase"])
+        .reset_index(drop=True))
+    exp = []
+    for _, r in docs.iterrows():
+        for p in ("aa", "table scan", "spark", "batch batch"):
+            n = r["text"].count(p)   # str.count = non-overlapping
+            if n:
+                exp.append((r["doc_id"], p, n))
+    exp = pd.DataFrame(exp, columns=["doc_id", "phrase", "n"]) \
+        .sort_values(["doc_id", "phrase"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(out, exp, check_dtype=False)
+    # the non-overlap rule concretely: 'aa' in 'aaa' is 1,
+    # 'batch batch' in 'batch batch batch' is 1, 'spark' catches
+    # 'sparkle' (substring semantics)
+    assert exp[exp.phrase == "aa"]["n"].tolist() == [1]
+    assert exp[exp.phrase == "batch batch"]["n"].tolist() == [1]
+    assert exp[exp.phrase == "spark"]["n"].tolist() == [3]
