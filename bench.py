@@ -317,6 +317,11 @@ def run_bench() -> dict:
         return b[["source", "text"]]
     timed("source_divergence", lambda: len(source_divergence(
         docs().map_batches(_with_src_text, batch_format="pandas"))))
+    # r5c: per-source n-gram type-token diversity (distinct-(source,
+    # gram) combiner, one gram-bucket exchange)
+    from kmerray.extras.text import source_ngram_diversity
+    timed("source_diversity", lambda: len(source_ngram_diversity(
+        docs().map_batches(_with_src_text, batch_format="pandas"))))
     # r5b: median/MAD robust outliers (value-histogram partials, MAD
     # folded off the same histogram, stateless score pass)
     from kmerray.extras.grouped import grouped_mad_outliers

@@ -2010,3 +2010,96 @@ def phrase_hits(ds: "ray.data.Dataset",
         return pd.concat(outs, ignore_index=True)
 
     return ds.map_batches(fn, batch_format="pandas")
+
+
+def source_ngram_diversity(ds: "ray.data.Dataset", n: int = 3,
+                           n_buckets: int = 64) -> pd.DataFrame:
+    """Per-source word-n-gram type-token ratio — the diversity /
+    mode-collapse diagnostic for synthetic or heavily-filtered data
+    slices (a low distinct/total ratio flags a repetitive source
+    before it floods the mixture; the n-gram-diversity side of the
+    Self-BLEU family, computed exactly instead of by sampling).
+
+    Scale shape: per-block partials pre-collapse to DISTINCT
+    ``(source, gram-hash)`` pairs and per-source gram totals (one
+    ``gram_hashes`` fold per block, the dedup discipline); ONE
+    gram-hash-bucketed exchange — a (source, gram) pair lands whole
+    in one bucket, so per-bucket distinct counts ADD to the global
+    distinct — and the driver folds buckets × sources int rows, never
+    the gram stream.  ``ttr`` is ONE int/int IEEE division.  The
+    engine keys grams by the 64-bit fold (collision odds ~grams²/2⁶⁴,
+    the dup_spans convention); the oracle compares gram strings.
+
+    Output: ``(source, n_grams, n_distinct, ttr)`` — sources whose
+    docs are all shorter than ``n`` words emit no row (both
+    engines)."""
+    from .dedup import gram_hashes
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        gh, offs = gram_hashes(b["text"], n)
+        src = b["source"].to_numpy(object)
+        rowid = np.repeat(np.arange(len(b)), np.diff(offs))
+        gsrc = src[rowid]
+        # per-source totals (kind 1)
+        ts, tc = np.unique(gsrc, return_counts=True)
+        keep = tc > 0
+        tot = pd.DataFrame({
+            "kind": np.ones(int(keep.sum()), dtype=np.int64),
+            "source": ts[keep],
+            "gh": tc[keep].astype(np.int64),
+            "gb": np.zeros(int(keep.sum()), dtype=np.int64)})
+        # distinct (source, gram) pairs (kind 0) — dedup on the
+        # STRING source (hash-keying the source here could conflate
+        # colliding sources; only the gram rides as a hash)
+        dis = pd.DataFrame({"source": gsrc,
+                            "gh": gh.view(np.int64)}).drop_duplicates()
+        dis.insert(0, "kind", np.zeros(len(dis), dtype=np.int64))
+        dis["gb"] = (dis["gh"].to_numpy().view(np.uint64)
+                     % np.uint64(n_buckets)).astype(np.int64)
+        return pd.concat([dis, tot], ignore_index=True)
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        kind = g["kind"].to_numpy()
+        out = []
+        d = g[kind == 0]
+        if len(d):
+            sub = d.drop_duplicates(["source", "gh"])
+            vc = sub.groupby("source", sort=False).size()
+            out.append(pd.DataFrame({
+                "source": vc.index.to_numpy(object),
+                "nd": vc.to_numpy(np.int64),
+                "nt": np.zeros(len(vc), dtype=np.int64)}))
+        t = g[kind == 1]
+        if len(t):
+            s = t.groupby("source", sort=False)["gh"].sum()
+            out.append(pd.DataFrame({
+                "source": s.index.to_numpy(object),
+                "nd": np.zeros(len(s), dtype=np.int64),
+                "nt": s.to_numpy(np.int64)}))
+        if not out:
+            return pd.DataFrame({
+                "source": pd.Series([], dtype=object),
+                "nd": pd.Series([], dtype=np.int64),
+                "nt": pd.Series([], dtype=np.int64)})
+        return pd.concat(out, ignore_index=True)
+
+    parts = (ds.map_batches(partial, batch_format="pandas")
+             .groupby("gb").map_groups(merge, batch_format="pandas"))
+    tabs = [t for t in ray.get(parts.to_arrow_refs()) if t.num_rows]
+    if not tabs:
+        return pd.DataFrame({
+            "source": pd.Series([], dtype=object),
+            "n_grams": pd.Series([], dtype=np.int64),
+            "n_distinct": pd.Series([], dtype=np.int64),
+            "ttr": pd.Series([], dtype=np.float64)})
+    allp = pa.concat_tables(tabs).to_pandas()
+    agg = allp.groupby("source", sort=True).agg(
+        n_distinct=("nd", "sum"), n_grams=("nt", "sum")).reset_index()
+    agg = agg[agg["n_grams"] > 0]
+    return pd.DataFrame({
+        "source": agg["source"].to_numpy(object),
+        "n_grams": agg["n_grams"].to_numpy(np.int64),
+        "n_distinct": agg["n_distinct"].to_numpy(np.int64),
+        "ttr": (agg["n_distinct"].to_numpy(np.int64)
+                / agg["n_grams"].to_numpy(np.int64).astype(np.float64)),
+    })

@@ -2250,6 +2250,24 @@ FROM w JOIN cb ON w.word = cb.word
 GROUP BY w.doc_id"""
 
 
+def source_diversity_sql(n: int = 3) -> str:
+    """Mirror of extras.text.source_ngram_diversity: per-source
+    n-gram type-token ratio, grams compared as STRINGS (the engine
+    keys the 64-bit fold — dup_spans collision convention); ttr is
+    one int/double IEEE division."""
+    return f"""WITH d AS (
+  SELECT source, string_split(text, ' ') AS ws FROM documents),
+g AS (
+  SELECT source,
+         array_to_string(list_slice(ws, pos, pos + {n - 1}), ' ')
+           AS gram
+  FROM d, unnest(range(1, len(ws) - {n} + 2)) AS t(pos))
+SELECT source, CAST(count(*) AS BIGINT) AS n_grams,
+       CAST(count(DISTINCT gram) AS BIGINT) AS n_distinct,
+       count(DISTINCT gram) / CAST(count(*) AS DOUBLE) AS ttr
+FROM g GROUP BY source"""
+
+
 def phrase_hits_sql(phrases: tuple) -> str:
     """Mirror of extras.text.phrase_hits via the replace-length
     identity: both engines count leftmost non-overlapping substring

@@ -513,6 +513,7 @@ def registry() -> dict:
         "bm25_topk": q_bm25_topk,
         "zscore_by_source": q_zscore_by_source,
         "source_divergence": q_source_divergence,
+        "source_diversity": q_source_diversity,
         "mad_outliers": q_mad_outliers,
         "proto_prune": q_proto_prune,
         "kcenter_select": q_kcenter_select,
@@ -744,7 +745,12 @@ FROM ({oracle.source_divergence_sql()})
 UNION ALL
 SELECT CAST(2 AS BIGINT), CAST(doc_id AS VARCHAR), '', med, mad,
        outlier, rz
-FROM ({oracle.mad_outliers_sql()})""",
+FROM ({oracle.mad_outliers_sql()})
+UNION ALL
+SELECT CAST(3 AS BIGINT), source, '', n_grams, n_distinct,
+       CAST(0 AS BIGINT), ttr
+FROM ({oracle.source_diversity_sql()})""",
+        "source_diversity": oracle.source_diversity_sql(),
         "events_distinct": oracle.events_distinct_sql(),
         "events_funnel": oracle.events_funnel_sql(),
         "asof_backfill": oracle.asof_backfill_sql(
@@ -2133,13 +2139,24 @@ def q_mad_outliers(sf_dir: str):
     return grouped_mad_outliers(ds, key="source", col="n_chars")
 
 
+def q_source_diversity(sf_dir: str):
+    """Per-source n-gram type-token diversity (distinct-(source,
+    gram) combiner, one gram-bucket exchange, driver folds
+    buckets × sources ints)."""
+    from .extras.text import source_ngram_diversity
+    return source_ngram_diversity(ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["source", "text"]))
+
+
 def q_source_stats2(sf_dir: str):
     """Per-source statistics family: per-doc z-scores (variant 0)
     UNION the pairwise source JSD matrix (variant 1) UNION the
-    median/MAD robust outlier surface (variant 2)."""
+    median/MAD robust outlier surface (variant 2) UNION the n-gram
+    type-token diversity ratios (variant 3)."""
     zs = q_zscore_by_source(sf_dir)
     dv = _as_ds(q_source_divergence(sf_dir))
     md = q_mad_outliers(sf_dir)
+    tt = _as_ds(q_source_diversity(sf_dir))
 
     def pad_z(b: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame({
@@ -2168,9 +2185,20 @@ def q_source_stats2(sf_dir: str):
             "c": b["outlier"].astype(np.int64),
             "f": b["rz"].astype(np.float64)})
 
+    def pad_t(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "variant": _const_i64(len(b), 3),
+            "s1": b["source"],
+            "s2": np.full(len(b), "", dtype=object),
+            "a": b["n_grams"].astype(np.int64),
+            "b": b["n_distinct"].astype(np.int64),
+            "c": _const_i64(len(b), 0),
+            "f": b["ttr"].astype(np.float64)})
+
     return (zs.map_batches(pad_z, batch_format="pandas")
             .union(dv.map_batches(pad_d, batch_format="pandas"))
-            .union(md.map_batches(pad_m, batch_format="pandas")))
+            .union(md.map_batches(pad_m, batch_format="pandas"))
+            .union(tt.map_batches(pad_t, batch_format="pandas")))
 
 
 def q_cluster_reps(sf_dir: str):

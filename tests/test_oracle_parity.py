@@ -33,7 +33,8 @@ FAST = ["kmer_counts_per_doc", "whole_seq_minimiser", "lag_lead",
         "mad_outliers", "proto_prune", "kcenter_select",
         # round-5c ops
         "nb_classify", "retention_cohorts", "pagerank", "knn_graph",
-        "url_dedup", "cdc_chunks", "cdc_digest", "phrase_hits"]
+        "url_dedup", "cdc_chunks", "cdc_digest", "phrase_hits",
+        "source_diversity"]
 
 pytestmark = pytest.mark.skipif(not os.path.exists(SF),
                                 reason="driver testdata unavailable")

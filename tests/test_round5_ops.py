@@ -1497,3 +1497,47 @@ def test_phrase_hits_matches_scalar(ray_session):
     assert exp[exp.phrase == "aa"]["n"].tolist() == [1]
     assert exp[exp.phrase == "batch batch"]["n"].tolist() == [1]
     assert exp[exp.phrase == "spark"]["n"].tolist() == [3]
+
+
+# ---------------------------------------------------------------------------
+# source n-gram diversity
+# ---------------------------------------------------------------------------
+
+def test_source_ngram_diversity_matches_scalar(ray_session):
+    """Type-token ratios vs a set/Counter scalar reference: repeated
+    vs diverse sources, cross-doc gram dedup within a source, sub-n
+    docs emit nothing, rows split across blocks."""
+    import ray.data
+
+    from kmerray.extras.text import source_ngram_diversity
+
+    docs = pd.DataFrame({
+        "doc_id": np.arange(6, dtype=np.int64),
+        "source": ["rep", "rep", "div", "div", "tiny", "rep"],
+        "text": ["a b c a b c a b c",      # repetitive
+                 "a b c d",                # shares grams with doc 0
+                 "p q r s t",              # all distinct
+                 "u v w x",                # all distinct
+                 "x y",                    # < 3 words -> no grams
+                 "a b c"]})                # one gram, dup of doc 0's
+    ds = ray.data.from_pandas([docs.iloc[:2], docs.iloc[2:4],
+                               docs.iloc[4:]])
+    out = (source_ngram_diversity(ds, n=3, n_buckets=4)
+           .sort_values("source").reset_index(drop=True))
+
+    ref = {}
+    for _, r in docs.iterrows():
+        ws = r["text"].split(" ")
+        grams = [" ".join(ws[i:i + 3]) for i in range(len(ws) - 2)]
+        tot, dis = ref.setdefault(r["source"], [0, set()])
+        ref[r["source"]][0] += len(grams)
+        dis.update(grams)
+    exp = pd.DataFrame(
+        [(s, t, len(d), len(d) / float(t))
+         for s, (t, d) in sorted(ref.items()) if t > 0],
+        columns=["source", "n_grams", "n_distinct", "ttr"])
+    pd.testing.assert_frame_equal(out, exp, check_dtype=False)
+    assert "tiny" not in set(out["source"])
+    rep = out[out.source == "rep"].iloc[0]
+    div = out[out.source == "div"].iloc[0]
+    assert rep["ttr"] < div["ttr"] == 1.0
