@@ -198,8 +198,8 @@ def weighted_priority_sample(ds: "ray.data.Dataset", k: int = WSAMPLE_K,
         return (out.sort_values(["prio", "doc_id"], kind="mergesort")
                 .head(k + 1))
 
-    parts = ds.map_batches(part, batch_format="pandas").take_all()
-    merged = (pd.DataFrame(parts)
+    from .gather import collect_df
+    merged = (collect_df(ds.map_batches(part, batch_format="pandas"))
               .sort_values(["prio", "doc_id"], kind="mergesort")
               .reset_index(drop=True))
     tau = float(merged["prio"].iloc[k]) if len(merged) > k else None

@@ -245,8 +245,8 @@ def sketch_quantiles(ds: "ray.data.Dataset",
         return (out.sort_values(["h", "doc_id"], kind="mergesort")
                 .head(k))
 
-    parts = ds.map_batches(part, batch_format="pandas").take_all()
-    samp = (pd.DataFrame(parts)
+    from .gather import collect_df
+    samp = (collect_df(ds.map_batches(part, batch_format="pandas"))
             .sort_values(["h", "doc_id"], kind="mergesort")
             .head(k))
     vals = np.sort(samp["n_tok"].to_numpy())

@@ -1668,10 +1668,11 @@ def vocab_coverage(ds: "ray.data.Dataset",
         return pd.DataFrame({"cnt": v.astype(np.int64),
                              "nw": n.astype(np.int64)})
 
-    parts = wc.map_batches(ccount, batch_format="pandas").take_all()
+    from .gather import collect_df
+    parts = collect_df(wc.map_batches(ccount, batch_format="pandas"))
     agg: dict = {}
-    for r in parts:
-        agg[int(r["cnt"])] = agg.get(int(r["cnt"]), 0) + int(r["nw"])
+    for c, n in zip(parts["cnt"].to_numpy(), parts["nw"].to_numpy()):
+        agg[int(c)] = agg.get(int(c), 0) + int(n)
     cnts = np.array(sorted(agg, reverse=True), dtype=np.int64)
     nw = np.array([agg[int(c)] for c in cnts], dtype=np.int64)
     cum_mass = np.cumsum(cnts * nw)
